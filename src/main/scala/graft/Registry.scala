@@ -1,0 +1,12 @@
+package graft
+
+/** Central registry of every declared engine query. Families are added
+  * as they land (SURVEY.md §2 coverage + the LLM-pipeline extensions).
+  */
+object Registry {
+  def all: Seq[GraftQuery] =
+    queries.Relational.queries
+
+  def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
+  def headlineNames: Seq[String] = all.filter(_.headline).map(_.name)
+}

@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are chosen for the 100-TB design point scaled down to the
+  * local[N] test harness: AQE on (runtime shuffle coalescing + skew-join
+  * splitting), UTC session time zone (deterministic date math vs. the
+  * DuckDB oracle), and a shuffle-partition count matching local cores
+  * (on a real cluster this would be sized to ~2-3x total executor cores
+  * or left to AQE's coalescing).
+  */
+object Sessions {
+
+  /** Apply graft's standard configuration to any builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cores]"), cores)
+      .appName("graft")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's rollup-by-union pattern (SURVEY.md §2.5 A1-A3;
+  * reference `src/main.py:87-119`) and its single-shuffle grouping-sets
+  * reformulation.
+  *
+  * Semantics (note N5): the second rollup runs over base ∪ first-rollup,
+  * so the (label2, label1) cell aggregates the already-rolled rows —
+  * which makes the composite exactly a labeled CUBE over the two rolled
+  * coordinates (no double counting: "Both" rows are the only rows whose
+  * label1 coordinate is label1, so re-summing them yields the grand
+  * total, the cube's (ALL, ALL) cell).
+  *
+  * `byUnion` is the row-for-row faithful translation (two shuffles);
+  * `cubeLabeled` is the 100-TB formulation: one shuffle through a
+  * Catalyst `Expand` node. A ScalaTest property asserts multiset
+  * equality of the two.
+  */
+object Rollup {
+
+  /** Re-aggregate `df` after overwriting `rollCol` with a constant label.
+    * `grain` must list every output key column (including `rollCol`);
+    * `measures` are summed with their original names kept.
+    */
+  private def relabelAgg(
+      df: DataFrame, grain: Seq[String], rollCol: String, label: String,
+      measures: Seq[String]): DataFrame = {
+    val relabeled = df.withColumn(rollCol, lit(label))
+    val aggs = measures.map(m => sum(col(m)).as(m))
+    relabeled.groupBy(grain.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Faithful translation of main.py:87-119: base ∪ roll1 ∪ roll2(base ∪ roll1). */
+  def byUnion(
+      base: DataFrame, grain: Seq[String], measures: Seq[String],
+      roll1: (String, String), roll2: (String, String)): DataFrame = {
+    val r1 = relabelAgg(base, grain, roll1._1, roll1._2, measures)
+    val withR1 = base.unionByName(r1)
+    val r2 = relabelAgg(withR1, grain, roll2._1, roll2._2, measures)
+    withR1.unionByName(r2)
+  }
+
+  /** Single-pass equivalent: GROUPING SETS over the two rolled columns
+    * (their four combinations = a labeled CUBE), via Spark 4's
+    * `Dataset.groupingSets`. One shuffle through a Catalyst `Expand`
+    * node; partial aggregation still combines map-side per grouping set.
+    * `grouping()` indicators (legal only inside the aggregate) drive the
+    * label substitution.
+    */
+  def cubeLabeled(
+      base: DataFrame, grain: Seq[String], measures: Seq[String],
+      roll1: (String, String), roll2: (String, String)): DataFrame = {
+    val (c1, l1) = roll1
+    val (c2, l2) = roll2
+    val keep = grain.filterNot(c => c == c1 || c == c2)
+    val sets = Seq(
+      keep ++ Seq(c1, c2), keep :+ c1, keep :+ c2, keep
+    ).map(_.map(col))
+    val aggs =
+      measures.map(m => sum(col(m)).as(m)) :+
+        grouping(col(c1)).as("_g1") :+ grouping(col(c2)).as("_g2")
+    base
+      .groupingSets(sets, (keep.map(col) :+ col(c1) :+ col(c2)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(c1, when(col("_g1") === 1, lit(l1)).otherwise(col(c1)))
+      .withColumn(c2, when(col("_g2") === 1, lit(l2)).otherwise(col(c2)))
+      .select((grain.map(col) ++ measures.map(col)): _*)
+  }
+}
