@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * `cubeLabeled` is the 100-TB formulation: one shuffle through a
   * Catalyst `Expand` node. A ScalaTest property asserts multiset
   * equality of the two.
+  *
+  * Precondition for equivalence: `base` must be at unique
+  * (grain)-granularity — `byUnion` passes base rows through
+  * unaggregated, while the grouping-sets form aggregates every set
+  * including the finest. The pipeline guarantees this via the fail-loud
+  * pivot (N3); callers composing these directly must too.
   */
 object Rollup {
 
