@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline surface
+  * (north star, SURVEY.md §0): tokenization, shingling, fingerprinting,
+  * quality metrics, language-ID scoring, and a portable MinHash.
+  *
+  * Everything is a composition of codegen'd built-ins (no UDFs): the
+  * whole family stays inside whole-stage codegen and is therefore safe
+  * in 100-TB scans.
+  *
+  * Cross-engine determinism: the MinHash permutation family is
+  * `md5(i || '|' || shingle)` with the minimum taken in LEXICOGRAPHIC
+  * order over the hex strings — identical in any engine with md5 (the
+  * DuckDB oracle replicates it verbatim), unlike engine-private hashes
+  * (xxhash64/murmur) which are Spark-only.
+  */
+object TextFunctions {
+
+  /** Lowercased non-whitespace token runs (no empty tokens — mirrors
+    * `regexp_extract_all(lower(x), '\S+')` in the oracle).
+    */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Whitespace-normalized lowercase text (dedup canonical form). */
+  def normalized(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Rolling document fingerprint: md5 of the canonical form. */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Distinct word n-gram shingles of a token array (1-based
+    * `element_at`, same as the oracle's `toks[i]`). Callers must ensure
+    * size(toks) >= n (concat-with-null semantics differ across engines).
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    array_distinct(grams)
+  }
+
+  /** Portable MinHash signature: k lexicographic-min salted-md5 values
+    * over the shingle set. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays as
+    * (n_inter, n_union) — division left to the caller so outputs stay
+    * integer-exact until the last step.
+    */
+  def jaccardParts(a: Column, b: Column): (Column, Column) =
+    (size(array_intersect(a, b)).cast("long"),
+      size(array_union(a, b)).cast("long"))
+
+  // ---- quality metrics (all integer counts; ratios derived exactly) ----
+
+  def charCount(c: Column): Column = length(c).cast("long")
+
+  /** Count of characters in `c` matching regex class `cls`. */
+  def charClassCount(c: Column, cls: String): Column =
+    (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+
+  def distinctTokenCount(c: Column): Column =
+    size(array_distinct(tokens(c))).cast("long")
+
+  /** Distinct stopword types present (list_intersect semantics — same
+    * in the oracle). */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(markers.map(lit): _*))).cast("long")
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Tiny by design — language ID at scale is a scoring
+    * problem, not a model problem, and these stay codegen-friendly.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "y", "es", "una", "que"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5")) // pinyin-ish placeholders
+}

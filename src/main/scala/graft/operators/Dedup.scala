@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join →
+  * exact verify), SimHash (banded Hamming), and blocked exact n-gram
+  * Jaccard.
+  *
+  * Scale design: every variant avoids the O(N²) cross join. MinHash/
+  * SimHash candidate generation is a self-equi-join on (band, signature)
+  * — a shuffle join on a high-cardinality key; the exact verification
+  * join pulls shingle sets by doc id (shuffle join on id). Blocked
+  * Jaccard bounds pairs by a caller-supplied blocking key. At 100 TB the
+  * only quadratic work left is within-bucket, which the band/row
+  * parameters control.
+  */
+object Dedup {
+
+  /** Exact dedup: canonicalize → fingerprint → keep lowest id per group. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-`n`-gram shingle sets per document (docs shorter than
+    * `n` tokens are excluded — cross-engine concat-null semantics).
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
+
+  /** MinHash + LSH near-dup pairs, exact-verified.
+    *
+    * k = bands·rowsPerBand minhashes; candidates = documents agreeing on
+    * all rows of at least one band; each candidate pair is then verified
+    * with exact Jaccard ≥ tau on the shingle sets. Deterministic
+    * cross-engine: the salted-md5 signature makes the candidate set (not
+    * just the verified result) reproducible in the DuckDB oracle.
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      tau: Double = 0.3): DataFrame = {
+    val k = bands * rowsPerBand
+    val s = shingleSets(df, idCol, textCol, shingleN)
+    val sig = s.select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+    val bandCol = explode(sequence(lit(0), lit(bands - 1))).as("band")
+    val banded = sig.select(col("doc_id"), bandCol, col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws("", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), col("band") * rowsPerBand + r + 1)): _*).as("bsig"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    val (nInter, nUnion) = jaccardParts(col("sh_a"), col("sh_b"))
+    withSets
+      .select(col("doc_a"), col("doc_b"), nInter.as("n_inter"), nUnion.as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .where(col("jaccard") >= tau)
+  }
+
+  /** 64-bit SimHash of the token array: majority vote per bit over
+    * xxhash64(token). Expressed as SQL higher-order aggregates (getbit/
+    * shiftleft take expression args in SQL, unlike the Scala functions
+    * API) — still pure Catalyst, no UDF.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc + if(aggregate(hs, 0L, (a, h) -> a + if(getbit(h, j) = 1, 1L, -1L)) > 0,
+          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  /** SimHash near-dup pairs: 4×16-bit bands → bucket join → Hamming
+    * distance ≤ maxHamming via bit_count(xor).
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 12): DataFrame = {
+    val sh = simhash64(df, idCol, textCol)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs within a blocking key (the bounded-pairs
+    * pattern: never a global cross join).
+    */
+  def ngramJaccardBlocked(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 2, tau: Double = 0.25): DataFrame = {
+    val s = df.select(col(idCol).as("doc_id"), col(blockCol).as("blk"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), col("blk"), shingles(col("toks"), n).as("sh"))
+    val joined = s.as("x").join(s.as("y"),
+      col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+    val (nInter, nUnion) = jaccardParts(col("x.sh"), col("y.sh"))
+    joined.select(
+        col("x.blk").as("block"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        nInter.as("n_inter"), nUnion.as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .where(col("jaccard") >= tau)
+  }
+}

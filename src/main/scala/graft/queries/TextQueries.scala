@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication coverage over the `documents` fixture
+  * (the LLM-data-pipeline surface): token/char statistics, quality
+  * metrics, language-ID heuristic, fingerprinting, exact dedup,
+  * MinHash+LSH near-dup detection (oracle replicates the deterministic
+  * salted-md5 algorithm end-to-end), blocked exact n-gram Jaccard, and
+  * SimHash (Spark-only: xxhash64 has no DuckDB equivalent — covered by
+  * a planted-duplicate spec instead).
+  */
+object TextQueries {
+
+  private val langCase =
+    """CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+      |     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+      |     WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+      |     WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+      |     WHEN s_es >= s_zh THEN 'es'
+      |     ELSE 'zh' END""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q30: corpus statistics per language label ----
+    GraftQuery(
+      "q30_text_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            tokenCount(col("text")).as("nt"), charCount(col("text")).as("nc"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("sum_tokens"),
+            sum(col("nc")).as("sum_chars"),
+            (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+            countDistinct(col("source")).as("n_sources")),
+      Some("""
+        WITH t AS (SELECT lang, source,
+            CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) nt,
+            CAST(length(text) AS BIGINT) nc
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS sum_tokens,
+          CAST(sum(nc) AS BIGINT) AS sum_chars,
+          CAST(sum(nt) AS DOUBLE) / count(*) AS avg_tokens,
+          count(DISTINCT source) AS n_sources
+        FROM t GROUP BY lang
+      """)),
+
+    // ---- q31: per-document quality metrics (integer-exact) ----
+    GraftQuery(
+      "q31_text_quality",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            charCount(col("text")).as("n_chars"),
+            tokenCount(col("text")).as("n_tokens"),
+            distinctTokenCount(col("text")).as("n_distinct"),
+            charClassCount(col("text"), "[.,!?;:]").as("n_punct"),
+            charClassCount(col("text"), "[0-9]").as("n_digits"))
+          .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens")),
+      Some("""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS n_distinct,
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+          CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS DOUBLE)
+            / len(regexp_extract_all(lower(text), '\S+')) AS ttr
+        FROM documents
+      """)),
+
+    // ---- q32: language-ID heuristic → confusion counts vs the label ----
+    GraftQuery(
+      "q32_lang_id",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .withColumn("tk", array_distinct(tokens(col("text"))))
+        val scored = LangMarkers.foldLeft(base) { case (df, (l, ms)) =>
+          df.withColumn(s"s_$l", markerHits(col("tk"), ms))
+        }
+        scored
+          .withColumn("predicted", expr(langCase))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""
+        WITH t AS (SELECT lang, list_distinct(regexp_extract_all(lower(text), '\\S+')) tk FROM documents),
+        sc AS (SELECT lang,
+          CAST(len(list_intersect(tk, ['the','a','of','and','to','is','in'])) AS BIGINT) s_en,
+          CAST(len(list_intersect(tk, ['der','die','das','und','nicht','ist'])) AS BIGINT) s_de,
+          CAST(len(list_intersect(tk, ['le','la','et','les','des','est'])) AS BIGINT) s_fr,
+          CAST(len(list_intersect(tk, ['el','los','y','es','una','que'])) AS BIGINT) s_es,
+          CAST(len(list_intersect(tk, ['de5','shi4','bu4','le5'])) AS BIGINT) s_zh
+          FROM t)
+        SELECT lang, $langCase AS predicted, count(*) AS n
+        FROM sc GROUP BY 1, 2
+      """)),
+
+    // ---- q33: exact dedup via canonical-form fingerprint ----
+    GraftQuery(
+      "q33_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+          min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+      """)),
+
+    // ---- q34: MinHash+LSH near-dup pairs, exact-verified; the oracle
+    //      replicates the salted-md5 algorithm (same candidates, same
+    //      verification) so results match bit-for-bit ----
+    GraftQuery(
+      "q34_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3),
+      Some("""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') toks FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) sh
+              FROM t WHERE len(toks) >= 3),
+        m AS (SELECT doc_id, sh, list_transform(generate_series(0, 15),
+                i -> list_min(list_transform(sh, x -> md5(concat(i, '|', x))))) sig
+              FROM s),
+        bands AS (SELECT doc_id, b, concat(sig[2*b+1], sig[2*b+2]) bsig
+                  FROM m, unnest(generate_series(0, 7)) AS u(b)),
+        cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
+                 FROM bands x JOIN bands y
+                   ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        v AS (SELECT da AS doc_a, db AS doc_b,
+                len(list_intersect(sa.sh, sb.sh)) n_inter,
+                len(list_distinct(list_concat(sa.sh, sb.sh))) n_union
+              FROM cand JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db)
+        SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+          CAST(n_union AS BIGINT) AS n_union,
+          CAST(n_inter AS DOUBLE) / n_union AS jaccard
+        FROM v WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.3
+      """),
+      headline = true),
+
+    // ---- q35: exact bigram Jaccard within a blocking key ----
+    GraftQuery(
+      "q35_dedup_ngram_blocked",
+      (s, d) => Dedup.ngramJaccardBlocked(Tables.documents(s, d), "doc_id", "text", "source",
+        n = 2, tau = 0.25),
+      Some("""
+        WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') toks FROM documents),
+        s AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks)-1),
+                i -> concat(toks[i], ' ', toks[i+1]))) sh
+              FROM t WHERE len(toks) >= 2)
+        SELECT x.source AS block, x.doc_id AS doc_a, y.doc_id AS doc_b,
+          CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
+          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS n_union,
+          CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.25
+      """)),
+
+    // ---- q36: SimHash near-dup pairs (Spark-only — xxhash64 is not in
+    //      DuckDB; correctness covered by the planted-duplicate spec).
+    //      maxHamming=5 measured on the fixture corpus: true near-dup
+    //      pairs sit at Hamming 0-5, spurious same-vocab pairs ramp up
+    //      from 5 — 12 would admit ~1400 false candidates ----
+    GraftQuery(
+      "q36_dedup_simhash",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 5),
+      None)
+  )
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate recall tests for the approximate dedup operators
+  * (the DuckDB oracle covers algorithm determinism; these cover "does
+  * the algorithm actually find near-duplicates").
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
+  private val nearDup = base.replace("warm", "cold") // 1-word edit
+  private val distinct1 =
+    "completely different content about spark catalyst optimizer rules and physical execution planning strategies"
+  private val distinct2 =
+    "yet another unrelated document discussing parquet column pruning predicate pushdown and shuffle partitioning"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, distinct1), (4L, distinct2), (5L, base)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical canonical forms") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4) // 5 docs, one exact dup (1 & 5)
+    val dup = out.where($"n_copies" === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-dup and exact dup, not distinct docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)), "exact dup must be found")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 5L)), "near-dup must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "distinct docs must not pair")
+  }
+
+  test("minhash LSH matches brute-force verified pairs on planted data") {
+    // brute force: all pairs with exact 3-gram Jaccard >= tau
+    import graft.functions.TextFunctions._
+    val s = docs.select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
+    val brute = s.as("x").join(s.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        (size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+          size(array_union($"x.sh", $"y.sh"))).as("j"))
+      .where($"j" >= 0.3).select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"lsh=$lsh brute=$brute")
+  }
+
+  test("simhash pairs planted near-dups with small hamming distance") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 5L)), "identical docs have hamming 0")
+    assert(out.contains((1L, 2L)), "near-dup within hamming budget")
+    assert(!out.exists(p => Set(p._1, p._2).intersect(Set(3L, 4L)).size == 2),
+      "the two distinct docs must not pair with each other")
+  }
+
+  test("simhash of identical text is identical; near-dup is close") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(5L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 12)
+  }
+
+  test("blocked ngram jaccard only compares within the blocking key") {
+    val blocked = Seq(
+      (1L, base, "s1"), (2L, nearDup, "s2"), // near-dups in DIFFERENT blocks
+      (3L, base, "s1")                        // exact dup in same block
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccardBlocked(blocked, "doc_id", "text", "source", n = 2, tau = 0.25)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L))) // cross-block pair (1,2) invisible by design
+  }
+}
