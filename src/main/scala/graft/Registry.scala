@@ -5,7 +5,9 @@ package graft
   */
 object Registry {
   def all: Seq[GraftQuery] =
-    queries.Relational.queries ++ queries.TextQueries.queries
+    queries.Relational.queries ++ queries.TextQueries.queries ++
+      queries.VectorQueries.queries ++ queries.EventQueries.queries ++
+      queries.MultimodalQueries.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
   def headlineNames: Seq[String] = all.filter(_.headline).map(_.name)

@@ -23,7 +23,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** The events fixture carries parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses outright (PARQUET_TYPE_ILLEGAL). Read nanos as long via the
+    * legacy conf (runtime-settable, so this works under any harness
+    * session) and convert with exact integer division to microseconds —
+    * the same truncation DuckDB applies when it reads nanos. Session
+    * time zone is pinned to UTC so wall-clock functions (date_trunc /
+    * date_format) agree with the oracle's naive timestamps.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

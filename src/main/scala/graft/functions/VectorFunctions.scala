@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Catalyst
+  * higher-order functions (no UDFs — stays in codegen).
+  *
+  * Cross-engine determinism: every reduction is an explicit sequential
+  * left fold over doubles (`aggregate(..., 0d, +)`), which matches
+  * DuckDB's `list_reduce` fold exactly, so even raw cosine values
+  * hash-match the oracle bit-for-bit. Floats are cast to double BEFORE
+  * multiplication (float·float would round differently).
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double> (exact widening). */
+  def vecD(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+
+  def normL2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (normL2(a) * normL2(b))
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search coverage over the `embeddings` fixture
+  * (`array<float>` × 64). The brute-force kernels carry DuckDB oracles —
+  * both engines compute the identical sequential double fold, so raw
+  * cosine values hash-match. The LSH variant is the scale path
+  * (bucket-join candidates, never O(N²)); its recall is spec-verified
+  * against the brute baseline rather than oracle-matched.
+  */
+object VectorQueries {
+
+  /** Shared oracle prelude: embeddings as double vectors. */
+  private val vecCte =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |           FROM embeddings)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q40: L2 norms — the float-parity canary (raw doubles) ----
+    GraftQuery(
+      "q40_vector_norms",
+      (s, d) => {
+        import graft.functions.VectorFunctions._
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            normL2(vecD(col("embedding"))).as("norm"))
+      },
+      Some(s"""
+        $vecCte
+        SELECT vec_id, label,
+          sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm
+        FROM e
+      """)),
+
+    // ---- q41: exact top-10 cosine neighbors for 5 query vectors ----
+    GraftQuery(
+      "q41_knn_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+            emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      },
+      Some(s"""
+        $vecCte,
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_reduce(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, b) -> a + b))) AS sim
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 5),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pairs)
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+      """),
+      headline = true),
+
+    // ---- q42: LSH-bucketed approximate top-k (scale path; no oracle —
+    //      recall vs brute force is spec-verified) ----
+    GraftQuery(
+      "q42_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(
+            emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, tables = 8, bits = 4)
+          .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      },
+      None),
+
+    // ---- q43: exact near-dup pairs by cosine ≥ 0.4 (corpus max is
+    //      0.513 — threshold chosen to yield a non-trivial result) ----
+    GraftQuery(
+      "q43_embedding_neardup",
+      (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4),
+      Some(s"""
+        $vecCte
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_reduce(list_transform(generate_series(1, len(a.v)),
+              i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (p, q) -> p + q))
+             * sqrt(list_reduce(list_transform(b.v, x -> x * x), (p, q) -> p + q))) AS sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        WHERE sim >= 0.4
+      """))
+  )
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface over event-shaped data (SURVEY §7.1
+  * step 7). Every transform takes a DataFrame that may be either a
+  * static table or a `readStream` source — the logic is
+  * source-agnostic, which is exactly Spark's batch/stream unification.
+  * Specs assert batch↔stream result equality (the Verify harness is
+  * batch-only).
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class UserCounts(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Tumbling-window counts with a watermark for late data. In a stream,
+    * windows finalize `watermark` after their end; in batch the same
+    * plan computes the full history.
+    */
+  def tumblingCounts(events: DataFrame, win: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessions via the built-in session_window — the
+    * groupBy-native formulation of the q45 window-function
+    * sessionization (a spec asserts the two agree on session counts).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+
+  /** Arbitrary stateful processing: running per-user counters via
+    * mapGroupsWithState (the custom-state path watermarks can't
+    * express). State survives across micro-batches.
+    */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserCounts] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserCounts, UserCounts](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserCounts]) =>
+          val prev = state.getOption.getOrElse(UserCounts(uid, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          batch.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+          }
+          val next = UserCounts(uid, n, p)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of: latest right at-or-before, per key; null when none") {
+    val purchases = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 09:00:00")) // user 2 has no prior click
+    ).toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (1L, 1L, ts("2024-01-01 09:30:00")),
+      (2L, 1L, ts("2024-01-01 10:00:00")), // same instant as purchase 100 → counts (at-or-before)
+      (3L, 1L, ts("2024-01-01 11:59:00")),
+      (4L, 2L, ts("2024-01-01 09:30:00")) // after user 2's purchase → must not match
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts", "event_id",
+        leftCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(2L)) // tie at 10:00 → click included, max id wins
+    assert(out(101L).contains(3L))
+    assert(out(102L).isEmpty)      // no click at or before
+  }
+
+  test("ties among right rows at the same timestamp resolve to max id") {
+    val l = Seq((10L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (7L, 1L, ts("2024-01-01 09:00:00")),
+      (9L, 1L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backward(l, r, "user_id", "ts", "ts", "event_id", Seq("event_id"))
+      .select($"asof_event_id").as[Long].head()
+    assert(out == 9L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.core.Tables
+
+/** LSH ANN quality against the exact baseline on the fixture embeddings.
+  * These are RANDOM vectors (no cluster structure) — the honest recall
+  * of hyperplane LSH is bounded here, so the floor is deliberately
+  * modest; the spec's real job is catching broken signatures (recall ≈ 0)
+  * and fake "ANN" that scans everything.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lshTopK reaches a recall floor vs brute force without scanning everything") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10,
+        tables = 8, bits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"recall@10 = $recall%.2f (random-vector corpus)")
+    assert(recall >= 0.3, s"LSH recall collapsed: $recall")
+    // and it must actually prune: candidate pairs well below N per query
+    val candPerQuery = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 4)
+      .groupBy("table", "bucket").count().agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("count") * org.apache.spark.sql.functions.col("count")))
+      .first().getLong(0)
+    val n = emb.count()
+    assert(candPerQuery < 8 * n * n, "bucketing degenerated to a full scan")
+  }
+
+  test("same-vector query ranks itself out and its duplicate first") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    // plant an exact duplicate of vec 0 with id 9999
+    val dup = emb.where($"vec_id" === 0)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(9999L))
+    val corpus = emb.unionByName(dup)
+    val top = Similarity.bruteForceTopK(corpus, emb.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 1)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(top.head._1 == 9999L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.core.Tables
+import graft.streaming.EventStreams.{Event, UserCounts}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch↔stream equality for the streaming surface (the Verify harness
+  * is batch-only, so streams are proven here): the same transform run
+  * over a file stream must converge to the batch answer, and custom
+  * state must survive across micro-batches.
+  */
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tumbling window counts: stream over files == batch") {
+    val batchEvents = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    batchEvents.repartition(4).write.mode("overwrite").parquet(staged)
+
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1) // 4 micro-batches
+      .parquet(staged)
+    val q = EventStreams.tumblingCounts(streamed)
+      .writeStream.format("memory").queryName("tumbling_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling_sink")
+    val want = EventStreams.tumblingCounts(batchEvents)
+    assertSameRows(
+      got.withColumn("sum_value", round($"sum_value", 6)),
+      want.withColumn("sum_value", round($"sum_value", 6)))
+    assert(got.count() > 0)
+  }
+
+  test("session_window formulation agrees with the window-function sessionizer (q45)") {
+    val events = Tables.events(spark, sf)
+    val viaSessionWindow = EventStreams.sessionCounts(events, "30 minutes")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+    val viaLag = graft.Registry.byName("q45_events_sessionize").run(spark, sf)
+      .select($"user_id", $"n_sessions")
+    assertSameRows(viaSessionWindow, viaLag)
+  }
+
+  test("mapGroupsWithState: running counters accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.runningUserCounts(mem.toDS())
+      .writeStream.format("memory").queryName("state_sink")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "purchase", 2.0))
+      q.processAllAvailable()
+      val after1 = spark.table("state_sink").as[UserCounts].collect()
+        .filter(_.user_id == 1L).last
+      assert(after1 == UserCounts(1L, 2L, 1L))
+
+      mem.addData(
+        Event(3, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "purchase", 3.0),
+        Event(4, Timestamp.valueOf("2024-01-01 10:06:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_sink").as[UserCounts].collect()
+      val u1 = rows.filter(_.user_id == 1L).last
+      val u2 = rows.filter(_.user_id == 2L).last
+      assert(u1 == UserCounts(1L, 3L, 2L), "state must carry the first batch forward")
+      assert(u2 == UserCounts(2L, 1L, 0L))
+    } finally q.stop()
+  }
+}
