@@ -1,0 +1,87 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** 64-bit SimHash of an `array<long>` of token hashes: per-bit majority
+  * vote (+1 when the bit is set, −1 when clear; bit set in the result
+  * when the vote is strictly positive). Null elements are skipped.
+  *
+  * Semantics match the SQL-lambda formulation
+  * `aggregate(sequence(0,63), 0L, (acc,j) -> acc + if(aggregate(hs, 0L,
+  * (a,h) -> a + if(getbit(h,j)=1,1,-1)) > 0, shiftleft(1L,j), 0))` but
+  * in ONE pass over the hashes instead of 64 interpreted folds — the
+  * nested-lambda version cost 19 s at sf0.1; this codegens to two tight
+  * loops.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> input, got $t")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |final int[] $counts = new int[64];
+         |final int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    final long $h = $c.getLong($i);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      $counts[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -44,11 +44,14 @@ object TextFunctions {
   }
 
   /** Portable MinHash signature: k lexicographic-min salted-md5 values
-    * over the shingle set. */
+    * over the shingle set (custom one-pass expression; bit-identical to
+    * `transform(sequence(0,k-1), i -> array_min(transform(sh, s ->
+    * md5(concat(i,'|',s)))))` which the DuckDB oracle replicates).
+    */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => md5(concat(i.cast("string"), lit("|"), s)))))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingleSet), k))
 
   /** Exact Jaccard similarity of two pre-distinct string arrays as
     * (n_inter, n_union) — division left to the caller so outputs stay

@@ -14,10 +14,16 @@ import graft.operators.Similarity
   */
 object VectorQueries {
 
-  /** Shared oracle prelude: embeddings as double vectors. */
+  /** Shared oracle prelude: embeddings as double vectors, plus the
+    * unit-normalized copy mirroring Similarity.prep (norm computed once,
+    * element-wise division — same operation sequence, bit-identical).
+    */
   private val vecCte =
     """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-      |           FROM embeddings)""".stripMargin
+      |           FROM embeddings),
+      |nrm AS (SELECT vec_id, label,
+      |          list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
+      |        FROM e)""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -50,11 +56,9 @@ object VectorQueries {
         $vecCte,
         pairs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            list_reduce(list_transform(generate_series(1, len(q.v)),
-              i -> q.v[i] * c.v[i]), (x, y) -> x + y)
-            / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, b) -> a + b))
-             * sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, b) -> a + b))) AS sim
-          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            list_reduce(list_transform(generate_series(1, len(q.vn)),
+              i -> q.vn[i] * c.vn[i]), (x, y) -> x + y) AS sim
+          FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
           WHERE q.vec_id < 5),
         ranked AS (
           SELECT query_id, neighbor_id, sim,
@@ -86,11 +90,9 @@ object VectorQueries {
         $vecCte
         SELECT * FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            list_reduce(list_transform(generate_series(1, len(a.v)),
-              i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-            / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (p, q) -> p + q))
-             * sqrt(list_reduce(list_transform(b.v, x -> x * x), (p, q) -> p + q))) AS sim
-          FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+            list_reduce(list_transform(generate_series(1, len(a.vn)),
+              i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
+          FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) t
         WHERE sim >= 0.4
       """))
   )
