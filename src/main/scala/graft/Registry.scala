@@ -5,7 +5,8 @@ package graft
   */
 object Registry {
   def all: Seq[GraftQuery] =
-    queries.Relational.queries ++ queries.TextQueries.queries ++
+    queries.Relational.queries ++ queries.Relational2.queries ++
+      queries.TextQueries.queries ++
       queries.VectorQueries.queries ++ queries.EventQueries.queries ++
       queries.MultimodalQueries.queries
 

@@ -28,13 +28,14 @@ object VectorFunctions {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  /** Unit-normalized copy of a double vector (one norm computation per
-    * row; downstream cosine becomes a single dot).
+  /** Unit-normalized copy of a double vector (fused custom expression:
+    * one norm computation per row — CollapseProject can't inline it
+    * into per-element work; downstream cosine becomes a single dot).
     */
-  def normalized(a: Column): Column = {
-    val n = normL2(a)
-    transform(a, x => x / n)
-  }
+  def normalized(a: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.NormalizeVector(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a)))
 
   def normL2(a: Column): Column = sqrt(dot(a, a))
 

@@ -102,6 +102,9 @@ object Dedup {
             shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bsig"))
         }: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
+      // staged: both self-join sides (and the optimizer's isnotnull
+      // join-key filters) would otherwise recompute the simhash pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorFunctions._
+
+/** IVF-flat approximate nearest neighbor: partition the corpus into
+  * coarse cells (k-means-style centroids), probe only the nProbe
+  * nearest cells per query, exact-score within them.
+  *
+  * The scale path complements hyperplane LSH (operators.Similarity):
+  * IVF shines when embeddings cluster; LSH needs no training. Both
+  * bound the scanned fraction and both re-score exactly.
+  *
+  * Centroid seeding is deterministic (first nCentroids ids) followed by
+  * one Lloyd refinement — at production scale you'd run k-means on a
+  * sample and broadcast the codebook; the dataflow here is exactly
+  * that shape (centroids are always broadcast-sized, assignments are
+  * the corpus shuffled once by cell id).
+  */
+object Ivf {
+
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"), normalized(vecD(col(vecCol))).as("v"))
+
+  /** Nearest centroid id per row of `vecs` against broadcast `cents`. */
+  private def nearest(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("vid")).orderBy(col("score").desc, col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vid"), col("v"), col("cid"), dot(col("v"), col("cvec")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= keep)
+      .drop("rnk", "score")
+  }
+
+  /** Build the index: (centroids, assignments). Both persisted — the
+    * index is built once and probed many times.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): (DataFrame, DataFrame) = {
+    val p = prep(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = p.orderBy(col("vid")).limit(nCentroids)
+      .select((row_number().over(Window.orderBy(col("vid"))) - 1).as("cid"), col("v").as("cvec"))
+    // one Lloyd step: assign to seeds, recompute cell means, renormalize
+    val assigned0 = nearest(p, seeds, keep = 1)
+    val means = assigned0
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), normalized(transform(col("pm"), p0 => p0.getField("m"))).as("cvec"))
+    val centroids = means.persist(StorageLevel.MEMORY_AND_DISK)
+    val assignments = nearest(p, centroids, keep = 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (centroids, assignments)
+  }
+
+  /** Probe: route each query to its nProbe nearest cells, exact-score
+    * only those cells' members.
+    */
+  def topK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, assignments) = build(corpus, idCol, vecCol, nCentroids)
+    val q = prep(queries, idCol, vecCol)
+      .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "qv")
+    val probes = nearest(
+      q.select(col("query_id").as("vid"), col("qv").as("v")), centroids, keep = nProbe)
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assignments, Seq("cid"))
+      .where(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), dot(col("qv"), col("v")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.functions.Exact._
+
+/** Second relational batch: outer joins, IN-subqueries, the SQL
+  * frontend (spark.sql over registered views — SURVEY §3.4's SQL
+  * passthrough), approximate distinct, and the IVF ANN path.
+  */
+object Relational2 {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q21: left outer join with null-group accounting ----
+    GraftQuery(
+      "q21_outer_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            countDistinct(col("c_custkey")).as("n_customers"),
+            count(col("o_orderkey")).as("n_orders"), // nulls not counted
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orderless_rows"))
+      },
+      Some("""
+        SELECT c_nationkey,
+          count(DISTINCT c_custkey) AS n_customers,
+          count(o_orderkey) AS n_orders,
+          CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless_rows
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey
+      """)),
+
+    // ---- q22: IN-subquery (semi-join under the hood) ----
+    GraftQuery(
+      "q22_in_subquery",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val urgent = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+      """)),
+
+    // ---- q23: SQL passthrough — GROUPING SETS through spark.sql over
+    //      the registered fixture views ----
+    GraftQuery(
+      "q23_sql_grouping_sets",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""
+          SELECT
+            CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+            CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            count(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """)
+      },
+      Some("""
+        SELECT
+          CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+          CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      """)),
+
+    // ---- q24: approximate distinct (HLL) beside the exact count.
+    //      No oracle: HLL sketches are engine-specific; the exact
+    //      column is the anchor and the spec bounds the relative error ----
+    GraftQuery(
+      "q24_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
+      None),
+
+    // ---- q48: IVF-flat ANN (scale path #2; recall spec-verified
+    //      against the exact baseline like the LSH variant) ----
+    GraftQuery(
+      "q48_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Ivf.topK(
+            emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, nCentroids = 16, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,132 @@
+package graft.ingest
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkTestBase
+import graft.pipeline.HpvPipeline
+
+/** XLSX reader spec. No xlsx-writing library exists in this offline
+  * container, so the fixture is hand-authored OOXML (the format is a
+  * public spec: a zip of XML parts) — which also documents exactly
+  * which corners the reader supports: shared strings, inline strings,
+  * numeric cells, rich-text runs, skipped cells/rows, multi-letter
+  * column references.
+  */
+class XlsxSpec extends SparkTestBase {
+
+  private def writeXlsx(parts: Map[String, String]): String = {
+    val f = java.nio.file.Files.createTempFile("graft", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    parts.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    f.toString
+  }
+
+  private val workbookXml =
+    """<?xml version="1.0"?>
+      |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+      |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+      |  <sheets>
+      |    <sheet name="Other" sheetId="1" r:id="rId1"/>
+      |    <sheet name="Local_authority" sheetId="2" r:id="rId2"/>
+      |  </sheets>
+      |</workbook>""".stripMargin
+
+  private val relsXml =
+    """<?xml version="1.0"?>
+      |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+      |  <Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+      |  <Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+      |</Relationships>""".stripMargin
+
+  // rich-text run in si[1] must concatenate ("Local" + " authority")
+  private val sharedXml =
+    """<?xml version="1.0"?>
+      |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+      |  <si><t>Coverage September 2023 to August 2024</t></si>
+      |  <si><r><t>Local</t></r><r><t xml:space="preserve"> authority</t></r></si>
+      |  <si><t>Year 8 females: Number</t></si>
+      |  <si><t>Year 8 females: Number vaccinated</t></si>
+      |</sst>""".stripMargin
+
+  // header at sheet row 3; data rows 4-5; row 2 entirely absent;
+  // B4 skipped (missing cell), C4 inline string sentinel "*"
+  private val sheet2Xml =
+    """<?xml version="1.0"?>
+      |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |  <sheetData>
+      |    <row r="1"><c r="A1" t="s"><v>0</v></c></row>
+      |    <row r="3">
+      |      <c r="A3" t="s"><v>1</v></c>
+      |      <c r="B3" t="s"><v>2</v></c>
+      |      <c r="C3" t="s"><v>3</v></c>
+      |    </row>
+      |    <row r="4">
+      |      <c r="A4" t="inlineStr"><is><t>camden</t></is></c>
+      |      <c r="B4" t="n"><v>100</v></c>
+      |      <c r="C4" t="n"><v>80</v></c>
+      |    </row>
+      |    <row r="5">
+      |      <c r="A5" t="inlineStr"><is><t>barnet</t></is></c>
+      |      <c r="C5" t="inlineStr"><is><t>*</t></is></c>
+      |    </row>
+      |  </sheetData>
+      |</worksheet>""".stripMargin
+
+  private def fixture = writeXlsx(Map(
+    "xl/workbook.xml" -> workbookXml,
+    "xl/_rels/workbook.xml.rels" -> relsXml,
+    "xl/sharedStrings.xml" -> sharedXml,
+    "xl/worksheets/sheet1.xml" ->
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData/></worksheet>""",
+    "xl/worksheets/sheet2.xml" -> sheet2Xml))
+
+  test("reads the named sheet: shared/inline/numeric cells, gaps, rich runs") {
+    val grid = Xlsx.readGrid(fixture, "Local_authority")
+    assert(grid(0).head == "Coverage September 2023 to August 2024")
+    assert(grid(1).isEmpty)                       // absent row → empty
+    assert(grid(2) == Seq("Local authority", "Year 8 females: Number", "Year 8 females: Number vaccinated"))
+    assert(grid(3) == Seq("camden", "100", "80"))
+    assert(grid(4) == Seq("barnet", null, "*"))   // skipped B5, sentinel C5
+  }
+
+  test("xlsx → full HPV pipeline end-to-end") {
+    val wb = Xlsx.readWorkbook(spark, fixture, "Local_authority")
+    assert(wb.a1 == "Coverage September 2023 to August 2024")
+    val out = HpvPipeline.transform(Seq(wb), java.time.LocalDate.of(2026, 1, 15))
+    // camden female survives; barnet female: total null (missing) → dropped
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("Camden", "8", "Female"), ("Camden", "8", "Both"),
+      ("Camden", "All", "Female"), ("Camden", "All", "Both")))
+  }
+
+  test("glob finds xlsx files; unknown sheet fails with a named error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    val p = fixture
+    java.nio.file.Files.copy(java.nio.file.Paths.get(p),
+      java.nio.file.Paths.get(dir, "a.xlsx"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "notes.txt"), "x")
+    assert(Xlsx.glob(dir).map(f => new java.io.File(f).getName) == Seq("a.xlsx"))
+    val e = intercept[IllegalArgumentException](Xlsx.readGrid(p, "Nope"))
+    assert(e.getMessage.contains("Nope"))
+  }
+
+  test("column reference arithmetic handles multi-letter columns") {
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row r="1"><c r="AA1" t="inlineStr"><is><t>wide</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml.replace("sheet2.xml", "sheet2.xml"),
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/worksheets/sheet2.xml" -> sheet))
+    val grid = Xlsx.readGrid(p, "Local_authority")
+    assert(grid(0).size == 27 && grid(0)(26) == "wide") // AA = index 26
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("IVF topK reaches a recall floor while probing a corpus fraction") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.topK(emb, queries, "vec_id", "embedding", k = 10,
+        nCentroids = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f (random-vector corpus, nProbe=8/16)")
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+  }
+
+  test("index build: every vector assigned to exactly one cell; cells nonempty-ish") {
+    val emb = Tables.embeddings(spark, sf)
+    val (centroids, assignments) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16)
+    assert(centroids.count() == 16)
+    assert(assignments.count() == emb.count())
+    assert(assignments.groupBy("vid").count().where($"count" > 1).count() == 0)
+    // one Lloyd step from arbitrary seeds: most cells should be used
+    assert(assignments.select("cid").distinct().count() >= 8)
+  }
+
+  test("HLL approx distinct stays within its declared error (q24)") {
+    val out = graft.Registry.byName("q24_approx_distinct").run(spark, sf)
+      .select($"exact_orders", $"approx_orders").as[(Long, Long)].collect()
+    out.foreach { case (exact, approx) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.1, s"HLL error $err for exact=$exact approx=$approx")
+    }
+  }
+}
