@@ -45,6 +45,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
 
+  /** Streaming deduplication: drop repeated event ids arriving within
+    * the watermark horizon (exactly the at-least-once → effectively-once
+    * ingest guard an LLM-data pipeline needs in front of its sinks).
+    * State for an id is dropped once the watermark passes it — bounded
+    * memory at any scale.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Arbitrary stateful processing: running per-user counters via
     * mapGroupsWithState (the custom-state path watermarks can't
     * express). State survives across micro-batches.
