@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One declared engine query: a Spark implementation plus (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
-  * over the same fixture tables. `headline` marks queries timed by Bench.
+  * over the same fixture tables. `headline` marks the representative
+  * subset used for plan review (PlanDump's default set); Bench times
+  * ALL registered queries.
   */
 final case class GraftQuery(
     name: String,

@@ -72,12 +72,13 @@ case class MinHashSig(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null // min over empty set is undefined (matches array_min → null poisoning)
     val md = localDigest.get()
     val mins = new Array[Array[Byte]](k)
+    var seen = 0
     var e = 0
     while (e < n) {
       if (!arr.isNullAt(e)) {
+        seen += 1
         val sBytes = arr.getUTF8String(e).getBytes
         var i = 0
         while (i < k) {
@@ -91,6 +92,10 @@ case class MinHashSig(child: Expression, k: Int)
       }
       e += 1
     }
+    // empty or all-null shingle set: min is undefined → null signature
+    // (the SQL equivalent yields null mins; our containsNull=false array
+    // type means the whole result must be null, not an array of nulls)
+    if (seen == 0) return null
     new GenericArrayData(mins.map(m => UTF8String.fromString(hex(m)): Any))
   }
 

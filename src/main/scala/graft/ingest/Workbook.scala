@@ -27,8 +27,14 @@ object Workbook {
     val header = grid(headerRow).map(c => Option(c).getOrElse("").trim)
     val width = header.size
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    val rows = grid.drop(headerRow + 1).map { r =>
-      val padded = r.padTo(width, null: String).take(width)
+    val rows = grid.drop(headerRow + 1).zipWithIndex.map { case (r, i) =>
+      // fail loud on data past the last header (house style, cf. N3/D4):
+      // silently dropping a stray trailing value would corrupt measures
+      val extras = r.drop(width).filter(c => c != null && c.nonEmpty)
+      require(extras.isEmpty,
+        s"data row ${headerRow + 2 + i} has ${extras.size} value(s) beyond the " +
+          s"$width-column header: ${extras.take(3).mkString(", ")}")
+      val padded = r.padTo(width, null: String)
       Row.fromSeq(padded.map(c => if (c == null || c.isEmpty) null else c))
     }
     Workbook(a1, spark.createDataFrame(

@@ -62,25 +62,29 @@ object Xlsx {
     }
 
   /** sharedStrings.xml: each <si> is one string — concatenate every <t>
-    * inside it (plain or rich-text runs). */
+    * inside it (plain or rich-text runs), EXCLUDING phonetic guides
+    * (<rPh>/<phoneticPr> furigana would otherwise corrupt the value). */
   private def readSharedStrings(zip: ZipFile): IndexedSeq[String] =
     withPart(zip, "xl/sharedStrings.xml") { r =>
       val out = mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var inSi = false
       var inT = false
+      var phoneticDepth = 0
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "si" => inSi = true; cur.clear()
-              case "t" if inSi => inT = true
+              case "rPh" | "phoneticPr" => phoneticDepth += 1
+              case "t" if inSi && phoneticDepth == 0 => inT = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS if inT => cur.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "t" => inT = false
+              case "rPh" | "phoneticPr" => phoneticDepth -= 1
               case "si" => inSi = false; out += cur.toString
               case _ =>
             }
@@ -127,8 +131,13 @@ object Xlsx {
     case class Cell(row: Int, colIdx: Int, value: String)
     val cells = withPart(zip, part) { r =>
       val out = mutable.ArrayBuffer.empty[Cell]
-      var cellRef = ""
+      // streaming writers may omit the optional r attributes: track the
+      // current row index and a per-row column cursor as fallbacks
+      var rowIdx = -1
+      var colCursor = 0
+      var cellCol = 0
       var cellType = ""
+      var haveCell = false
       var inV = false
       var inIsT = false
       val text = new StringBuilder
@@ -136,9 +145,17 @@ object Xlsx {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
+              case "row" =>
+                rowIdx = attr(r, "r").map(_.toInt - 1).getOrElse(rowIdx + 1)
+                colCursor = 0
               case "c" =>
-                cellRef = attr(r, "r").getOrElse("")
+                cellCol = attr(r, "r") match {
+                  case Some(ref) => colIndex(ref.takeWhile(_.isLetter))
+                  case None => colCursor
+                }
+                colCursor = cellCol + 1
                 cellType = attr(r, "t").getOrElse("n")
+                haveCell = true
                 text.clear()
               case "v" => inV = true
               case "t" => inIsT = true // inlineStr's <is><t>
@@ -149,14 +166,15 @@ object Xlsx {
             r.getLocalName match {
               case "v" => inV = false
               case "t" => inIsT = false
-              case "c" if cellRef.nonEmpty && text.nonEmpty =>
+              case "c" if haveCell && text.nonEmpty && rowIdx >= 0 =>
                 val raw = text.toString
                 val value = cellType match {
                   case "s" => shared.lift(raw.trim.toInt).orNull
                   case _ => raw
                 }
-                val (colS, rowS) = cellRef.span(_.isLetter)
-                out += Cell(rowS.toInt - 1, colIndex(colS), value)
+                out += Cell(rowIdx, cellCol, value)
+                haveCell = false
+              case "c" => haveCell = false
               case _ =>
             }
           case _ =>

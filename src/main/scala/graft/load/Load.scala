@@ -27,14 +27,24 @@ object Load {
     val result = Try {
       val dest = new Path(destination)
       val staging = new Path(destination + "__staging")
+      val backup = new Path(destination + "__old")
       val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Leftover staging from a prior failed run is simply overwritten.
+      // Leftover staging/backup from a prior failed run is cleared.
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val rows = spark.read.parquet(staging.toString).count()
-      // Swap: only now is the previous table touched.
-      if (fs.exists(dest)) fs.delete(dest, true)
-      if (!fs.rename(staging, dest))
-        throw new java.io.IOException(s"rename $staging -> $dest failed")
+      // Swap via backup: the previous table is MOVED aside (not deleted)
+      // so a failed staging→dest rename can roll it back — deleting
+      // first would lose it exactly when rename fails (cross-filesystem
+      // staging, concurrent parent removal, ...).
+      if (fs.exists(backup)) fs.delete(backup, true)
+      val hadPrev = fs.exists(dest)
+      if (hadPrev && !fs.rename(dest, backup))
+        throw new java.io.IOException(s"backup rename $dest -> $backup failed")
+      if (!fs.rename(staging, dest)) {
+        if (hadPrev) fs.rename(backup, dest) // restore
+        throw new java.io.IOException(s"rename $staging -> $dest failed; previous table restored")
+      }
+      if (hadPrev) fs.delete(backup, true)
       LoadReport(rows, destination)
     }
     result match {

@@ -23,8 +23,9 @@ import graft.functions.VectorFunctions._
   */
 object Ivf {
 
+  // Same (id, unit-vector) contract as the other similarity operators.
   private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("vid"), normalized(vecD(col(vecCol))).as("v"))
+    Similarity.prep(df, idCol, vecCol)
 
   /** Nearest centroid id per row of `vecs` against broadcast `cents`. */
   private def nearest(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
@@ -57,13 +58,13 @@ object Ivf {
     (centroids, assignments)
   }
 
-  /** Probe: route each query to its nProbe nearest cells, exact-score
-    * only those cells' members.
+  /** Probe a PREBUILT index (from `build`) — the steady-state serving
+    * path: build once, probe many query batches without re-clustering.
     */
-  def topK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (centroids, assignments) = build(corpus, idCol, vecCol, nCentroids)
+  def probe(
+      centroids: DataFrame, assignments: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
     val q = prep(queries, idCol, vecCol)
       .withColumnRenamed("vid", "query_id").withColumnRenamed("v", "qv")
     val probes = nearest(
@@ -77,5 +78,17 @@ object Ivf {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** One-shot convenience: build + probe. Rebuilds the index each call
+    * (and, like the dedup operators, leaves its persisted stages cached
+    * for the session — Spark's LRU evicts under pressure). Long-lived
+    * services should call `build` once and `probe` per batch.
+    */
+  def topK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, assignments) = build(corpus, idCol, vecCol, nCentroids)
+    probe(centroids, assignments, queries, idCol, vecCol, k, nProbe)
   }
 }

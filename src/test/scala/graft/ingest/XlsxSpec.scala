@@ -116,6 +116,41 @@ class XlsxSpec extends SparkTestBase {
     assert(e.getMessage.contains("Nope"))
   }
 
+  test("cells without r attributes fall back to row/column cursors") {
+    // streaming writers (e.g. write-only modes) may omit r on rows/cells
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row><c t="inlineStr"><is><t>first</t></is></c><c t="inlineStr"><is><t>second</t></is></c></row>
+        |<row><c t="inlineStr"><is><t>below</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/worksheets/sheet2.xml" -> sheet))
+    val grid = Xlsx.readGrid(p, "Local_authority")
+    assert(grid(0) == Seq("first", "second"))
+    assert(grid(1) == Seq("below"))
+  }
+
+  test("phonetic runs (rPh) are excluded from shared strings") {
+    val shared =
+      """<?xml version="1.0"?><sst xmlns="x" count="1" uniqueCount="1">
+        |<si><t>Tokyo</t><rPh sqref="A1"><t>ToKyoPhonetic</t></rPh></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/worksheets/sheet2.xml" -> sheet))
+    assert(Xlsx.readGrid(p, "Local_authority")(0) == Seq("Tokyo"))
+  }
+
   test("column reference arithmetic handles multi-letter columns") {
     val sheet =
       """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>

@@ -111,6 +111,16 @@ class HpvPipelineSpec extends SparkTestBase {
     assert(nullRows == Set(("8", "Female"), ("8", "Both"), ("All", "Female"), ("All", "Both")))
   }
 
+  test("data past the last header column fails loud (no silent truncation)") {
+    val e = intercept[IllegalArgumentException] {
+      Workbook.fromGrid(spark, Seq(
+        Seq("a1"), Seq(""),
+        Seq("Local authority", "Year 8 females: Number"),
+        Seq("camden", "10", "stray-extra-value")))
+    }
+    assert(e.getMessage.contains("stray-extra-value"))
+  }
+
   test("workbook CSV staging round-trip (S2 header offset + S3 A1 capture)") {
     val tmp = java.nio.file.Files.createTempFile("wb", ".csv")
     java.nio.file.Files.writeString(tmp,
