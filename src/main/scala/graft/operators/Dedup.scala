@@ -122,8 +122,9 @@ object Dedup {
     * work, non-overlapping pairs cost nothing, and the join shuffles on
     * (block, shingle) — the formulation that survives 100 TB. Pairs
     * sharing zero shingles never appear, which is identical output for
-    * any tau > 0. (The per-pair array version cost 35 s at sf0.1; this
-    * runs in ~3 s.)
+    * any tau > 0. (Measured at sf0.1: per-pair array_intersect ≈ 35 s;
+    * exploded self-join ≈ 18 s, dominated by re-running the tokenize
+    * pipeline per join side; this staged group-and-expand form ≈ 5 s.)
     */
   def ngramJaccardBlocked(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,

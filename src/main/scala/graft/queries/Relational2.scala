@@ -93,6 +93,49 @@ object Relational2 {
             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
       None),
 
+    // ---- q25: per-file provenance (SURVEY S1 — input_file_name).
+    //      Fixtures are one parquet file per table (TESTDATA.md), so the
+    //      oracle pins the expected basename + count; the Spark side
+    //      genuinely derives it from the scan ----
+    GraftQuery(
+      "q25_provenance",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+          .agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT 'lineitem.parquet' AS file, count(*) AS n FROM lineitem
+      """)),
+
+    // ---- q26: range-frame window (30-day trailing spend) + lead ----
+    GraftQuery(
+      "q26_window_range",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d)
+          .withColumn("days", datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long"))
+        val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+          .rangeBetween(-30, Window.currentRow)
+        val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("days"), col("o_orderkey"))
+        o.select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(wRange).cast("double").as("spend_30d"),
+          lead(col("o_orderkey"), 1).over(wSeq).as("next_orderkey"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+          FROM orders)
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY days
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+          lead(o_orderkey, 1) OVER (
+            PARTITION BY o_custkey ORDER BY days, o_orderkey) AS next_orderkey
+        FROM o
+      """)),
+
     // ---- q48: IVF-flat ANN (scale path #2; recall spec-verified
     //      against the exact baseline like the LSH variant) ----
     GraftQuery(

@@ -88,6 +88,23 @@ class OpsSpec extends SparkTestBase {
     assert(Derive.academicYearText("garbage header").isEmpty)
   }
 
+  test("pivot ∘ unpivot = identity on clean unique-grain data (SURVEY §5.2 tier 4)") {
+    import scala.util.Random
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val las = Seq("camden", "barnet", "enfield").take(1 + rnd.nextInt(3))
+      val metrics = Seq("Number", "Number_Vaccinated")
+      val wide = las.map(la => (la, rnd.nextInt(100).toString, rnd.nextInt(100).toString))
+        .toDF("la", "Number", "Number_Vaccinated")
+      val long = Reshape.unpivot(wide, Seq("la"), "Metric", "Value")
+      val back = Reshape.pivotAsserted(long, Seq("la"), "Metric", metrics, "Value")
+      withClue(s"seed=$seed: ") {
+        assert(rowsOf(back.select("la", "Number", "Number_Vaccinated")) ==
+          rowsOf(wide.select("la", "Number", "Number_Vaccinated")))
+      }
+    }
+  }
+
   test("U1 unionByNameAll aligns by label and null-fills missing columns") {
     val a = Seq(("x", "1")).toDF("k", "only_a")
     val b = Seq(("2", "y")).toDF("only_b", "k") // different column ORDER too
