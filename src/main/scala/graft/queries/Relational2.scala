@@ -136,6 +136,80 @@ object Relational2 {
         FROM o
       """)),
 
+    // ---- q27: JSON extraction over the events props column.
+    //      Malformed-tolerant on BOTH sides: Spark's ANSI cast throws on
+    //      non-numeric values (try_cast → null) and DuckDB's
+    //      json_extract throws on malformed JSON (json_valid guard) —
+    //      probed divergences that clean fixtures would have hidden ----
+    GraftQuery(
+      "q27_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("k")).as("n_with_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            sum(col("k")).as("sum_k")),
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            TRY_CAST(CASE WHEN json_valid(props)
+                          THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
+          CAST(sum(k) AS BIGINT) AS sum_k
+        FROM e GROUP BY event_type
+      """)),
+
+    // ---- q28: exact interpolated percentiles ----
+    GraftQuery(
+      "q28_percentiles",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(o_totalprice, 0.25)").as("p25"),
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.75)").as("p75")),
+      Some("""
+        SELECT o_orderstatus,
+          quantile_cont(o_totalprice, 0.25) AS p25,
+          quantile_cont(o_totalprice, 0.5) AS p50,
+          quantile_cont(o_totalprice, 0.75) AS p75
+        FROM orders GROUP BY o_orderstatus
+      """)),
+
+    // ---- q29: statistical moments via exact decimal sums (built-in
+    //      stddev/var over doubles is accumulation-order dependent and
+    //      can't hash-match; the explicit-formula version is exact) ----
+    GraftQuery(
+      "q29_moments",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("s1"),
+            sum(dec2(col("o_totalprice")) * dec2(col("o_totalprice"))).cast("double").as("s2"))
+          .select(
+            col("o_orderstatus"), col("n"),
+            (col("s1") / col("n")).as("mean"),
+            ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_samp"),
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("stddev_samp"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s2
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n, s1 / n AS mean,
+          (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+          sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+        FROM a
+      """)),
+
     // ---- q48: IVF-flat ANN (scale path #2; recall spec-verified
     //      against the exact baseline like the LSH variant) ----
     GraftQuery(
