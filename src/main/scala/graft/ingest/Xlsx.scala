@@ -140,6 +140,7 @@ object Xlsx {
       var haveCell = false
       var inV = false
       var inIsT = false
+      var phoneticDepth = 0 // inline strings carry <rPh> furigana too
       val text = new StringBuilder
       while (r.hasNext) {
         r.next() match {
@@ -157,8 +158,9 @@ object Xlsx {
                 cellType = attr(r, "t").getOrElse("n")
                 haveCell = true
                 text.clear()
+              case "rPh" | "phoneticPr" => phoneticDepth += 1
               case "v" => inV = true
-              case "t" => inIsT = true // inlineStr's <is><t>
+              case "t" if phoneticDepth == 0 => inIsT = true // inlineStr's <is><t>
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS if inV || inIsT => text.append(r.getText)
@@ -166,6 +168,7 @@ object Xlsx {
             r.getLocalName match {
               case "v" => inV = false
               case "t" => inIsT = false
+              case "rPh" | "phoneticPr" => phoneticDepth -= 1
               case "c" if haveCell && text.nonEmpty && rowIdx >= 0 =>
                 val raw = text.toString
                 val value = cellType match {

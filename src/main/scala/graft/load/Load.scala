@@ -40,9 +40,19 @@ object Load {
       val hadPrev = fs.exists(dest)
       if (hadPrev && !fs.rename(dest, backup))
         throw new java.io.IOException(s"backup rename $dest -> $backup failed")
-      if (!fs.rename(staging, dest)) {
-        if (hadPrev) fs.rename(backup, dest) // restore
-        throw new java.io.IOException(s"rename $staging -> $dest failed; previous table restored")
+      try {
+        if (!fs.rename(staging, dest))
+          throw new java.io.IOException(s"rename $staging -> $dest returned false")
+      } catch {
+        case e: Throwable =>
+          // restore on ANY failure mode (thrown or returned-false), and
+          // report honestly whether the restore itself succeeded
+          val note =
+            if (!hadPrev) ""
+            else if (scala.util.Try(fs.rename(backup, dest)).getOrElse(false))
+              "; previous table restored"
+            else s"; RESTORE FAILED — previous table left at $backup"
+          throw new java.io.IOException(s"swap to $dest failed$note", e)
       }
       if (hadPrev) fs.delete(backup, true)
       LoadReport(rows, destination)

@@ -190,7 +190,7 @@ object Relational2 {
         o.groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("n"),
-            sum(dec2(col("o_totalprice"))).cast("double").as("s1"),
+            sumExact2(col("o_totalprice")).as("s1"),
             sum(dec2(col("o_totalprice")) * dec2(col("o_totalprice"))).cast("double").as("s2"))
           .select(
             col("o_orderstatus"), col("n"),

@@ -133,6 +133,19 @@ class XlsxSpec extends SparkTestBase {
     assert(grid(1) == Seq("below"))
   }
 
+  test("phonetic runs (rPh) are excluded from inline strings too") {
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>Tokyo</t><rPh sqref="A1"><t>Phonetic</t></rPh></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/worksheets/sheet2.xml" -> sheet))
+    assert(Xlsx.readGrid(p, "Local_authority")(0) == Seq("Tokyo"))
+  }
+
   test("phonetic runs (rPh) are excluded from shared strings") {
     val shared =
       """<?xml version="1.0"?><sst xmlns="x" count="1" uniqueCount="1">

@@ -34,6 +34,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(candPerQuery < 8 * n * n, "bucketing degenerated to a full scan")
   }
 
+  test("lshTopK on an empty query set returns empty, not a crash") {
+    val emb = Tables.embeddings(spark, sf)
+    val none = emb.where($"vec_id" < 0)
+    assert(Similarity.lshTopK(emb, none, "vec_id", "embedding", k = 5).count() == 0)
+    assert(Similarity.lshTopK(none, none, "vec_id", "embedding", k = 5).count() == 0)
+  }
+
   test("same-vector query ranks itself out and its duplicate first") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     // plant an exact duplicate of vec 0 with id 9999
