@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{ArrayDotProduct, MinHashSig, NormalizeVector, SimHash64}
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so the whole surface is reachable from
+  * pure SQL:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or: SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  * SELECT graft_dot(a, b), graft_normalize(v), graft_simhash64(hs),
+  *        graft_minhash_sig(shingles, 16) ...
+  * }}}
+  *
+  * `Sessions.local` applies it automatically; any externally-created
+  * session can opt in via the conf above.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  private def oneArg(name: String)(f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(e) => f(e)
+    case other => throw new IllegalArgumentException(s"$name expects 1 argument, got ${other.size}")
+  }
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - sequential-fold dot product of two array<double>"),
+      {
+        case Seq(a, b) => ArrayDotProduct(a, b)
+        case other => throw new IllegalArgumentException(s"graft_dot expects 2 arguments, got ${other.size}")
+      }),
+    ("graft_normalize",
+      info("graft_normalize", "graft_normalize(v) - unit-normalize an array<double> in one fused pass"),
+      oneArg("graft_normalize")(NormalizeVector)),
+    ("graft_simhash64",
+      info("graft_simhash64", "graft_simhash64(hashes) - 64-bit majority-vote simhash of array<bigint>"),
+      oneArg("graft_simhash64")(SimHash64)),
+    ("graft_minhash_sig",
+      info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k salted-md5 minhash values of array<string>"),
+      {
+        case Seq(sh, k) =>
+          val kv = k.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(s"graft_minhash_sig k must be a literal int, got $other")
+          }
+          MinHashSig(sh, kv)
+        case other => throw new IllegalArgumentException(s"graft_minhash_sig expects 2 arguments, got ${other.size}")
+      })
+  )
+}

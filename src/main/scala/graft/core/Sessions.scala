@@ -23,10 +23,12 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
-  /** Local session for tests / ad-hoc runs. */
+  /** Local session for tests / ad-hoc runs, with graft's SQL function
+    * extensions registered. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]"), cores)
       .appName("graft")
+      .withExtensions(new graft.GraftExtensions()(_))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -56,6 +56,42 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class SessionSummary(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Custom sessionization with flatMapGroupsWithState: buffers each
+    * user's open session in state and EMITS a SessionSummary only when a
+    * gap larger than `gapMinutes` closes it (zero-or-more outputs per
+    * group per batch — the shape mapGroupsWithState can't express).
+    * Processing-time variant for determinism in tests; a production
+    * stream would use event-time timeouts.
+    */
+  def completedSessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], SessionSummary](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[List[Event]]) =>
+          val incoming = (state.getOption.getOrElse(Nil) ++ batch.toList)
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          // split into gap-delimited sessions; the LAST stays open in state
+          val sessions = incoming.foldLeft(List.empty[List[Event]]) { (acc, e) =>
+            acc match {
+              case cur :: rest if e.ts.getTime - cur.last.ts.getTime <= gapMs =>
+                (cur :+ e) :: rest
+              case _ => List(e) :: acc
+            }
+          }.reverse
+          val (closed, open) = (sessions.dropRight(1), sessions.lastOption.getOrElse(Nil))
+          state.update(open)
+          closed.iterator.map(s =>
+            SessionSummary(uid, s.head.ts, s.last.ts, s.size.toLong))
+      }
+  }
+
   /** Arbitrary stateful processing: running per-user counters via
     * mapGroupsWithState (the custom-state path watermarks can't
     * express). State survives across micro-batches.

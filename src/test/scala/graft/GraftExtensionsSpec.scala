@@ -1,0 +1,40 @@
+package graft
+
+import graft.SparkTestBase
+
+/** The custom expressions must be reachable from pure SQL through the
+  * SparkSessionExtensions registration (prompt tier (c)).
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("graft_* functions callable from spark.sql") {
+    val r = spark.sql("""
+      SELECT
+        graft_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS dot,
+        graft_normalize(array(3d, 4d)) AS norm,
+        graft_simhash64(array(CAST(0 AS BIGINT))) AS sh,
+        graft_minhash_sig(array('a', 'b'), 4) AS sig
+    """).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(r.getLong(2) == 0L) // single hash 0: every bit votes -1
+    assert(r.getSeq[String](3).length == 4)
+    assert(r.getSeq[String](3).forall(_.length == 32))
+  }
+
+  test("SQL minhash matches the built-in formulation it claims to equal") {
+    val viaSql = spark.sql(
+      "SELECT graft_minhash_sig(array('x y z', 'y z w'), 8) AS s").head().getSeq[String](0)
+    val viaBuiltins = spark.sql("""
+      SELECT transform(sequence(0, 7),
+        i -> array_min(transform(array('x y z', 'y z w'),
+          s -> md5(concat(CAST(i AS STRING), '|', s))))) AS s
+    """).head().getSeq[String](0)
+    assert(viaSql == viaBuiltins)
+  }
+
+  test("wrong arity yields a named error") {
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1d))").collect())
+    assert(e.getMessage.contains("graft_dot"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.SparkTestBase
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast) must stay visible in the
+  * physical plan — a correctness-preserving refactor that loses them
+  * would silently cost orders of magnitude at the 100 TB design point.
+  */
+class PlanAssertionsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: filters reach the parquet scan as PushedFilters") {
+    val p = plan("q02_filter_sum")
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_quantity"),
+      s"expected shipdate/quantity filters pushed, got:\n${p.take(2000)}")
+  }
+
+  test("q02: scan schema pruned to the referenced columns only") {
+    val p = plan("q02_filter_sum")
+    assert(!p.contains("l_orderkey"), "unreferenced column not pruned from scan")
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_join_topk")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+    assert(!p.contains("SortMergeJoin"), "fact table must not sort-merge against small dims")
+  }
+
+  test("q14b: grouping-sets rollup uses a single Expand, not unioned rescans") {
+    val p = plan("q14b_rollup_cube")
+    assert(p.contains("Expand"), "grouping-sets plan lost its Expand node")
+    assert(!p.contains("Union"), "single-pass formulation must not union rescans")
+  }
+
+  test("q43: custom dot-product expression present in the executed plan") {
+    val p = plan("q43_embedding_neardup")
+    assert(p.contains("graft_dot"), "codegen kernel fell out of the plan")
+  }
+}
