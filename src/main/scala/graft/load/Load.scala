@@ -19,19 +19,27 @@ final case class LoadReport(rows: Long, destination: String)
 
 object Load {
 
-  /** K2/K3: staged atomic-ish replace of a parquet destination path.
+  /** K2/K3: staged atomic-ish replace of a destination path. Format is
+    * any Spark DataSource (parquet default; csv/json/orc supported —
+    * csv/json write with headers/schema suitable for re-reading).
     * Returns K4's row-count report on success; K5's structured failure
     * otherwise (destination preserved).
     */
-  def replaceTable(spark: SparkSession, df: DataFrame, destination: String): Try[LoadReport] = {
+  def replaceTable(
+      spark: SparkSession, df: DataFrame, destination: String,
+      format: String = "parquet"): Try[LoadReport] = {
     val result = Try {
       val dest = new Path(destination)
       val staging = new Path(destination + "__staging")
       val backup = new Path(destination + "__old")
       val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // Leftover staging/backup from a prior failed run is cleared.
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val rows = spark.read.parquet(staging.toString).count()
+      val writer = df.write.mode(SaveMode.Overwrite).format(format)
+      (if (format == "csv") writer.option("header", "true") else writer)
+        .save(staging.toString)
+      val reader = spark.read.format(format)
+      val rows = (if (format == "csv") reader.option("header", "true") else reader)
+        .load(staging.toString).count()
       // Swap via backup: the previous table is MOVED aside (not deleted)
       // so a failed staging→dest rename can roll it back — deleting
       // first would lose it exactly when rename fails (cross-filesystem

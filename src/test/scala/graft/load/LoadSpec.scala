@@ -21,6 +21,18 @@ class LoadSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == Seq(9, 10))
   }
 
+  test("csv and json sinks round-trip through the same staged replace") {
+    for (fmt <- Seq("csv", "json")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_load").toString + s"/t_$fmt"
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      val r = Load.replaceTable(spark, df, dir, format = fmt)
+      assert(r.map(_.rows) == Success(2L), s"$fmt: $r")
+      val back = (if (fmt == "csv") spark.read.option("header", "true") else spark.read)
+        .format(fmt).load(dir)
+      assert(back.count() == 2 && back.columns.sorted.toSeq == Seq("id", "name"))
+    }
+  }
+
   test("failed load preserves previous destination contents (rollback)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_load").toString + "/t"
     assert(Load.replaceTable(spark, Seq(1, 2, 3).toDF("v"), dir).isSuccess)

@@ -34,6 +34,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(candPerQuery < 8 * n * n, "bucketing degenerated to a full scan")
   }
 
+  test("approx near-dup pairs: verified subset of exact, decent recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.nearDupPairsApprox(emb, "vec_id", "embedding", tau = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "every reported pair must be exactly verified")
+    val recall = if (exact.isEmpty) 1.0 else (exact & approx).size.toDouble / exact.size
+    info(f"near-dup recall = $recall%.2f (${approx.size}/${exact.size} pairs)")
+    assert(recall >= 0.5, s"recall collapsed: $recall")
+  }
+
   test("lshTopK on an empty query set returns empty, not a crash") {
     val emb = Tables.embeddings(spark, sf)
     val none = emb.where($"vec_id" < 0)
