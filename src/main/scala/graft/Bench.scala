@@ -32,7 +32,13 @@ object Bench {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators stage intermediates with persist(); drop them between
+      // queries so accumulated cache pressure can't thrash later ones
+      // (observed: q35 degrading 5s → 24s late in the suite) and every
+      // query is timed cold
+      spark.catalog.clearCache()
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
