@@ -39,7 +39,12 @@ object Xlsx {
 
   /** Parse the named sheet into a padded string cell grid. */
   def readGrid(path: String, sheetName: String): Seq[Seq[String]] = {
-    val zip = new ZipFile(path)
+    val zip =
+      try new ZipFile(path)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"$path is not a readable xlsx: ${e.getMessage}", e)
+      }
     try {
       val shared = readSharedStrings(zip)
       val sheetPart = resolveSheetPart(zip, sheetName)
