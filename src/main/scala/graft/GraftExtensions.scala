@@ -30,7 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def oneArg(name: String)(f: Expression => Expression): Seq[Expression] => Expression = {
     case Seq(e) => f(e)
@@ -54,13 +54,23 @@ object GraftExtensions {
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k salted-md5 minhash values of array<string>"),
       {
         case Seq(sh, k) =>
+          if (!k.foldable)
+            throw new IllegalArgumentException(
+              "graft_minhash_sig k must be a literal (constant-foldable) integer, got a non-constant expression")
           val kv = k.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(s"graft_minhash_sig k must be a literal int, got $other")
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash_sig k must be a literal integer, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
           }
           MinHashSig(sh, kv)
         case other => throw new IllegalArgumentException(s"graft_minhash_sig expects 2 arguments, got ${other.size}")
       })
   )
+
+  /** Imperatively register on an EXISTING session (builder-time
+    * `withExtensions` is silently dropped when `getOrCreate` returns a
+    * session that already exists in the JVM).
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.ColumnBridge.ensureRegistered(spark, registrations)
 }

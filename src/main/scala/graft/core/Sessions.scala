@@ -24,12 +24,16 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs, with graft's SQL function
-    * extensions registered. */
+    * extensions registered. Registration also runs imperatively on the
+    * returned session: builder-time `withExtensions` is silently dropped
+    * when `getOrCreate` reuses a session that already exists in the JVM.
+    */
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]"), cores)
       .appName("graft")
       .withExtensions(new graft.GraftExtensions()(_))
       .getOrCreate()
+    graft.GraftExtensions.ensureRegistered(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

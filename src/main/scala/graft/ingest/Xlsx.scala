@@ -29,11 +29,11 @@ object Xlsx {
       headerRow: Int = 2): Workbook =
     Workbook.fromGrid(spark, readGrid(path, sheetName), headerRow)
 
-  /** The reference's glob step (S1): every *.xlsx under `dir`, sorted
-    * for deterministic processing order. */
-  def glob(dir: String): Seq[String] = {
+  /** The reference's glob step (S1): every file with `ext` under `dir`,
+    * sorted for deterministic processing order. */
+  def glob(dir: String, ext: String = ".xlsx"): Seq[String] = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    files.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".xlsx"))
+    files.filter(f => f.isFile && f.getName.toLowerCase.endsWith(ext.toLowerCase))
       .map(_.getPath).sorted.toSeq
   }
 

@@ -37,8 +37,13 @@ object Load {
       val writer = df.write.mode(SaveMode.Overwrite).format(format)
       (if (format == "csv") writer.option("header", "true") else writer)
         .save(staging.toString)
-      val reader = spark.read.format(format)
-      val rows = (if (format == "csv") reader.option("header", "true") else reader)
+      // Count-back with the WRITER's schema: inference would fail on an
+      // empty json stage (no rows to infer from) and default csv parsing
+      // (multiLine=false) miscounts values containing embedded newlines.
+      val reader = spark.read.format(format).schema(df.schema)
+      val rows = (if (format == "csv")
+        reader.option("header", "true").option("multiLine", "true").option("escape", "\"")
+      else reader)
         .load(staging.toString).count()
       // Swap via backup: the previous table is MOVED aside (not deleted)
       // so a failed staging→dest rename can roll it back — deleting

@@ -29,9 +29,8 @@ object HpvMain {
 
     val spark = Sessions.local()
     val xlsx = Xlsx.glob(dataDir).map(p => Xlsx.readWorkbook(spark, p, sheet))
-    val csvs = Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".csv"))
-      .map(f => Workbook.readCsvGrid(spark, f.getPath)).toSeq
+    val csvs = Xlsx.glob(dataDir, ext = ".csv")
+      .map(p => Workbook.readCsvGrid(spark, p))
     val workbooks = xlsx ++ csvs
     require(workbooks.nonEmpty, s"no *.xlsx or *.csv workbooks under $dataDir")
 

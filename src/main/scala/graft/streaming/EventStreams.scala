@@ -59,36 +59,45 @@ object EventStreams {
   final case class SessionSummary(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
-  /** Custom sessionization with flatMapGroupsWithState: buffers each
-    * user's open session in state and EMITS a SessionSummary only when a
-    * gap larger than `gapMinutes` closes it (zero-or-more outputs per
-    * group per batch — the shape mapGroupsWithState can't express).
-    * Processing-time variant for determinism in tests; a production
-    * stream would use event-time timeouts.
+  /** Open-session state: O(1) per user regardless of session length —
+    * an unbounded event buffer would grow state (and per-batch resort
+    * cost) without limit for a user who never pauses. */
+  final case class OpenSession(start: Timestamp, last: Timestamp, n: Long)
+
+  /** Custom sessionization with flatMapGroupsWithState: tracks each
+    * user's open session as a compact (start, last, n) summary and EMITS
+    * a SessionSummary only when a gap larger than `gapMinutes` closes it
+    * (zero-or-more outputs per group per batch — the shape
+    * mapGroupsWithState can't express). Events are sorted within a
+    * batch; cross-batch out-of-order arrivals are not re-sorted
+    * (processing-time variant — an event-time production stream would
+    * pair this with a watermark and timeout-based closure).
     */
   def completedSessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], SessionSummary](
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[List[Event]]) =>
-          val incoming = (state.getOption.getOrElse(Nil) ++ batch.toList)
-            .sortBy(e => (e.ts.getTime, e.event_id))
-          // split into gap-delimited sessions; the LAST stays open in state
-          val sessions = incoming.foldLeft(List.empty[List[Event]]) { (acc, e) =>
-            acc match {
-              case cur :: rest if e.ts.getTime - cur.last.ts.getTime <= gapMs =>
-                (cur :+ e) :: rest
-              case _ => List(e) :: acc
+        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toList.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption.orNull
+          val closed = List.newBuilder[SessionSummary]
+          sorted.foreach { e =>
+            open match {
+              case null =>
+                open = OpenSession(e.ts, e.ts, 1L)
+              case o if e.ts.getTime - o.last.getTime <= gapMs =>
+                open = OpenSession(o.start, e.ts, o.n + 1)
+              case o =>
+                closed += SessionSummary(uid, o.start, o.last, o.n)
+                open = OpenSession(e.ts, e.ts, 1L)
             }
-          }.reverse
-          val (closed, open) = (sessions.dropRight(1), sessions.lastOption.getOrElse(Nil))
-          state.update(open)
-          closed.iterator.map(s =>
-            SessionSummary(uid, s.head.ts, s.last.ts, s.size.toLong))
+          }
+          if (open != null) state.update(open)
+          closed.result().iterator
       }
   }
 
