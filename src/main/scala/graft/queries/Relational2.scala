@@ -195,8 +195,11 @@ object Relational2 {
           .select(
             col("o_orderstatus"), col("n"),
             (col("s1") / col("n")).as("mean"),
-            ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_samp"),
-            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("stddev_samp"))
+            // s2 reaches ~20 significant digits at sf0.1+, so its
+            // decimal→double conversion can differ by 1 ulp between
+            // engines; round derived moments far above that noise floor
+            round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 4).as("var_samp"),
+            round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6).as("stddev_samp"))
       },
       Some("""
         WITH a AS (
@@ -205,8 +208,8 @@ object Relational2 {
             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s2
           FROM orders GROUP BY o_orderstatus)
         SELECT o_orderstatus, n, s1 / n AS mean,
-          (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
-          sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+          round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_samp,
+          round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_samp
         FROM a
       """)),
 
