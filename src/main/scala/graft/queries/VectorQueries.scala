@@ -81,6 +81,30 @@ object VectorQueries {
       },
       None),
 
+    // ---- q49: array function family (size/sort/slice/element_at/
+    //      contains-style predicates) over the embedding arrays ----
+    GraftQuery(
+      "q49_array_ops",
+      (s, d) => {
+        import graft.functions.VectorFunctions.vecD
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            slice(sort_array(vecD(col("embedding")), asc = false), 1, 3).as("top3"),
+            element_at(vecD(col("embedding")), 1).as("first_val"),
+            size(filter(vecD(col("embedding")), x => x > 0d)).cast("long").as("n_positive"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings)
+        SELECT vec_id,
+          CAST(len(v) AS BIGINT) AS dim,
+          list_sort(v, 'DESC')[1:3] AS top3,
+          v[1] AS first_val,
+          CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
+        FROM e
+      """)),
+
     // ---- q43: exact near-dup pairs by cosine ≥ 0.4 (corpus max is
     //      0.513 — threshold chosen to yield a non-trivial result) ----
     GraftQuery(
