@@ -21,6 +21,10 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // local-mode warehouse for bucketed/managed staging tables; a
+      // deployment overrides this with its real warehouse location
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs, with graft's SQL function
