@@ -101,6 +101,51 @@ object EventStreams {
       }
   }
 
+  /** Event-time variant of `completedSessions`: pairs the compact
+    * open-session state with a watermark + EventTimeTimeout, so an idle
+    * session CLOSES when the watermark passes its gap deadline — no
+    * successor event needed (the processing-time variant would hold an
+    * abandoned session open forever).
+    */
+  def completedSessionsEventTime(
+      events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(SessionSummary(uid, o.start, o.last, o.n))
+          } else {
+            val sorted = batch.toList.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption.orNull
+            val closed = List.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              open match {
+                case null =>
+                  open = OpenSession(e.ts, e.ts, 1L)
+                case o if e.ts.getTime - o.last.getTime <= gapMs =>
+                  open = OpenSession(o.start, e.ts, o.n + 1)
+                case o =>
+                  closed += SessionSummary(uid, o.start, o.last, o.n)
+                  open = OpenSession(e.ts, e.ts, 1L)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Arbitrary stateful processing: running per-user counters via
     * mapGroupsWithState (the custom-state path watermarks can't
     * express). State survives across micro-batches.
