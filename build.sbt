@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pass the forked program's stdout straight through (no "[info] " logger
+// prefix) so harnesses can parse Bench's single JSON output line.
+run / outputStrategy := Some(StdoutOutput)

@@ -37,6 +37,10 @@ case class MinHashSig(child: Expression, k: Int)
     }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // Result is null for an empty/all-null shingle set even when the child
+  // is non-nullable (e.g. a literal array()), so nullability cannot be
+  // inherited from the child.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
 
   @transient private lazy val salts: Array[Array[Byte]] =

@@ -10,12 +10,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * vote (+1 when the bit is set, −1 when clear; bit set in the result
   * when the vote is strictly positive). Null elements are skipped.
   *
-  * Semantics match the SQL-lambda formulation
+  * For null-free input, semantics match the SQL-lambda formulation
   * `aggregate(sequence(0,63), 0L, (acc,j) -> acc + if(aggregate(hs, 0L,
   * (a,h) -> a + if(getbit(h,j)=1,1,-1)) > 0, shiftleft(1L,j), 0))` but
   * in ONE pass over the hashes instead of 64 interpreted folds — the
   * nested-lambda version cost 19 s at sf0.1; this codegens to two tight
-  * loops.
+  * loops. The formulations DIVERGE on null elements (observable only via
+  * the registered `graft_simhash64` SQL function — `Dedup.simhash64`
+  * never produces them): the SQL fold counts a null hash as −1 on every
+  * bit (`if(getbit(h,j)=1,...)` is null-false), while this expression
+  * ignores the element entirely, which is the intended "absent token
+  * contributes no vote" semantics.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

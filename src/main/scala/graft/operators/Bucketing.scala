@@ -20,12 +20,23 @@ object Bucketing {
   def stageBucketed(
       spark: SparkSession, df: DataFrame, table: String,
       key: String, buckets: Int): DataFrame = {
+    // Unqualified names only: the orphaned-location cleanup below assumes
+    // the default-database layout `<warehouse>/<table>`; a qualified
+    // `db.tbl` lives at `<warehouse>/db.db/tbl` and would be missed (or
+    // worse, a wrong path deleted).
+    require(!table.contains("."),
+      s"stageBucketed takes an unqualified table name, got '$table'")
+    // Resolve the real location from the catalog when the table is known;
+    // guessing would delete a path the catalog may still reference.
+    val catalogLoc = scala.util.Try(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.getPath).toOption
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // An in-memory catalog forgets tables between JVMs while the
     // warehouse directory persists; clear any orphaned location or the
     // create fails with LOCATION_ALREADY_EXISTS.
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val loc = new org.apache.hadoop.fs.Path(catalogLoc.getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

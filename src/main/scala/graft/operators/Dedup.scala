@@ -139,12 +139,14 @@ object Dedup {
       .select(col("doc_id"), col("blk"), shingles(col("toks"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // One shuffle on (block, gram-hash): gather each gram's doc list and
+    // One shuffle on (block, gram): gather each gram's doc list and
     // expand i<j combinations in-place — no self-join, no second
     // pipeline evaluation. Group sizes are bounded by block size (df-
     // pruning of ubiquitous grams would bound them further at scale).
-    val ex = s.select(col("doc_id"), col("blk"), explode(col("sh")).as("g0"))
-      .select(col("doc_id"), col("blk"), xxhash64(col("g0")).as("g"))
+    // The raw gram string is the group key: hashing it (xxhash64) would
+    // shuffle fewer bytes but a 64-bit collision silently inflates
+    // n_inter, and the query is exact by contract.
+    val ex = s.select(col("doc_id"), col("blk"), explode(col("sh")).as("g"))
     val grouped = ex.groupBy(col("blk"), col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) > 1)

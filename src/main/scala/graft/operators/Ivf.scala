@@ -42,8 +42,12 @@ object Ivf {
     */
   def build(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): (DataFrame, DataFrame) = {
     val p = prep(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // cid is just a deterministic cell id: the seed's own vid serves (no
+    // global row_number window — an unpartitioned WindowExec funnels its
+    // input, however small, through one partition). vid order == rank
+    // order, so tie-breaks in `nearest` are unchanged.
     val seeds = p.orderBy(col("vid")).limit(nCentroids)
-      .select((row_number().over(Window.orderBy(col("vid"))) - 1).as("cid"), col("v").as("cvec"))
+      .select(col("vid").as("cid"), col("v").as("cvec"))
     // one Lloyd step: assign to seeds, recompute cell means, renormalize
     val assigned0 = nearest(p, seeds, keep = 1)
     val means = assigned0

@@ -82,27 +82,38 @@ object VectorQueries {
       None),
 
     // ---- q49: array function family (size/sort/slice/element_at/
-    //      contains-style predicates) over the embedding arrays ----
+    //      filter/aggregate) over the embedding arrays. Output columns
+    //      are all SCALAR: the driver's oracle compare sorts rows with
+    //      pandas, which cannot hash raw array cells — the top-3 slice
+    //      is therefore projected element-wise, not returned as a list.
     GraftQuery(
       "q49_array_ops",
       (s, d) => {
         import graft.functions.VectorFunctions.vecD
+        val top3 = slice(sort_array(vecD(col("embedding")), asc = false), 1, 3)
         Tables.embeddings(s, d)
           .select(
             col("vec_id"),
             size(col("embedding")).cast("long").as("dim"),
-            slice(sort_array(vecD(col("embedding")), asc = false), 1, 3).as("top3"),
+            element_at(top3, 1).as("top1"),
+            element_at(top3, 2).as("top2"),
+            element_at(top3, 3).as("top3"),
             element_at(vecD(col("embedding")), 1).as("first_val"),
-            size(filter(vecD(col("embedding")), x => x > 0d)).cast("long").as("n_positive"))
+            size(filter(vecD(col("embedding")), x => x > 0d)).cast("long").as("n_positive"),
+            aggregate(vecD(col("embedding")), lit(0d), (a, x) => a + x).as("sum_val"))
       },
       Some("""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings)
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        s AS (SELECT vec_id, v, list_sort(v, 'DESC') sv FROM e)
         SELECT vec_id,
           CAST(len(v) AS BIGINT) AS dim,
-          list_sort(v, 'DESC')[1:3] AS top3,
+          sv[1] AS top1,
+          sv[2] AS top2,
+          sv[3] AS top3,
           v[1] AS first_val,
-          CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
-        FROM e
+          CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), v), (a, b) -> a + b) AS sum_val
+        FROM s
       """)),
 
     // ---- q43: exact near-dup pairs by cosine ≥ 0.4 (corpus max is
