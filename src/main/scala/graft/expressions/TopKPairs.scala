@@ -1,0 +1,130 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded-heap top-k aggregate: `top_k((score double, id bigint), k)` →
+  * `array<struct<score, id>>` ordered best-first (score desc, id asc).
+  *
+  * This is the scale-path alternative to the `row_number() OVER (...)
+  * <= k` window idiom: a window top-k shuffles EVERY row of a group to
+  * one partition and sorts it, so a 100 TB group costs a 100 TB
+  * shuffle. This aggregate runs as partial + final `ObjectHashAggregate`
+  * — each map task keeps at most k candidates per group in a bounded
+  * heap, so only `k × groups × partitions` rows cross the wire, and
+  * nothing is ever globally sorted.
+  *
+  * Determinism: ids are assumed unique within a group, giving (score,
+  * id) a total order, so heap-eviction order cannot affect the result —
+  * the output is the same set a window formulation produces (verified
+  * against the DuckDB window oracle bit-for-bit in q50).
+  *
+  * Null handling matches SQL aggregates: rows with a null score or null
+  * id are skipped. An empty group yields an empty array.
+  */
+case class TopKPairs(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with BinaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint) inputs, got ($s, $i)")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k"
+
+  // Min-heap on "badness": head is the WORST kept pair (lowest score,
+  // then highest id), so exceeding k pops the right element.
+  private val evictionOrder: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(evictionOrder)
+
+  override def update(
+      buffer: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val sv = score.eval(input)
+    val iv = id.eval(input)
+    if (sv != null && iv != null) {
+      add(buffer, (sv.asInstanceOf[Double], iv.asInstanceOf[Long]))
+    }
+    buffer
+  }
+
+  private def add(
+      buffer: mutable.PriorityQueue[(Double, Long)],
+      pair: (Double, Long)): Unit = {
+    if (buffer.size < k) buffer.enqueue(pair)
+    else if (evictionOrder.compare(pair, buffer.head) < 0) {
+      // strictly better than the current worst
+      buffer.dequeue(); buffer.enqueue(pair)
+    }
+  }
+
+  override def merge(
+      buffer: mutable.PriorityQueue[(Double, Long)],
+      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach(add(buffer, _))
+    buffer
+  }
+
+  override def eval(buffer: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val best = buffer.toArray.sortBy { case (s, i) => (-s, i) }
+    new GenericArrayData(best.map { case (s, i) =>
+      InternalRow(s, i): Any
+    })
+  }
+
+  override def serialize(buffer: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.size * 16)
+    bb.putInt(buffer.size)
+    buffer.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(score = newLeft, id = newRight)
+}

@@ -41,4 +41,23 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (normL2(a) * normL2(b))
+
+  /** Element-wise vector-sum AGGREGATE (one `double[dims]` accumulator
+    * per group; partial+final ObjectHashAggregate — see VectorSumAgg).
+    */
+  def vecSum(v: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.VectorSumAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v)).toAggregateExpression())
+
+  /** Bounded-heap top-k AGGREGATE over (score, id) pairs, best-first
+    * (score desc, id asc) — the map-side-combine alternative to a
+    * `row_number() OVER` window top-k (see TopKPairs).
+    */
+  def topK(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TopKPairs(
+        org.apache.spark.sql.graft.ColumnBridge.expression(score),
+        org.apache.spark.sql.graft.ColumnBridge.expression(id),
+        k).toAggregateExpression())
 }

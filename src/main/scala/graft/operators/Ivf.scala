@@ -39,8 +39,17 @@ object Ivf {
 
   /** Build the index: (centroids, assignments). Both persisted — the
     * index is built once and probed many times.
+    *
+    * @param lloydSteps k-means refinement rounds over the seeds. Each
+    *   step is one vecSum aggregation of the corpus (a single shuffle on
+    *   cid — the VectorSumAgg accumulator keeps dims OUT of the row
+    *   count), so extra steps are cheap; cell balance improves markedly
+    *   over raw seeds by step 2 on clustered data.
     */
-  def build(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int): (DataFrame, DataFrame) = {
+  def build(
+      df: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
+      lloydSteps: Int = 2): (DataFrame, DataFrame) = {
+    require(lloydSteps >= 0, s"lloydSteps must be >= 0, got $lloydSteps")
     val p = prep(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
     // cid is just a deterministic cell id: the seed's own vid serves (no
     // global row_number window — an unpartitioned WindowExec funnels its
@@ -48,15 +57,27 @@ object Ivf {
     // order, so tie-breaks in `nearest` are unchanged.
     val seeds = p.orderBy(col("vid")).limit(nCentroids)
       .select(col("vid").as("cid"), col("v").as("cvec"))
-    // one Lloyd step: assign to seeds, recompute cell means, renormalize
-    val assigned0 = nearest(p, seeds, keep = 1)
-    val means = assigned0
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cid"), normalized(transform(col("pm"), p0 => p0.getField("m"))).as("cvec"))
-    val centroids = means.persist(StorageLevel.MEMORY_AND_DISK)
+    // Lloyd iterations: assign → cell mean → renormalize. Each
+    // iteration's centroids are persisted and materialized so the next
+    // round's `nearest` broadcasts a computed table instead of
+    // re-running the whole lineage (centroids are always
+    // broadcast-sized). Cells that lose all members simply drop out
+    // (their cid disappears from the mean aggregation).
+    var centroids = seeds
+    var step = 0
+    while (step < lloydSteps) {
+      val assigned = nearest(p, centroids, keep = 1)
+      val next = assigned
+        .groupBy(col("cid"))
+        .agg(vecSum(col("v")).as("vs"), count(lit(1)).as("n"))
+        .select(col("cid"),
+          normalized(transform(col("vs"), x => x / col("n"))).as("cvec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before the previous iteration unpins
+      if (step > 0) centroids.unpersist(blocking = false)
+      centroids = next
+      step += 1
+    }
     val assignments = nearest(p, centroids, keep = 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     (centroids, assignments)

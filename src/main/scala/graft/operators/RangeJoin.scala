@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned point-in-interval range join.
+  *
+  * Spark has no native range-join strategy: a plain
+  * `p JOIN iv ON p.x BETWEEN iv.lo AND iv.hi` plans as
+  * BroadcastNestedLoopJoin (every point × every interval) — fine when
+  * one side is tiny, quadratic death otherwise. This operator maps the
+  * range predicate onto an EQUI-join Catalyst can shuffle-partition:
+  * points land in bin `floor(x / w)`, each interval explodes to the
+  * bins it overlaps, and the join key is the bin. The exact predicate
+  * filters the candidates, and because a point has exactly ONE bin,
+  * each qualifying (point, interval) pair is emitted exactly once — no
+  * dedup pass.
+  *
+  * Cost model: shuffled interval rows multiply by
+  * `(hi - lo) / binWidth + 1`, and candidate pairs per bin are
+  * `points_in_bin × intervals_covering_bin` — pick `binWidth` near the
+  * typical interval length. Works on any long-valued axis (days since
+  * epoch, epoch seconds, integer keys). Values may be negative
+  * (`floor`, not truncation, assigns bins).
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to `intervals` where
+    * `points(pointCol) BETWEEN intervals(loCol) AND intervals(hiCol)`
+    * (both ends inclusive). All columns of both inputs are carried;
+    * names must not collide.
+    */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("_bin", floor(col(pointCol) / binWidth))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(iv, Seq("_bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+}

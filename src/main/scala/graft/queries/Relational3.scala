@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.functions.Exact._
+import graft.functions.VectorFunctions.topK
+
+/** Round-2 relational batch: the bounded-heap top-k aggregate, binned
+  * range join, deterministic hash sampling, regex redaction, and
+  * ordered set-aggregation — each hash-checked against a DuckDB oracle.
+  */
+object Relational3 {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q50: top-3 orders per customer via the TopKPairs
+    //      TypedImperativeAggregate. Same result set as the q07 window
+    //      formulation, but map-side combined: each partition forwards
+    //      at most k pairs per group instead of shuffling every row to
+    //      a per-group sort. The oracle is the window formulation. ----
+    GraftQuery(
+      "q50_topk_agg",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(topK(col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+          .select(col("o_custkey"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(
+            col("o_custkey"),
+            (col("pos") + 1).cast("long").as("rn"),
+            col("t.id").as("o_orderkey"),
+            col("t.score").as("o_totalprice"))
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3
+      """),
+      headline = true),
+
+    // ---- q51: binned range join — lineitems shipped within 7 days of
+    //      each (small-cohort) order's date. The BETWEEN predicate is
+    //      mapped onto a bin equi-join (operators.RangeJoin) instead of
+    //      the BroadcastNestedLoopJoin Spark would otherwise plan. ----
+    GraftQuery(
+      "q51_range_join",
+      (s, d) => {
+        val day = (c: org.apache.spark.sql.Column) =>
+          datediff(c.cast("date"), lit("1995-01-01").cast("date")).cast("long")
+        val points = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), day(col("l_shipdate")).as("ship_day"))
+        val intervals = Tables.orders(s, d)
+          .where(col("o_custkey") < 20)
+          .select(col("o_orderkey"), day(col("o_orderdate")).as("lo"),
+            (day(col("o_orderdate")) + 7).as("hi"))
+        graft.operators.RangeJoin
+          .pointInInterval(points, intervals, "ship_day", "lo", "hi", binWidth = 8)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_shipped_nearby"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT o_orderkey,
+            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS lo
+          FROM orders WHERE o_custkey < 20),
+        pt AS (
+          SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day
+          FROM lineitem)
+        SELECT iv.o_orderkey, count(*) AS n_shipped_nearby
+        FROM pt JOIN iv ON pt.ship_day BETWEEN iv.lo AND iv.lo + 7
+        GROUP BY iv.o_orderkey
+      """)),
+
+    // ---- q52: deterministic stratified sampling — md5-hex threshold
+    //      per stratum. Engine-portable (pure string compare on the
+    //      digest) and reproducible at any scale, unlike rand()-based
+    //      TABLESAMPLE. 256ths: 'A' keeps 16/256, 'N' keeps 64/256,
+    //      'R' keeps 32/256. ----
+    GraftQuery(
+      "q52_stratified_sample",
+      (s, d) => {
+        val key = md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+        val threshold = when(col("l_returnflag") === "A", "10")
+          .when(col("l_returnflag") === "N", "40")
+          .otherwise("20")
+        Tables.lineitem(s, d)
+          .where(substring(key, 1, 2) < threshold)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sumExact2(col("l_quantity")).as("sum_qty"))
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n_sampled,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 2) <
+          CASE l_returnflag WHEN 'A' THEN '10' WHEN 'N' THEN '40' ELSE '20' END
+        GROUP BY l_returnflag
+      """)),
+
+    // ---- q53: regex term redaction over documents (the PII-scrub
+    //      shape: pattern → placeholder, plus a match count). Spark
+    //      regexp_replace replaces all matches by default; DuckDB needs
+    //      the 'g' flag. ----
+    GraftQuery(
+      "q53_regex_redact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("\\b(key|value|hash)\\b"), lit(0)))
+              .cast("long").as("n_redacted"),
+            regexp_replace(col("text"), "\\b(key|value|hash)\\b", "<TERM>").as("redacted")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\b(key|value|hash)\b')) AS BIGINT) AS n_redacted,
+          regexp_replace(text, '\b(key|value|hash)\b', '<TERM>', 'g') AS redacted
+        FROM documents
+      """)),
+
+    // ---- q54: ordered set-aggregation — distinct sources per language
+    //      as a sorted joined string (collect_set is unordered by
+    //      contract; array_sort makes it deterministic and
+    //      cross-engine). ----
+    GraftQuery(
+      "q54_collect_sorted",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            array_join(array_sort(collect_set(col("source"))), ",").as("sources")),
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+          string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        FROM documents
+        GROUP BY lang
+      """))
+  )
+}

@@ -25,6 +25,46 @@ object VectorQueries {
       |          list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
       |        FROM e)""".stripMargin
 
+  /** DuckDB replica of Similarity.lshTopK: same plane family (via
+    * Similarity.planeSigns), same sequential-fold projections, same
+    * bucket join, same exact re-score. Generated, not handwritten —
+    * the plane literals are ~6 KB of ±1 arrays.
+    */
+  private def lshOracleSql(tables: Int, bits: Int, dims: Int, k: Int): String = {
+    def planeLit(t: Int, p: Int): String =
+      Similarity.planeSigns(t, p, dims)
+        .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def fold(vExpr: String, wExpr: String): String =
+      s"list_reduce(list_transform(generate_series(1, $dims), i -> $vExpr[i] * $wExpr[i]), (a, b) -> a + b)"
+    def bucket(vExpr: String, t: Int): String =
+      (0 until bits).map(p =>
+        s"(CASE WHEN ${fold(vExpr, s"(${planeLit(t, p)})")} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+    val bucketLegs = (0 until tables).map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM e").mkString("\nUNION ALL\n")
+    s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      bk AS (
+        $bucketLegs),
+      q AS (SELECT vec_id AS query_id, tbl, bucket FROM bk WHERE vec_id < 5),
+      cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM bk c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.query_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          ${fold("qe.v", "ce.v")} /
+            (sqrt(${fold("qe.v", "qe.v")}) * sqrt(${fold("ce.v", "ce.v")})) AS sim
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ce ON ce.vec_id = cand.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $k
+    """
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- q40: L2 norms — the float-parity canary (raw doubles) ----
@@ -68,8 +108,15 @@ object VectorQueries {
       """),
       headline = true),
 
-    // ---- q42: LSH-bucketed approximate top-k (scale path; no oracle —
-    //      recall vs brute force is spec-verified) ----
+    // ---- q42: LSH-bucketed approximate top-k (scale path). The oracle
+    //      replicates the ENTIRE algorithm — the md5-derived ±1
+    //      hyperplanes are embedded as SQL literals (identical family to
+    //      Similarity.planeLit), buckets are b-bit sign masks of the
+    //      sequential-fold projections, candidates come from the same
+    //      (table, bucket) equi-join, and the final cosine is the same
+    //      raw-double fold — so even the approximate result hash-matches
+    //      bit-for-bit. Recall vs brute force is additionally
+    //      spec-verified. ----
     GraftQuery(
       "q42_ann_lsh",
       (s, d) => {
@@ -79,7 +126,7 @@ object VectorQueries {
             k = 10, tables = 8, bits = 4)
           .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
       },
-      None),
+      Some(lshOracleSql(tables = 8, bits = 4, dims = 64, k = 10))),
 
     // ---- q49: array function family (size/sort/slice/element_at/
     //      filter/aggregate) over the embedding arrays. Output columns

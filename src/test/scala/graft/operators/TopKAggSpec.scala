@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions.topK
+
+/** TopKPairs TypedImperativeAggregate ≡ the window top-k formulation,
+  * including ties, short groups, and null skipping — across enough
+  * partitions that partial/merge paths actually run.
+  */
+class TopKAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy($"g")
+      .agg(topK($"score", $"id", k).as("tk"))
+      .select($"g", posexplode($"tk").as(Seq("pos", "t")))
+      .select($"g", ($"pos" + 1).cast("long").as("rn"), $"t.id".as("id"), $"t.score".as("score"))
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id")
+    df.where($"score".isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= k)
+      .select($"g", $"rn", $"id", $"score")
+  }
+
+  test("agg top-k equals window top-k on skewed synthetic data") {
+    val rows = (1L to 5000L).map { i =>
+      (s"g${i % 7}", i, (i % 113).toDouble) // many score ties within groups
+    }
+    val df = rows.toDF("g", "id", "score").repartition(13)
+    assertSameRows(viaAgg(df, 5), viaWindow(df, 5))
+  }
+
+  test("groups smaller than k return all their rows") {
+    val df = Seq(("a", 1L, 9.0), ("a", 2L, 8.0), ("b", 3L, 1.0)).toDF("g", "id", "score")
+    assertSameRows(viaAgg(df, 10), viaWindow(df, 10))
+  }
+
+  test("null scores are skipped like SQL aggregates skip null input") {
+    val df = Seq(("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(7.0)))
+      .toDF("g", "id", "score")
+    val got = viaAgg(df, 2).select($"id").as[Long].collect().toSet
+    assert(got == Set(3L, 1L))
+  }
+
+  test("plan aggregates partially before the shuffle (no window sort of all rows)") {
+    val df = (1L to 100L).map(i => (s"g${i % 3}", i, i.toDouble)).toDF("g", "id", "score")
+    val plan = viaAgg(df, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based plan, got:\n$plan")
+    assert(!plan.contains("Window"), "top-k agg must not fall back to a window")
+  }
+}
