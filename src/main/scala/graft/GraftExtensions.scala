@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayDotProduct, MinHashSig, NormalizeVector, SimHash64}
+import graft.expressions.{ArrayDotProduct, MinHashSig, MinHashSigFast, NormalizeVector, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so the whole surface is reachable from
@@ -64,6 +64,22 @@ object GraftExtensions {
           }
           MinHashSig(sh, kv)
         case other => throw new IllegalArgumentException(s"graft_minhash_sig expects 2 arguments, got ${other.size}")
+      }),
+    ("graft_minhash_fast",
+      info("graft_minhash_fast",
+        "graft_minhash_fast(hashes, k) - k multiply-add permutation minima of array<bigint> shingle hashes"),
+      {
+        case Seq(hs, k) =>
+          if (!k.foldable)
+            throw new IllegalArgumentException(
+              "graft_minhash_fast k must be a literal (constant-foldable) integer, got a non-constant expression")
+          val kv = k.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash_fast k must be a literal integer, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
+          }
+          MinHashSigFast(hs, kv)
+        case other => throw new IllegalArgumentException(s"graft_minhash_fast expects 2 arguments, got ${other.size}")
       })
   )
 

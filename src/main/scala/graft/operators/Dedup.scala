@@ -75,6 +75,52 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  /** MinHash + LSH near-dup pairs — FAST PATH. Same structure as
+    * [[minhashLsh]] (shingle → signature → band → bucket self-join →
+    * exact-Jaccard verify ≥ tau) but signatures are k multiply-add
+    * permutations of ONE xxhash64 per shingle (expressions.
+    * MinHashSigFast) instead of k salted-md5 digests per shingle —
+    * ~10× cheaper on the hashing-dominated stage. The verified output
+    * is still exact per pair; only candidate RECALL is approximate, as
+    * with any MinHash family. Use [[minhashLsh]] when cross-engine
+    * (oracle) reproducibility of the candidate set matters.
+    */
+  def minhashLshFast(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      tau: Double = 0.3): DataFrame = {
+    val k = bands * rowsPerBand
+    val s = shingleSets(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = s.select(col("doc_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.MinHashSigFast(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            transform(col("sh"), sh => xxhash64(sh))), k)).as("sig"))
+    // band key: xxhash64 over (band, its rows). A 64-bit collision can
+    // only ADD a candidate pair, which exact verification then scores —
+    // it cannot lose one.
+    val banded = sig.select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64((col("band") +: (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), col("band") * rowsPerBand + r + 1))): _*).as("bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    val (nInter, nUnion) = jaccardParts(col("sh_a"), col("sh_b"))
+    withSets
+      .select(col("doc_a"), col("doc_b"), nInter.as("n_inter"), nUnion.as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .where(col("jaccard") >= tau)
+  }
+
   /** 64-bit SimHash of the token array: majority vote per bit over
     * xxhash64(token), via the custom codegen expression (one pass over
     * the hashes; the nested-SQL-lambda formulation it replaces cost 64

@@ -92,10 +92,26 @@ object HpvPipeline {
     rolled.toDF(rolled.columns.map(_.toUpperCase).toIndexedSeq: _*)
   }
 
+  /** D7: academic years that appear in MORE THAN ONE workbook. The
+    * reference (src/main.py:77 + the 6-key rollups at :91-114) silently
+    * double-counts such files — every measure for that year is summed
+    * twice. Faithful execution keeps that behavior, but the engine
+    * surfaces it: driver-side metadata check, zero jobs.
+    */
+  def duplicateAcademicYears(workbooks: Seq[Workbook]): Seq[(Option[Int], Int)] =
+    workbooks.groupBy(wb => Derive.academicYearEnd(wb.a1))
+      .collect { case (yr, ws) if ws.size > 1 => (yr, ws.size) }
+      .toSeq.sortBy(_._1)
+
   /** Full pipeline: workbooks → fact table, with the output-schema
     * assertion the reference delegates to its destination DDL.
     */
   def transform(workbooks: Seq[Workbook], extractDate: LocalDate = LocalDate.now()): DataFrame = {
+    duplicateAcademicYears(workbooks).foreach { case (yr, n) =>
+      System.err.println(
+        s"[hpv] WARNING (D7): academic year ${yr.getOrElse("<unparsed>")} appears in $n " +
+          "workbooks — reference semantics double-count it in the rollups")
+    }
     val out = combine(workbooks.map(perFile(_, extractDate)))
       .select(OutputSchema.fieldNames.map(col).toIndexedSeq: _*)
     val got = out.schema.fields.map(f => f.name -> f.dataType).toSeq

@@ -146,6 +146,17 @@ object TextQueries {
       """),
       headline = true),
 
+    // ---- q55: the FAST MinHash path (one xxhash64 per shingle + k
+    //      multiply-add permutations instead of k md5 digests). Spark-
+    //      only: xxhash64 seeds are engine-internal, so no oracle —
+    //      DedupSpec verifies planted-dup recall and agreement with the
+    //      md5 path; reported jaccard is exact either way ----
+    GraftQuery(
+      "q55_dedup_minhash_fast",
+      (s, d) => Dedup.minhashLshFast(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3),
+      None),
+
     // ---- q35: exact bigram Jaccard within a blocking key ----
     GraftQuery(
       "q35_dedup_ngram_blocked",

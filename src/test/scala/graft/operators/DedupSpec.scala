@@ -52,6 +52,35 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == brute, s"lsh=$lsh brute=$brute")
   }
 
+  test("fast-path minhash LSH matches the md5 path on planted data") {
+    val fast = Dedup.minhashLshFast(docs, "doc_id", "text", tau = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fast.contains((1L, 5L)) && fast.contains((1L, 2L)) && fast.contains((2L, 5L)),
+      s"planted dups missing from $fast")
+    assert(!fast.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "distinct docs must not pair")
+    // reported jaccard values are EXACT regardless of the hash family:
+    // both paths verify candidates against the true shingle sets
+    val md5 = Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val fastJ = Dedup.minhashLshFast(docs, "doc_id", "text", tau = 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(fastJ == md5, s"verified pair sets diverge: fast=$fastJ md5=$md5")
+  }
+
+  test("fast-path recall on the documents fixture vs the md5 path") {
+    val fixture = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val md5 = Dedup.minhashLsh(fixture, "doc_id", "text", tau = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fast = Dedup.minhashLshFast(fixture, "doc_id", "text", tau = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // different hash families → different candidate recall; require
+    // substantial agreement (both are 16-permutation, 8×2-band LSH)
+    val overlap = (md5 & fast).size.toDouble / math.max(md5.size, 1)
+    info(f"fast-path recall vs md5 path: $overlap%.2f (md5=${md5.size}, fast=${fast.size})")
+    assert(overlap >= 0.7, s"fast path recall collapsed: $overlap")
+  }
+
   test("simhash pairs planted near-dups with small hamming distance") {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

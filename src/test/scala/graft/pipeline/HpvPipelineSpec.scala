@@ -136,4 +136,10 @@ class HpvPipelineSpec extends SparkTestBase {
     assert(out.count() == 4) // base + Both + All·Female + All·Both
     java.nio.file.Files.delete(tmp)
   }
+
+  test("D7: duplicate academic years across workbooks are detected") {
+    assert(HpvPipeline.duplicateAcademicYears(Seq(fileA, fileB)).isEmpty)
+    assert(HpvPipeline.duplicateAcademicYears(Seq(fileA, fileA, fileB)) ==
+      Seq((Some(2024), 2)))
+  }
 }
