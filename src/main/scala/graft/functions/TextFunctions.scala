@@ -26,6 +26,24 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-style pre-tokenization pattern (GPT-2-shaped, ASCII-simplified
+    * and RE2-compatible — no lookahead, so the IDENTICAL pattern runs in
+    * the DuckDB oracle): contractions, space-prefixed letter runs, digit
+    * runs, punctuation runs. A real BPE vocab merge would run over these
+    * pre-tokens; counting them is the standard "tokens ≈ cost" estimate.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9']+|\\s+"
+
+  /** BPE-ish pre-tokens (whitespace-only matches dropped; tokens keep
+    * their leading-space marker, BPE-style).
+    */
+  def bpeTokens(c: Column): Column =
+    filter(regexp_extract_all(lower(c), lit(BpePattern), lit(0)),
+      t => trim(t) =!= "")
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   /** Whitespace-normalized lowercase text (dedup canonical form). */
   def normalized(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
 

@@ -146,6 +146,34 @@ object TextQueries {
       """),
       headline = true),
 
+    // ---- q56: BPE-ish token accounting — the "how many tokens will
+    //      this corpus cost" query. Same RE2-safe pattern both engines;
+    //      whitespace-only matches dropped on both sides ----
+    GraftQuery(
+      "q56_bpe_tokens",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("n_ws_tokens"),
+            bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .withColumn("bpe_per_word",
+            col("n_bpe_tokens").cast("double") / col("n_ws_tokens")),
+      Some {
+        // SQL string literal: double the quotes, leave backslashes alone
+        // (DuckDB '...' literals have no backslash escapes)
+        val pat = graft.functions.TextFunctions.BpePattern.replace("'", "''")
+        s"""
+        WITH b AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_ws_tokens,
+            CAST(len(list_filter(regexp_extract_all(lower(text), '$pat'),
+              t -> trim(t) != '')) AS BIGINT) AS n_bpe_tokens
+          FROM documents)
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+          CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens AS bpe_per_word
+        FROM b
+      """}),
+
     // ---- q55: the FAST MinHash path (one xxhash64 per shingle + k
     //      multiply-add permutations instead of k md5 digests). Spark-
     //      only: xxhash64 seeds are engine-internal, so no oracle —

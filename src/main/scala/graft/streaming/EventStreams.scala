@@ -56,6 +56,32 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each view event joins the SAME user's
+    * purchase events that happen within `horizon` AFTER it (the
+    * attribution-join shape). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire buffered
+    * state once the watermark passes — without the time bound a
+    * stream-stream join would buffer both streams forever. Works
+    * unchanged on static frames (the spec asserts stream ≡ batch).
+    */
+  def attributionJoin(
+      views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class SessionSummary(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 

@@ -41,6 +41,38 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  test("stream-stream attribution join: micro-batched streams == batch") {
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val views = events.where($"event_type" === "view")
+    val purchases = events.where($"event_type" === "purchase")
+    val want = EventStreams.attributionJoin(views, purchases)
+
+    // The staged files are NOT time-ordered, so any realistic watermark
+    // would (correctly) drop events arriving "late" relative to an
+    // earlier micro-batch. Equality-with-batch needs a watermark wider
+    // than the fixture's whole time span; eviction behavior itself is a
+    // property of the engine's stream-stream join, not of this
+    // transform.
+    val staged = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    events.repartition(3).write.mode("overwrite").parquet(staged)
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = EventStreams.attributionJoin(
+        streamed.where($"event_type" === "view"),
+        streamed.where($"event_type" === "purchase"),
+        watermark = "60 days")
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ssj_sink")
+    assert(got.count() > 0, "attribution join produced no pairs on fixture data")
+    assertSameRows(
+      got.withColumn("purchase_value", round($"purchase_value", 6)),
+      want.withColumn("purchase_value", round($"purchase_value", 6)))
+  }
+
   test("session_window formulation agrees with the window-function sessionizer (q45)") {
     val events = Tables.events(spark, sf)
     val viaSessionWindow = EventStreams.sessionCounts(events, "30 minutes")
