@@ -21,10 +21,15 @@ import graft.expressions.{ArrayDotProduct, MinHashSig, MinHashSigFast, Normalize
   * session can opt in via the conf above.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Scale-hazard lint (cartesian joins, unpartitioned windows): warns
+    // once per distinct hazard, never rewrites. graft.plans.PlanLint
+    // has the same check as a pure per-DataFrame API.
+    ext.injectOptimizerRule(_ => graft.plans.PlanLintRule())
+  }
 }
 
 object GraftExtensions {
