@@ -90,8 +90,15 @@ object GraftExtensions {
 
   /** Imperatively register on an EXISTING session (builder-time
     * `withExtensions` is silently dropped when `getOrCreate` returns a
-    * session that already exists in the JVM).
+    * session that already exists in the JVM). Installs BOTH halves of
+    * the extension: the SQL functions and the plan-lint optimizer rule
+    * (via `experimental.extraOptimizations` — the imperative analogue
+    * of `injectOptimizerRule`). Idempotent.
     */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.ColumnBridge.ensureRegistered(spark, registrations)
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.exists(_.isInstanceOf[graft.plans.PlanLintRule]))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.PlanLintRule()
+  }
 }

@@ -47,11 +47,16 @@ case class MinHashSigFast(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigFast =
     copy(child = newChild)
 
+  // cached once per expression instance — deriving them per row would
+  // cost 2 allocations + 2k splitmix rounds on every interpreted eval
+  @transient private lazy val asCached: Array[Long] = MinHashSigFast.mulConsts(k)
+  @transient private lazy val bsCached: Array[Long] = MinHashSigFast.addConsts(k)
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val as = MinHashSigFast.mulConsts(k)
-    val bs = MinHashSigFast.addConsts(k)
+    val as = asCached
+    val bs = bsCached
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, -1L) // unsigned max
     var seen = false

@@ -61,10 +61,24 @@ case class TopKPairs(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_top_k"
 
-  // Min-heap on "badness": head is the WORST kept pair (lowest score,
-  // then highest id), so exceeding k pops the right element.
+  // "Better" under SQL `ORDER BY score DESC, id ASC` semantics: NaN
+  // sorts as the LARGEST double (so it ranks first, as a window would
+  // rank it), and -0.0 == 0.0 (primitive ==) so ±0.0 ties break on id —
+  // a JVM Ordering[Double] would get both wrong and silently diverge
+  // from the window formulation this aggregate must match.
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    if (s1 == s2) i1 < i2
+    else if (java.lang.Double.isNaN(s1)) !java.lang.Double.isNaN(s2)
+    else if (java.lang.Double.isNaN(s2)) false
+    else s1 > s2
+
+  // Heap order: head is the WORST kept pair, so exceeding k pops the
+  // right element (scala PriorityQueue is a max-heap; "greater" = worse).
   private val evictionOrder: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+    (x: (Double, Long), y: (Double, Long)) =>
+      if (better(x._1, x._2, y._1, y._2)) -1
+      else if (better(y._1, y._2, x._1, x._2)) 1
+      else 0
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(evictionOrder)
@@ -98,7 +112,7 @@ case class TopKPairs(
   }
 
   override def eval(buffer: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val best = buffer.toArray.sortBy { case (s, i) => (-s, i) }
+    val best = buffer.toArray.sorted(evictionOrder)
     new GenericArrayData(best.map { case (s, i) =>
       InternalRow(s, i): Any
     })

@@ -56,6 +56,10 @@ case class VectorSumAgg(
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // A zero-length vector would be indistinguishable from the
+    // "no input seen" empty-buffer sentinel and silently bypass the
+    // dims check below — reject it instead.
+    require(n > 0, s"$prettyName: zero-length vector in input")
     val acc =
       if (buffer.isEmpty) new Array[Double](n)
       else {

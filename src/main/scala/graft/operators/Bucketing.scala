@@ -27,15 +27,18 @@ object Bucketing {
     require(!table.contains("."),
       s"stageBucketed takes an unqualified table name, got '$table'")
     // Resolve the real location from the catalog when the table is known;
-    // guessing would delete a path the catalog may still reference.
+    // guessing would delete a path the catalog may still reference. Keep
+    // the FULL URI (scheme + authority) — stripping to the path would
+    // resolve against the default filesystem, not the table's.
     val catalogLoc = scala.util.Try(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.getPath).toOption
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)).toOption
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // An in-memory catalog forgets tables between JVMs while the
     // warehouse directory persists; clear any orphaned location or the
     // create fails with LOCATION_ALREADY_EXISTS.
-    val loc = new org.apache.hadoop.fs.Path(catalogLoc.getOrElse(
+    val loc = catalogLoc.getOrElse(new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)

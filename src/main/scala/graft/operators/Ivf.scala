@@ -67,11 +67,12 @@ object Ivf {
     var step = 0
     while (step < lloydSteps) {
       val assigned = nearest(p, centroids, keep = 1)
+      // normalized() cancels uniform scaling, so the cell MEAN and the
+      // cell SUM have the same direction — no count / division needed.
       val next = assigned
         .groupBy(col("cid"))
-        .agg(vecSum(col("v")).as("vs"), count(lit(1)).as("n"))
-        .select(col("cid"),
-          normalized(transform(col("vs"), x => x / col("n"))).as("cvec"))
+        .agg(vecSum(col("v")).as("vs"))
+        .select(col("cid"), normalized(col("vs")).as("cvec"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before the previous iteration unpins
       if (step > 0) centroids.unpersist(blocking = false)

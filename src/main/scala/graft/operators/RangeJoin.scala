@@ -35,6 +35,8 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "inputs must not carry a '_bin' column (internal working name)")
     val p = points.withColumn("_bin", floor(col(pointCol) / binWidth))
     val iv = intervals.withColumn("_bin",
       explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))

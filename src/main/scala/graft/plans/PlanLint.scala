@@ -58,7 +58,13 @@ object PlanLint {
 case class PlanLintRule() extends Rule[LogicalPlan] with Logging {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     PlanLint.lintPlan(plan).foreach { f =>
-      if (PlanLintRule.seen.putIfAbsent(f.toString, java.lang.Boolean.TRUE) == null) {
+      // normalize away per-plan expression ids (#123) so the SAME
+      // logical hazard from many queries dedups to one key — and bound
+      // the map so a pathological stream of distinct hazards can't grow
+      // it for the JVM's lifetime
+      val key = f.kind + "|" + f.node.replaceAll("#\\d+", "#")
+      if (PlanLintRule.seen.size() < PlanLintRule.MaxTracked &&
+          PlanLintRule.seen.putIfAbsent(key, java.lang.Boolean.TRUE) == null) {
         logWarning(s"graft plan lint: ${f.kind} — ${f.node} " +
           "(single-partition / multiplicative work at scale)")
       }
@@ -68,6 +74,7 @@ case class PlanLintRule() extends Rule[LogicalPlan] with Logging {
 }
 
 object PlanLintRule {
+  private val MaxTracked = 1000
   private val seen = new ConcurrentHashMap[String, java.lang.Boolean]()
   /** Test hook. */
   private[graft] def reset(): Unit = seen.clear()

@@ -40,6 +40,19 @@ class TopKAggSpec extends SparkTestBase {
     assertSameRows(viaAgg(df, 10), viaWindow(df, 10))
   }
 
+  test("NaN and signed-zero scores rank exactly as the window's ORDER BY DESC") {
+    val df = Seq(
+      ("a", 1L, 2.0), ("a", 2L, Double.NaN), ("a", 3L, 1.0),
+      ("b", 4L, 0.0), ("b", 5L, -0.0), ("b", 6L, -1.0)
+    ).toDF("g", "id", "score").repartition(3)
+    // NaN sorts LARGEST under SQL desc; -0.0 == 0.0 ties break on id.
+    // (Scala's == on boxed doubles is primitive — NaN != NaN — so the
+    // multiset compare needs NaN canonicalized to a sentinel first.)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("score", when(isnan($"score"), lit(Double.MaxValue)).otherwise($"score"))
+    assertSameRows(canon(viaAgg(df, 2)), canon(viaWindow(df, 2)))
+  }
+
   test("null scores are skipped like SQL aggregates skip null input") {
     val df = Seq(("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(7.0)))
       .toDF("g", "id", "score")
