@@ -121,6 +121,34 @@ object Relational3 {
         FROM documents
       """)),
 
+    // ---- q58: from_json schema projection — parse the props JSON into
+    //      a typed struct ONCE, then use its fields (vs q27's per-field
+    //      get_json_object path). PERMISSIVE mode nulls malformed rows,
+    //      mirrored by json_valid guards in the oracle ----
+    GraftQuery(
+      "q58_json_schema",
+      (s, d) => {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        Tables.events(s, d)
+          .withColumn("p", from_json(col("props"), schema))
+          .select(col("event_type"), col("p.k").as("k"))
+          .withColumn("k_parity", (col("k") % 2).cast("long"))
+          .groupBy(col("event_type"), col("k_parity"))
+          .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            TRY_CAST(CASE WHEN json_valid(props)
+                          THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, CAST(k % 2 AS BIGINT) AS k_parity,
+          count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        FROM e GROUP BY event_type, k_parity
+      """)),
+
     // ---- q54: ordered set-aggregation — distinct sources per language
     //      as a sorted joined string (collect_set is unordered by
     //      contract; array_sort makes it deterministic and

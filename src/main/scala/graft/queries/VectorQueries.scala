@@ -176,6 +176,80 @@ object VectorQueries {
               i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
           FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) t
         WHERE sim >= 0.4
+      """)),
+
+    // ---- q57: near-dup pairs → duplicate GROUPS (connected components
+    //      by iterative min-label propagation; the oracle replicates it
+    //      with a recursive transitive-closure CTE — labels are min
+    //      reachable ids on both sides, so results match exactly) ----
+    GraftQuery(
+      "q57_dedup_clusters",
+      (s, d) => {
+        val pairs = Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4)
+        graft.operators.Components.dupGroups(pairs, "id_a", "id_b")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        nrm2 AS (SELECT vec_id,
+            list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
+          FROM e),
+        prs AS (
+          SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_reduce(list_transform(generate_series(1, len(a.vn)),
+                i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
+            FROM nrm2 a JOIN nrm2 b ON a.vec_id < b.vec_id) t
+          WHERE sim >= 0.4),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, edges.d FROM reach JOIN edges ON edges.s = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT component AS keep_id, count(*) AS n_members
+        FROM comp GROUP BY component
+      """)),
+
+    // ---- q59: the end-to-end near-dup DROP — corpus minus every
+    //      non-survivor (component members that aren't the min id).
+    //      Anti-join against the loser set; losers are broadcast-sized
+    //      so the corpus side never shuffles ----
+    GraftQuery(
+      "q59_dedup_survivors",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.4)
+        graft.operators.Components
+          .dropNearDuplicates(emb, "vec_id", pairs, "id_a", "id_b")
+          .select(col("vec_id"), col("label"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        nrm2 AS (SELECT vec_id,
+            list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
+          FROM e),
+        prs AS (
+          SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_reduce(list_transform(generate_series(1, len(a.vn)),
+                i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
+            FROM nrm2 a JOIN nrm2 b ON a.vec_id < b.vec_id) t
+          WHERE sim >= 0.4),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, edges.d FROM reach JOIN edges ON edges.s = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        losers AS (SELECT node FROM comp WHERE node <> component)
+        SELECT vec_id, label FROM e
+        WHERE vec_id NOT IN (SELECT node FROM losers)
       """))
   )
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("two separate components label to their minima") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a chain longer than one hop still converges to one label") {
+    // 9-node path: diameter 8 — exercises multiple propagation rounds
+    val chain = (1L to 8L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 9L).toSet)
+  }
+
+  test("duplicate and reversed edges change nothing") {
+    val got = cc(Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dropNearDuplicates keeps untouched rows and one survivor per group") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z"))
+      .toDF("id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Components.dropNearDuplicates(corpus, "id", pairs, "a", "b")
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 9L)) // 2,3 lose to survivor 1; 4,9 untouched
+  }
+
+  test("dupGroups reports canonical survivor and size") {
+    val groups = Components.dupGroups(
+        Seq((5L, 7L), (7L, 9L), (20L, 21L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(5L -> 3L, 20L -> 2L))
+  }
+}

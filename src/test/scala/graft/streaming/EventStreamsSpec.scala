@@ -73,6 +73,27 @@ class EventStreamsSpec extends SparkTestBase {
       want.withColumn("purchase_value", round($"purchase_value", 6)))
   }
 
+  test("parquet file sink with checkpoint: stream lands every row exactly once") {
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val src = java.nio.file.Files.createTempDirectory("graft_fsink_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_fsink_dst").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_fsink_chk").toString
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.format("parquet")
+      .option("path", dst).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val landed = spark.read.parquet(dst)
+    assert(landed.count() == events.count())
+    assert(landed.select($"event_id").distinct().count() ==
+      events.select($"event_id").distinct().count())
+  }
+
   test("session_window formulation agrees with the window-function sessionizer (q45)") {
     val events = Tables.events(spark, sf)
     val viaSessionWindow = EventStreams.sessionCounts(events, "30 minutes")
