@@ -6,7 +6,8 @@ package graft
 object Registry {
   def all: Seq[GraftQuery] =
     queries.Relational.queries ++ queries.Relational2.queries ++
-      queries.Relational3.queries ++ queries.TextQueries.queries ++
+      queries.Relational3.queries ++ queries.TpchQueries.queries ++
+      queries.TextQueries.queries ++
       queries.VectorQueries.queries ++ queries.EventQueries.queries ++
       queries.MultimodalQueries.queries
 
