@@ -8,16 +8,20 @@ import org.apache.spark.storage.StorageLevel
   * near-duplicate PAIRS into duplicate GROUPS (one canonical survivor
   * per group, the rest dropped).
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with itself; each round, a node adopts the minimum label in
-  * its closed neighborhood; stop when no label changes. Rounds needed =
-  * the largest component's diameter — near-dup components are
-  * overwhelmingly tiny cliques, so 2-3 rounds in practice. Per round:
-  * ONE shuffle join (edges ⋈ labels on dst) + one groupBy(src) min —
-  * both partition on node ids, and AQE coalesces as labels shrink.
-  * For adversarial long-chain graphs at cluster scale, swap the body
-  * for the large-star/small-star decomposition (O(log n) rounds, same
-  * interface); the fixture-shaped workload never needs it.
+  * Algorithm: iterative min-label propagation WITH pointer jumping.
+  * Every node starts labeled with itself; each round, a node adopts
+  * the minimum label in its closed neighborhood (one shuffle join
+  * edges ⋈ labels + one groupBy(src) min), then labels are shortcut
+  * one hop (label := label's label — a self-join on the label table,
+  * which is far smaller than the edge set). Plain propagation needs
+  * diameter-many rounds — chain-shaped near-dup components at tau-low
+  * settings reach diameters in the tens — while the shortcut step
+  * doubles the effective propagation distance per round, giving
+  * O(log diameter) convergence (the classic pointer-jumping bound;
+  * cf. two-phase CC algorithms like large-star/small-star). Each round
+  * costs one more tiny join but the round count drops exponentially,
+  * and rounds (driver-synchronized Spark jobs) are the scarce resource
+  * at cluster scale.
   *
   * Determinism: labels are ids and min() is order-insensitive, so the
   * result is exactly reproducible — the DuckDB oracle replicates it
@@ -57,10 +61,19 @@ object Components {
         .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
         .select(col("src").as("node"), col("nbr_label"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: follow the label one hop (label := label(label));
+      // labels only ever decrease, so taking the hop unconditionally is
+      // safe and halves the remaining distance to the component min
+      val next = propagated
+        .join(
+          propagated.select(col("node").as("label"), col("label").as("hop_label")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = next
         .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
