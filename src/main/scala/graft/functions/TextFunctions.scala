@@ -50,6 +50,14 @@ object TextFunctions {
   /** Rolling document fingerprint: md5 of the canonical form. */
   def fingerprint(c: Column): Column = md5(normalized(c))
 
+  /** Engine-portable 60-bit uniform hash: first 15 hex chars of md5,
+    * parsed base-16 (non-negative, < 2^60, so it fits a long exactly).
+    * Oracle form: `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
+    * Feeds KmvDistinct and any sampler that must replicate cross-engine.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles of a token array (1-based
     * `element_at`, same as the oracle's `toks[i]`). Callers must ensure
     * size(toks) >= n (concat-with-null semantics differ across engines).

@@ -60,4 +60,14 @@ object VectorFunctions {
         org.apache.spark.sql.graft.ColumnBridge.expression(score),
         org.apache.spark.sql.graft.ColumnBridge.expression(id),
         k).toAggregateExpression())
+
+  /** KMV bottom-k distinct sketch AGGREGATE over a 60-bit portable hash
+    * (TextFunctions.hash60) — the oracle-checkable approximate distinct
+    * count (see KmvDistinct for the estimator and why HLL can't match).
+    */
+  def kmvDistinct(hash: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.KmvDistinct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hash),
+        k).toAggregateExpression())
 }

@@ -166,6 +166,43 @@ object Relational3 {
           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
         FROM documents
         GROUP BY lang
+      """)),
+
+    // ---- q74: ORACLE-CHECKABLE approximate distinct — the KMV bottom-k
+    //      sketch over a portable md5-derived hash. Unlike q24's HLL
+    //      (engine-private hashing → rows-only check), both engines
+    //      compute the identical estimate, so the approximate answer
+    //      hash-matches bit-for-bit. k=256 → ~6% standard error; the
+    //      exact count rides along to exhibit it. ----
+    GraftQuery(
+      "q74_distinct_kmv",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        import graft.functions.VectorFunctions.kmvDistinct
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), hash60(col("l_partkey").cast("string")).as("h"),
+            col("l_partkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            kmvDistinct(col("h"), 256).as("approx_nd"),
+            countDistinct(col("l_partkey")).as("exact_nd"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT l_returnflag,
+            CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM lineitem),
+        r AS (
+          SELECT l_returnflag, hv,
+            row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+          FROM h)
+        SELECT l_returnflag,
+          CASE WHEN max(rn) < 256 THEN CAST(max(rn) AS DOUBLE)
+               ELSE CAST(255 AS DOUBLE)
+                    / (CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) / 2.0 ** 60)
+          END AS approx_nd,
+          max(rn) AS exact_nd
+        FROM r GROUP BY l_returnflag
       """))
   )
 }
