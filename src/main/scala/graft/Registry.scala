@@ -7,7 +7,7 @@ object Registry {
   def all: Seq[GraftQuery] =
     queries.Relational.queries ++ queries.Relational2.queries ++
       queries.Relational3.queries ++ queries.TpchQueries.queries ++
-      queries.TextQueries.queries ++
+      queries.TextQueries.queries ++ queries.TextQueries2.queries ++
       queries.VectorQueries.queries ++ queries.EventQueries.queries ++
       queries.MultimodalQueries.queries
 

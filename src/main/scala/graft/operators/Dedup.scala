@@ -136,6 +136,72 @@ object Dedup {
             org.apache.spark.sql.graft.ColumnBridge.expression(col("hs")))))
       .select(col("doc_id"), col("simhash"))
 
+  /** Edit-distance near-dup pairs within a normalized-prefix block.
+    *
+    * Levenshtein is O(len²) per pair and unblocked pairing is O(N²), so
+    * this only ever compares documents sharing the first `prefixLen`
+    * chars of the canonical form — the same bounded-pairs contract as
+    * the other dedup variants (prefix blocking assumes near-dups agree
+    * early; combine with [[simhash60Pairs]] when they may not). The
+    * length pre-filter (|len(a)−len(b)| ≤ maxDist, a Levenshtein lower
+    * bound) discards hopeless pairs before the quadratic distance runs.
+    */
+  def levenshteinBlocked(
+      df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 20, maxDist: Int = 30): DataFrame = {
+    val n = df.select(col(idCol).as("doc_id"), normalized(col(textCol)).as("nm"))
+      .withColumn("blk", substring(col("nm"), 1, prefixLen))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    n.as("x").join(n.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
+          abs(length(col("x.nm")) - length(col("y.nm"))) <= maxDist)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        levenshtein(col("x.nm"), col("y.nm")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
+  /** Engine-portable 60-bit SimHash: identical to [[simhash64]] but the
+    * token hash is `TextFunctions.hash60` (md5-derived) instead of the
+    * Spark-private xxhash64, so a SQL oracle can replicate every vote.
+    * Bits 60-63 of each hash are zero → they always vote −1 → those
+    * signature bits are always clear; the effective signature width is
+    * 60 bits. Same SimHash64 codegen kernel.
+    */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("hs", transform(col("toks"), t => hash60(t)))
+      .withColumn("simhash",
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.SimHash64(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("hs")))))
+      .select(col("doc_id"), col("simhash"))
+
+  /** Portable-SimHash near-dup pairs: 4×15-bit bands over the 60-bit
+    * signature → bucket join → Hamming ≤ maxHamming. Banding is the
+    * scale path (never O(N²)); it can miss a ≤maxHamming pair whose
+    * differing bits spread across all 4 bands, so the DuckDB oracle
+    * (q79) replicates the banding itself rather than a full scan.
+    */
+  def simhash60Pairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 5): DataFrame = {
+    val sh = simhash60(df, idCol, textCol)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL)).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs: 4×16-bit bands → bucket join → Hamming
     * distance ≤ maxHamming via bit_count(xor).
     */

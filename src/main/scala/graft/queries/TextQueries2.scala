@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis extensions, round 2 (q75-q79): TF-IDF term ranking,
+  * edit-distance dedup, character-diversity quality scoring, and the
+  * engine-portable SimHash — every query oracle-checked against DuckDB.
+  *
+  * Cross-engine exactness decisions:
+  *  - TF-IDF uses a LOG-FREE idf, (N+1)/(df+1): libm `ln` is not
+  *    bit-identical across engines, while integer ratios are. Ranking
+  *    behavior is monotone-equivalent to the log form per term.
+  *  - Char diversity is the Simpson index 1 − Σp², not Shannon entropy
+  *    (again: no logs). Computed as an exact-integer numerator over an
+  *    explicit alphabet, divided once.
+  *  - SimHash token hashes are md5-derived (TextFunctions.hash60), so
+  *    DuckDB replicates every majority vote bit-for-bit.
+  */
+object TextQueries2 {
+
+  private val alphabet: Seq[Char] = ('a' to 'z') ++ ('0' to '9') :+ ' '
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q75: TF-IDF top-3 terms per document (log-free portable
+    //      scoring). df and N computed over the FULL corpus; ranking
+    //      restricted to doc_id < 20 to bound output. The df join keys
+    //      on the token (high cardinality — shuffle join), N broadcast
+    //      as a 1-row aggregate. ----
+    GraftQuery(
+      "q75_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, Seq("tok")).join(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            ((col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+              .as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))
+        scored.where(col("doc_id") < 20)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tf.tok,
+            CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        SELECT doc_id, tok, score,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
+        FROM scored
+        WHERE doc_id < 20
+        QUALIFY rank <= 3
+      """)),
+
+    // ---- q76: edit-distance near-dup pairs, prefix-blocked. Both
+    //      engines implement classic Levenshtein (integer, deterministic)
+    //      so the distances hash-match exactly. ----
+    GraftQuery(
+      "q76_dedup_levenshtein",
+      (s, d) =>
+        Dedup.levenshteinBlocked(Tables.documents(s, d), "doc_id", "text",
+          prefixLen = 20, maxDist = 30),
+      Some("""
+        WITH n AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_dist
+        FROM n a JOIN n b
+          ON a.doc_id < b.doc_id
+          AND substr(a.nm, 1, 20) = substr(b.nm, 1, 20)
+          AND abs(len(a.nm) - len(b.nm)) <= 30
+        WHERE levenshtein(a.nm, b.nm) <= 30
+      """)),
+
+    // ---- q77: character-diversity quality score (Simpson index over an
+    //      explicit alphabet + an "other" bucket). Counts via the
+    //      replace-trick (len minus len-without-char) — pure integer
+    //      arithmetic until one final division, so both engines agree to
+    //      the bit. ----
+    GraftQuery(
+      "q77_char_diversity",
+      (s, d) => {
+        val lowered = lower(col("text"))
+        val counts = alphabet.map { ch =>
+          (length(lowered) - length(expr(s"replace(lower(text), '$ch', '')")))
+            .cast("long")
+        }
+        val total = length(lowered).cast("long")
+        val known = counts.reduce(_ + _)
+        val other = total - known
+        val sumSq = counts.map(c => c * c).reduce(_ + _) + other * other
+        Tables.documents(s, d)
+          .where(length(col("text")) > 0 && col("doc_id") < 100)
+          .select(col("doc_id"), total.as("n_chars"),
+            ((total * total - sumSq).cast("double") / (total * total))
+              .as("simpson"))
+      },
+      Some {
+        val cnts = alphabet.map(ch =>
+          s"CAST(len(t) - len(replace(t, '$ch', '')) AS BIGINT)").mkString(",\n            ")
+        s"""
+        WITH lowered AS (
+          SELECT doc_id, lower(text) AS t FROM documents
+          WHERE len(text) > 0 AND doc_id < 100),
+        cts AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS total,
+            [$cnts] AS cs
+          FROM lowered),
+        agg AS (
+          SELECT doc_id, total,
+            list_reduce(cs, (a, b) -> a + b) AS known,
+            list_reduce(list_transform(cs, c -> c * c), (a, b) -> a + b) AS sumsq_known
+          FROM cts)
+        SELECT doc_id, total AS n_chars,
+          CAST(total * total - (sumsq_known + (total - known) * (total - known)) AS DOUBLE)
+            / (total * total) AS simpson
+        FROM agg
+        """
+      }),
+
+    // ---- q78: engine-portable SimHash signatures — every majority-vote
+    //      bit replicated by the oracle from the same md5-derived token
+    //      hashes. ----
+    GraftQuery(
+      "q78_simhash_portable",
+      (s, d) => Dedup.simhash60(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("simhash").as("sig")),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents
+          WHERE len(regexp_extract_all(lower(text), '\S+')) > 0),
+        h AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+          FROM tk),
+        votes AS (
+          SELECT doc_id, j.j AS j,
+            sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+          GROUP BY doc_id, j.j)
+        SELECT doc_id,
+          CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sig
+        FROM votes GROUP BY doc_id
+      """)),
+
+    // ---- q79: portable-SimHash near-dup pairs via 4×15-bit banding.
+    //      The oracle replicates the BANDING (not a full O(N²) scan):
+    //      banding is the scale path and can drop a ≤maxHamming pair
+    //      whose bit diffs spread across all four bands, so replicating
+    //      it is what makes the approximate result exactly checkable —
+    //      same philosophy as q42's LSH oracle. ----
+    GraftQuery(
+      "q79_simhash_pairs",
+      (s, d) => Dedup.simhash60Pairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 5),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents
+          WHERE len(regexp_extract_all(lower(text), '\S+')) > 0),
+        h AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+          FROM tk),
+        votes AS (
+          SELECT doc_id, j.j AS j,
+            sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+          GROUP BY doc_id, j.j),
+        sig AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
+          FROM votes GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, s, b.b AS band, (s >> (15 * b.b)) & 32767 AS bsig
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+            CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 5
+      """))
+  )
+}

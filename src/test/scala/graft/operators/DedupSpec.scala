@@ -98,6 +98,27 @@ class DedupSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 12)
   }
 
+  test("levenshtein blocked finds prefix-sharing near-dups with exact distances") {
+    val out = Dedup.levenshteinBlocked(docs, "doc_id", "text", prefixLen = 20, maxDist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1-5 exact (dist 0), 1-2 and 2-5 one-word edit (warm→cold = 4)
+    assert(out((1L, 5L)) == 0L)
+    assert(out((1L, 2L)) == 4L && out((2L, 5L)) == 4L)
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L },
+      "distinct docs must not pair")
+  }
+
+  test("portable simhash60: top 4 bits clear; identical text identical; near-dup close") {
+    val sh = Dedup.simhash60(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh.values.foreach(s => assert((s >>> 60) == 0L, "bits 60-63 must be clear"))
+    assert(sh(1L) == sh(5L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 12)
+    val pairs = Dedup.simhash60Pairs(docs, "doc_id", "text", maxHamming = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
   test("blocked ngram jaccard only compares within the blocking key") {
     val blocked = Seq(
       (1L, base, "s1"), (2L, nearDup, "s2"), // near-dups in DIFFERENT blocks
