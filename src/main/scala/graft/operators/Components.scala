@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -29,13 +31,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Edge lists small enough to solve on the driver (count, not bytes:
+    * 4M edges ≈ 64 MB as long pairs). Near-dup edge lists are usually
+    * orders of magnitude smaller than the corpus — the same size
+    * asymmetry broadcast joins exploit — so the common case pays one
+    * collect + exact union-find (microseconds) instead of
+    * diameter-bound rounds of driver-synchronized Spark jobs. Above the
+    * threshold the distributed label propagation below takes over.
+    */
+  private val DriverMaxEdges = 4L * 1000 * 1000
+
   /** @param pairs undirected edge list (one row per pair; direction and
     *   duplicates are normalized away here)
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -43,15 +56,41 @@ object Components {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Small-graph fast path: exact driver-side union-find. The count is
+    // against the persisted edge set (one cheap job that also warms the
+    // cache the distributed path would need anyway).
+    if (edges.count() <= driverMaxEdges) {
+      val labeled = driverUnionFind(
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      val spark = pairs.sparkSession
+      edges.unpersist(blocking = false)
+      import spark.implicits._
+      return spark.createDataset(labeled).toDF("node", "component")
+    }
+
     // Iterative dataflow MUST truncate lineage each round: chaining the
     // round-N plan onto round-N-1 doubles the logical tree per
     // iteration (2^rounds nodes — the first chain-graph test OOMed just
     // STRINGIFYING the plan). localCheckpoint materializes the round and
     // restarts the plan from the cached result; a cluster deployment
     // with executor churn would use reliable checkpoint() instead.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    //
+    // Truncating the PLAN is not enough: localCheckpoint carries the
+    // original plan's STATS through as LogicalRDD originStats, and this
+    // loop's self-joins make sizeInBytes a PRODUCT of the inputs — so
+    // the inherited estimate is raised to a constant power every round,
+    // its bit-length grows geometrically, and by round ~6 Catalyst's
+    // stats visitor is multiplying BigInts with millions of digits
+    // (observed: planning pinned a core for minutes at sf0.1).
+    // Rebuilding the frame from the checkpointed RDD resets stats to a
+    // round-independent constant.
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+    var labels = truncated(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true))
 
     var iter = 0
     var done = false
@@ -61,25 +100,33 @@ object Components {
         .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
         .select(col("src").as("node"), col("nbr_label"))
-      val propagated = labels
+      // checkpointed: the shortcut step below self-joins this twice, and
+      // Spark's self-join deduplication clones the subtree per side — an
+      // un-materialized propagate would re-run the edge join 4×
+      val propagated = truncated(labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true))
       // pointer jumping: follow the label one hop (label := label(label));
       // labels only ever decrease, so taking the hop unconditionally is
-      // safe and halves the remaining distance to the component min
-      val next = propagated
-        .join(
-          propagated.select(col("node").as("label"), col("label").as("hop_label")),
+      // safe and at least doubles the distance already covered. Two
+      // jumps per round — each is a self-join of the LABEL table (tiny
+      // next to the edge set) inside the same lineage, no extra action —
+      // so per round the covered distance roughly quadruples.
+      def shortcut(t: DataFrame): DataFrame = t
+        .join(t.select(col("node").as("label"), col("label").as("hop_label")),
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
-        .where(col("label") =!= col("old_label"))
-        .limit(1).count() > 0
-      labels = next
+      // carry the previous label through the checkpoint so convergence is
+      // a filter on materialized data, not another join
+      val next = truncated(
+        shortcut(shortcut(propagated))
+          .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
+          .localCheckpoint(true))
+      val changed = next.where(col("label") =!= col("old_label")).limit(1).count() > 0
+      labels = next.drop("old_label")
       done = !changed
       iter += 1
     }
@@ -87,6 +134,40 @@ object Components {
       "(pathological chain graph — use a log-round decomposition at this scale)")
     edges.unpersist(blocking = false)
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Exact union-find (path halving + union by rank), then one pass to
+    * relabel every component with its min member id — identical output
+    * contract to the distributed path.
+    */
+  private def driverUnionFind(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = mutable.HashMap.empty[Long, Long]
+    val rank = mutable.HashMap.empty[Long, Int]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (qa, qb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (qa < qb) parent(ra) = rb
+        else if (qa > qb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = qa + 1 }
+      }
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val minOfRoot = mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot.updateWith(r)(m => Some(math.min(m.getOrElse(n), n)))
+    }
+    parent.keys.toSeq.map(n => (n, minOfRoot(find(n))))
   }
 
   /** Duplicate-group summary: one row per component with its canonical
@@ -107,9 +188,14 @@ object Components {
   def dropNearDuplicates(
       corpus: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
-      .where(col("node") =!= col("component"))
-      .select(col("node"))
+    // explicit hint: the label table's stats are reset to the default
+    // (huge) estimate by the lineage truncation above, so Catalyst can't
+    // see that the loser set is small — without the hint the corpus side
+    // would shuffle
+    val losers = broadcast(
+      connectedComponents(pairs, aCol, bCol)
+        .where(col("node") =!= col("component"))
+        .select(col("node")))
     corpus.join(losers, corpus(idCol).cast("long") === losers("node"), "left_anti")
   }
 }

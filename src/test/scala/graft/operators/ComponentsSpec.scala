@@ -27,6 +27,19 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("distributed propagation path agrees with driver union-find") {
+    // random-ish graph incl. a long chain; driverMaxEdges = -1 forces the
+    // distributed path, default takes the union-find fast path
+    val edges = ((1L to 30L).map(i => (i, i + 1)) ++
+      Seq((100L, 200L), (200L, 300L), (41L, 40L), (1L, 31L))).toDF("a", "b")
+    val dist = Components.connectedComponents(edges, "a", "b", driverMaxEdges = -1)
+      .as[(Long, Long)].collect().toMap
+    val drv = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(dist == drv)
+    assert(drv((31L)) == 1L && drv(300L) == 100L && drv(41L) == 40L)
+  }
+
   test("dropNearDuplicates keeps untouched rows and one survivor per group") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z"))
       .toDF("id", "payload")
