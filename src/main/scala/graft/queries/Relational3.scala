@@ -203,6 +203,80 @@ object Relational3 {
           END AS approx_nd,
           max(rn) AS exact_nd
         FROM r GROUP BY l_returnflag
+      """)),
+
+    // ---- q80: window-function breadth — lead/lag, ntile, percent_rank
+    //      over a per-customer order timeline. Total order inside each
+    //      partition (date, then key) keeps every offset function
+    //      deterministic. ----
+    GraftQuery(
+      "q80_window_offsets",
+      (s, d) => {
+        val o = Tables.orders(s, d).where(col("o_custkey") < 100)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          lead(o_totalprice, 1) OVER w AS next_price,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pr
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      """)),
+
+    // ---- q81: correlation / covariance, engine-portable. Built-in
+    //      corr()/covar_samp() accumulate doubles in partition order and
+    //      can differ in the last ulp across engines; here every SUM is
+    //      decimal-exact and the closed-form combination runs in double
+    //      with the IDENTICAL operation order on both sides, so the
+    //      result is bit-reproducible regardless of partitioning. ----
+    GraftQuery(
+      "q81_corr_covar",
+      (s, d) => {
+        import graft.functions.Exact.dec2
+        val l = Tables.lineitem(s, d)
+        val x = dec2(col("l_quantity"))
+        val y = dec2(col("l_discount"))
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qd"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+              .as("covar_qd"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_returnflag, count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd,
+          (sxy - sx * sy / n) / (n - 1) AS covar_qd
+        FROM a
       """))
   )
 }
