@@ -108,9 +108,13 @@ object Relational2 {
     GraftQuery(
       "q25_provenance",
       (s, d) =>
+        // aggregate on the raw path first so the regexp runs once per
+        // FILE (post-agg) instead of once per ROW
         Tables.lineitem(s, d)
-          .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
-          .agg(count(lit(1)).as("n")),
+          .groupBy(input_file_name().as("path"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
+          .agg(sum(col("n")).as("n")),
       Some("""
         SELECT 'lineitem.parquet' AS file, count(*) AS n FROM lineitem
       """)),

@@ -277,6 +277,36 @@ object Relational3 {
             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd,
           (sxy - sx * sy / n) / (n - 1) AS covar_qd
         FROM a
+      """)),
+
+    // ---- q82: date/time function breadth — truncations, calendar
+    //      parts, epoch seconds. Session TZ is pinned UTC on both
+    //      engines so wall-clock derivations agree; day-of-week is
+    //      deliberately omitted (Spark 1=Sunday vs DuckDB 0=Sunday —
+    //      an engine-convention clash, not a semantics difference). ----
+    GraftQuery(
+      "q82_date_breadth",
+      (s, d) => {
+        val o = Tables.orders(s, d).where(col("o_custkey") < 30)
+        o.select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      },
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+          CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+          CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders WHERE o_custkey < 30
       """))
   )
 }

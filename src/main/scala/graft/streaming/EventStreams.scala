@@ -45,6 +45,20 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
 
+  /** Stream-static enrichment join: each event picks up its user's
+    * dimension attributes from a STATIC table. The static side is
+    * re-read per micro-batch against the current snapshot (Spark's
+    * contract for stream-static joins) and is explicitly broadcast —
+    * the stream side never shuffles, which is the only sane shape when
+    * the stream is the big side. Works unchanged on a static events
+    * frame (spec asserts stream ≡ batch).
+    */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      broadcast(userDim).withColumnRenamed("user_id", "dim_user_id"),
+      col("user_id") === col("dim_user_id"), "left_outer")
+      .drop("dim_user_id")
+
   /** Streaming deduplication: drop repeated event ids arriving within
     * the watermark horizon (exactly the at-least-once → effectively-once
     * ingest guard an LLM-data pipeline needs in front of its sinks).

@@ -41,6 +41,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  test("stream-static enrichment join: stream over files == batch") {
+    val batchEvents = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val userDim = batchEvents.groupBy($"user_id")
+      .agg(min($"ts").as("first_seen")) // deterministic per-user attribute
+    val staged = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    batchEvents.repartition(4).write.mode("overwrite").parquet(staged)
+
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val q = EventStreams.enrichedEvents(streamed, userDim)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("enrich_sink")
+    val want = EventStreams.enrichedEvents(batchEvents, userDim)
+    assertSameRows(got, want)
+    assert(got.where($"first_seen".isNull).count() == 0, "every event's user is in the dim")
+  }
+
   test("stream-stream attribution join: micro-batched streams == batch") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
