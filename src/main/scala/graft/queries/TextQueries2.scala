@@ -198,6 +198,35 @@ object TextQueries2 {
           FROM banded x JOIN banded y
             ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 5
+      """)),
+
+    // ---- q83: benchmark decontamination — corpus docs sharing an
+    //      8-gram with a (deterministic pseudo-)benchmark slice. The
+    //      benchmark gram set broadcasts; the corpus never shuffles
+    //      until the tiny per-doc count. ----
+    GraftQuery(
+      "q83_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.overlaps(
+          corpus = docs.where(col("doc_id") % 10 =!= 3),
+          bench = docs.where(col("doc_id") % 10 === 3),
+          "doc_id", "text", n = 8)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(tk) - 7),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                tk[i+4], tk[i+5], tk[i+6], tk[i+7])))) AS gram
+          FROM toks WHERE len(tk) >= 8),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 3),
+        corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 3)
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM corpus c JOIN bench b USING (gram)
+        GROUP BY c.doc_id
       """))
   )
 }
