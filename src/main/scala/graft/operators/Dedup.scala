@@ -152,12 +152,24 @@ object Dedup {
     val n = df.select(col(idCol).as("doc_id"), normalized(col(textCol)).as("nm"))
       .withColumn("blk", substring(col("nm"), 1, prefixLen))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Custom banded levenshtein (O(len·maxDist), early exit, codegen):
+    // Catalyst pushes the final distance filter into the join condition,
+    // so the distance runs for EVERY same-block hash match — the
+    // built-in's collation-aware path measured ~1 ms per ~300-char pair
+    // (seconds of wall for a few thousand matches); the banded kernel is
+    // ~µs. Returns -1 past the threshold, hence the between filter.
+    def lev(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.LevenshteinBanded(
+          org.apache.spark.sql.graft.ColumnBridge.expression(a),
+          org.apache.spark.sql.graft.ColumnBridge.expression(b),
+          maxDist))
     n.as("x").join(n.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
           abs(length(col("x.nm")) - length(col("y.nm"))) <= maxDist)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        levenshtein(col("x.nm"), col("y.nm")).cast("long").as("edit_dist"))
-      .where(col("edit_dist") <= maxDist)
+        lev(col("x.nm"), col("y.nm")).cast("long").as("edit_dist"))
+      .where(col("edit_dist").between(0, maxDist))
   }
 
   /** Engine-portable 60-bit SimHash: identical to [[simhash64]] but the
