@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayDotProduct, MinHashSig, MinHashSigFast, NormalizeVector, SimHash64}
+import graft.expressions.{ArrayDotProduct, KmvDistinct, LevenshteinBanded, MinHashSig, MinHashSigFast, NormalizeVector, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so the whole surface is reachable from
@@ -85,8 +85,33 @@ object GraftExtensions {
           }
           MinHashSigFast(hs, kv)
         case other => throw new IllegalArgumentException(s"graft_minhash_fast expects 2 arguments, got ${other.size}")
+      }),
+    ("graft_levenshtein",
+      info("graft_levenshtein",
+        "graft_levenshtein(a, b, k) - banded edit distance; -1 when it exceeds literal threshold k"),
+      {
+        case Seq(a, b, k) => LevenshteinBanded(a, b, literalInt("graft_levenshtein", "k", k))
+        case other => throw new IllegalArgumentException(s"graft_levenshtein expects 3 arguments, got ${other.size}")
+      }),
+    ("graft_kmv_distinct",
+      info("graft_kmv_distinct",
+        "graft_kmv_distinct(hash, k) - KMV bottom-k distinct estimate over bigint hashes (aggregate)"),
+      {
+        case Seq(h, k) => KmvDistinct(h, literalInt("graft_kmv_distinct", "k", k))
+        case other => throw new IllegalArgumentException(s"graft_kmv_distinct expects 2 arguments, got ${other.size}")
       })
   )
+
+  private def literalInt(fn: String, arg: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn $arg must be a literal (constant-foldable) integer, got a non-constant expression")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn $arg must be a literal integer, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
+    }
+  }
 
   /** Imperatively register on an EXISTING session (builder-time
     * `withExtensions` is silently dropped when `getOrCreate` returns a

@@ -37,4 +37,20 @@ class GraftExtensionsSpec extends SparkTestBase {
     val e = intercept[Exception](spark.sql("SELECT graft_dot(array(1d))").collect())
     assert(e.getMessage.contains("graft_dot"))
   }
+
+  test("graft_levenshtein from SQL: distance within k, -1 past it") {
+    val r = spark.sql("""
+      SELECT graft_levenshtein('kitten', 'sitting', 10) AS d1,
+             graft_levenshtein('kitten', 'sitting', 2) AS d2
+    """).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == -1)
+  }
+
+  test("graft_kmv_distinct aggregate from SQL is exact below k") {
+    val r = spark.sql("""
+      SELECT graft_kmv_distinct(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT), 64) AS nd
+      FROM range(0, 40)
+    """).head()
+    assert(r.getDouble(0) == 40.0)
+  }
 }
