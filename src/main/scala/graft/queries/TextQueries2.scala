@@ -227,6 +227,102 @@ object TextQueries2 {
         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
         FROM corpus c JOIN bench b USING (gram)
         GROUP BY c.doc_id
+      """)),
+
+    // ---- q84: within-document repetition ratio — the fraction of
+    //      3-gram slots occupied by repeats (a standard LLM-corpus
+    //      quality signal: high ratio = boilerplate/spam). Integer
+    //      counts, one final division. ----
+    GraftQuery(
+      "q84_repetition",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 3)
+          .select(col("doc_id"),
+            (size(col("tk")) - 2).cast("long").as("n_grams"),
+            size(shingles(col("tk"), 3)).cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+              .as("rep_ratio")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        g AS (
+          SELECT doc_id,
+            CAST(len(tk) - 2 AS BIGINT) AS n_grams,
+            CAST(len(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS BIGINT) AS n_distinct
+          FROM toks WHERE len(tk) >= 3)
+        SELECT doc_id, n_grams, n_distinct,
+          CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio
+        FROM g
+      """)),
+
+    // ---- q85: the end-to-end corpus-preparation pipeline — quality
+    //      gate (length + repetition), exact dedup (keep min doc_id per
+    //      fingerprint), benchmark decontamination — reporting the
+    //      per-language funnel. Each stage is an operator exercised
+    //      individually elsewhere (q31/q33/q83); this query is their
+    //      COMPOSITION, the shape a real training-data job ships. ----
+    GraftQuery(
+      "q85_corpus_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // stage 1: quality gate
+        val toks = docs.select(col("doc_id"), col("lang"), col("text"),
+          tokens(col("text")).as("tk"))
+        val quality = toks
+          .where(size(col("tk")) >= 10 && length(col("text")) <= 5000)
+          .where((size(col("tk")) - 2 - size(shingles(col("tk"), 3)))
+            .cast("double") / (size(col("tk")) - 2) < 0.5)
+        // stage 2: exact dedup — keep the min doc_id per fingerprint
+        val survivors = quality
+          .withColumn("fp", fingerprint(col("text")))
+          .withColumn("keep",
+            col("doc_id") === min(col("doc_id"))
+              .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .where(col("keep"))
+        // stage 3: decontamination against the pseudo-benchmark slice
+        val clean = graft.operators.Decontaminate.clean(
+          survivors.where(col("doc_id") % 10 =!= 3),
+          docs.where(col("doc_id") % 10 === 3),
+          "doc_id", "text", n = 8)
+        clean.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, text, regexp_extract_all(lower(text), '\S+') AS tk
+          FROM documents),
+        quality AS (
+          SELECT * FROM toks
+          WHERE len(tk) >= 10 AND len(text) <= 5000
+            AND CAST(len(tk) - 2 - len(list_distinct(list_transform(
+                  generate_series(1, len(tk) - 2),
+                  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS DOUBLE)
+                / (len(tk) - 2) < 0.5),
+        survivors AS (
+          SELECT * FROM (
+            SELECT doc_id, lang, text, tk,
+              min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS keep_id
+            FROM quality)
+          WHERE doc_id = keep_id),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(tk) - 7),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                tk[i+4], tk[i+5], tk[i+6], tk[i+7])))) AS gram
+          FROM toks WHERE len(tk) >= 8),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 3),
+        contaminated AS (
+          SELECT DISTINCT g.doc_id
+          FROM grams g JOIN bench b USING (gram)
+          WHERE g.doc_id % 10 <> 3)
+        SELECT lang, count(*) AS n_kept
+        FROM survivors s
+        WHERE s.doc_id % 10 <> 3
+          AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = s.doc_id)
+        GROUP BY lang
       """))
   )
 }
