@@ -58,32 +58,14 @@ object GraftExtensions {
     ("graft_minhash_sig",
       info("graft_minhash_sig", "graft_minhash_sig(shingles, k) - k salted-md5 minhash values of array<string>"),
       {
-        case Seq(sh, k) =>
-          if (!k.foldable)
-            throw new IllegalArgumentException(
-              "graft_minhash_sig k must be a literal (constant-foldable) integer, got a non-constant expression")
-          val kv = k.eval() match {
-            case n: java.lang.Number => n.intValue()
-            case other => throw new IllegalArgumentException(
-              s"graft_minhash_sig k must be a literal integer, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
-          }
-          MinHashSig(sh, kv)
+        case Seq(sh, k) => MinHashSig(sh, literalInt("graft_minhash_sig", "k", k))
         case other => throw new IllegalArgumentException(s"graft_minhash_sig expects 2 arguments, got ${other.size}")
       }),
     ("graft_minhash_fast",
       info("graft_minhash_fast",
         "graft_minhash_fast(hashes, k) - k multiply-add permutation minima of array<bigint> shingle hashes"),
       {
-        case Seq(hs, k) =>
-          if (!k.foldable)
-            throw new IllegalArgumentException(
-              "graft_minhash_fast k must be a literal (constant-foldable) integer, got a non-constant expression")
-          val kv = k.eval() match {
-            case n: java.lang.Number => n.intValue()
-            case other => throw new IllegalArgumentException(
-              s"graft_minhash_fast k must be a literal integer, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
-          }
-          MinHashSigFast(hs, kv)
+        case Seq(hs, k) => MinHashSigFast(hs, literalInt("graft_minhash_fast", "k", k))
         case other => throw new IllegalArgumentException(s"graft_minhash_fast expects 2 arguments, got ${other.size}")
       }),
     ("graft_levenshtein",

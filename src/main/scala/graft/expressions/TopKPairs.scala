@@ -66,11 +66,15 @@ case class TopKPairs(
   // rank it), and -0.0 == 0.0 (primitive ==) so ±0.0 ties break on id —
   // a JVM Ordering[Double] would get both wrong and silently diverge
   // from the window formulation this aggregate must match.
-  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    if (s1 == s2) i1 < i2
-    else if (java.lang.Double.isNaN(s1)) !java.lang.Double.isNaN(s2)
-    else if (java.lang.Double.isNaN(s2)) false
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(s1)
+    val n2 = java.lang.Double.isNaN(s2)
+    if (n1 && n2) i1 < i2 // equal-NaN scores tiebreak on id, like the window
+    else if (n1) true
+    else if (n2) false
+    else if (s1 == s2) i1 < i2
     else s1 > s2
+  }
 
   // Heap order: head is the WORST kept pair, so exceeding k pops the
   // right element (scala PriorityQueue is a max-heap; "greater" = worse).

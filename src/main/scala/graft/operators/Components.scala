@@ -31,15 +31,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
-  /** Edge lists small enough to solve on the driver (count, not bytes:
-    * 4M edges ≈ 64 MB as long pairs). Near-dup edge lists are usually
-    * orders of magnitude smaller than the corpus — the same size
-    * asymmetry broadcast joins exploit — so the common case pays one
-    * collect + exact union-find (microseconds) instead of
+  /** Edge lists small enough to solve on the driver. Budget honestly:
+    * 2M collected (Long, Long) tuples plus union-find HashMaps over up
+    * to 4M node entries is ~300-500 MB transient driver heap (boxing +
+    * map-entry overhead, not 16 bytes/edge), comfortably inside the
+    * default driver but far below where the distributed path is needed.
+    * Near-dup edge lists are usually orders of magnitude smaller than
+    * the corpus — the same size asymmetry broadcast joins exploit — so
+    * the common case pays one collect + exact union-find instead of
     * diameter-bound rounds of driver-synchronized Spark jobs. Above the
     * threshold the distributed label propagation below takes over.
     */
-  private val DriverMaxEdges = 4L * 1000 * 1000
+  private val DriverMaxEdges = 2L * 1000 * 1000
 
   /** @param pairs undirected edge list (one row per pair; direction and
     *   duplicates are normalized away here)
@@ -60,11 +63,11 @@ object Components {
     // against the persisted edge set (one cheap job that also warms the
     // cache the distributed path would need anyway).
     if (edges.count() <= driverMaxEdges) {
-      val labeled = driverUnionFind(
-        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
       val spark = pairs.sparkSession
-      edges.unpersist(blocking = false)
       import spark.implicits._
+      // typed collect: primitive-friendly tuple encoding, no Row boxing
+      val labeled = driverUnionFind(edges.as[(Long, Long)].collect())
+      edges.unpersist(blocking = false)
       return spark.createDataset(labeled).toDF("node", "component")
     }
 

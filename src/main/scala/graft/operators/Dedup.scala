@@ -60,6 +60,16 @@ object Dedup {
         concat_ws("", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), col("band") * rowsPerBand + r + 1)): _*).as("bsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifiedJaccardPairs(s, banded, tau)
+  }
+
+  /** Shared LSH tail: banded-signature self-join → distinct candidate
+    * pairs → exact-Jaccard verification against the staged shingle
+    * sets. Both MinHash families (salted-md5 oracle path and xxhash64
+    * fast path) end here, so an exactness fix reaches both.
+    */
+  private def verifiedJaccardPairs(
+      s: DataFrame, banded: DataFrame, tau: Double): DataFrame = {
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -106,19 +116,7 @@ object Dedup {
         xxhash64((col("band") +: (0 until rowsPerBand).map(r =>
           element_at(col("sig"), col("band") * rowsPerBand + r + 1))): _*).as("bsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val withSets = cand
-      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-    val (nInter, nUnion) = jaccardParts(col("sh_a"), col("sh_b"))
-    withSets
-      .select(col("doc_a"), col("doc_b"), nInter.as("n_inter"), nUnion.as("n_union"))
-      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
-      .where(col("jaccard") >= tau)
+    verifiedJaccardPairs(s, banded, tau)
   }
 
   /** 64-bit SimHash of the token array: majority vote per bit over
@@ -196,14 +194,24 @@ object Dedup {
     * (q79) replicates the banding itself rather than a full scan.
     */
   def simhash60Pairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 5): DataFrame = {
-    val sh = simhash60(df, idCol, textCol)
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 5): DataFrame =
+    hammingBandPairs(simhash60(df, idCol, textCol), bandBits = 15, maxHamming)
+
+  /** Shared SimHash tail: 4 band slices of the signature → bucket
+    * self-join → Hamming ≤ maxHamming via bit_count(xor). Used by both
+    * the xxhash64 (16-bit bands) and portable (15-bit bands) families.
+    */
+  private def hammingBandPairs(
+      sh: DataFrame, bandBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL)).as("bsig"))
+            shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask)).as("bsig"))
         }: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
+      // staged: both self-join sides (and the optimizer's isnotnull
+      // join-key filters) would otherwise recompute the simhash pipeline
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -218,25 +226,8 @@ object Dedup {
     * distance ≤ maxHamming via bit_count(xor).
     */
   def simhashPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 12): DataFrame = {
-    val sh = simhash64(df, idCol, textCol)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bsig"))
-        }: _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
-      // staged: both self-join sides (and the optimizer's isnotnull
-      // join-key filters) would otherwise recompute the simhash pipeline
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-  }
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 12): DataFrame =
+    hammingBandPairs(simhash64(df, idCol, textCol), bandBits = 16, maxHamming)
 
   /** Exact n-gram Jaccard pairs within a blocking key (the bounded-pairs
     * pattern: never a global cross join).

@@ -185,7 +185,10 @@ object Relational3 {
           .groupBy(col("l_returnflag"))
           .agg(
             kmvDistinct(col("h"), 256).as("approx_nd"),
-            countDistinct(col("l_partkey")).as("exact_nd"))
+            // distinct HASHES, not keys: the oracle's exact_nd (max(rn))
+            // counts distinct hash values, so a 60-bit collision must
+            // shift both sides identically
+            countDistinct(col("h")).as("exact_nd"))
       },
       Some("""
         WITH h AS (

@@ -283,8 +283,8 @@ object TextQueries2 {
         val metrics = docs.repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"), col("text"),
             size(tokens(col("text"))).cast("long").as("nt"),
-            (size(tokens(col("text"))) - 2).cast("long").as("ng"),
             size(shingles(tokens(col("text")), 3)).cast("long").as("nd"))
+          .withColumn("ng", col("nt") - 2) // derived, not a third tokenize
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         metrics.count() // materialize before the consumers race to fill the cache
         val quality = metrics

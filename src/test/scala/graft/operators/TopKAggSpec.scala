@@ -53,6 +53,15 @@ class TopKAggSpec extends SparkTestBase {
     assertSameRows(canon(viaAgg(df, 2)), canon(viaWindow(df, 2)))
   }
 
+  test("multiple NaN scores in one group tiebreak on id like the window") {
+    // two NaNs, k=1: the window (ORDER BY score DESC, id) keeps id=1;
+    // the aggregate must agree regardless of arrival/partition order
+    val df = Seq(("a", 2L, Double.NaN), ("a", 1L, Double.NaN), ("a", 3L, 99.0))
+      .toDF("g", "id", "score").repartition(3)
+    val got = viaAgg(df, 1).select($"id").as[Long].collect().toSet
+    assert(got == Set(1L), s"expected the min-id NaN row, got $got")
+  }
+
   test("null scores are skipped like SQL aggregates skip null input") {
     val df = Seq(("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(7.0)))
       .toDF("g", "id", "score")
