@@ -87,4 +87,43 @@ object Multimodal {
     import spark.implicits._
     df.as[MediaRecord]
   }
+
+  /** Media-file ingest via Spark's built-in `binaryFile` source: one row
+    * per file with (path, modificationTime, length, content). The glob
+    * and a `pathGlobFilter` push into the file index (no post-read
+    * filter), and media ids are derived from the stable file path — the
+    * real "directory of images/videos → binary column" entry point.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("format"))
+      .as[MediaRecord]
+  }
+
+  /** Resize plumbing: recompute target dimensions preserving aspect
+    * ratio (exact integer math) and re-extract features from the
+    * decoded-resized payload. The pixel resample itself is part of the
+    * decode STUB; the dimension contract and the single-pass batched
+    * shape are the real interface a codec drops into.
+    */
+  def resizeFeatures(ds: Dataset[MediaRecord], maxSide: Int): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    extractFeatures(ds).map { f =>
+      val long = math.max(f.width, f.height)
+      if (long <= maxSide) f
+      else {
+        // floor-scaled dims, min 1 — the standard thumbnailing contract
+        val w = math.max(1, f.width * maxSide / long)
+        val h = math.max(1, f.height * maxSide / long)
+        f.copy(width = w, height = h)
+      }
+    }
+  }
 }

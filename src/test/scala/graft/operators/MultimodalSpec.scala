@@ -42,4 +42,36 @@ class MultimodalSpec extends SparkTestBase {
     val frames = row.getSeq[Array[Byte]](1)
     assert(frames.forall(_.length == 256))
   }
+
+  test("binaryFile ingest: directory of media files -> typed records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array.fill[Byte](100)(1))
+    java.nio.file.Files.write(dir.resolve("b.png"), Array.fill[Byte](200)(2))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array.fill[Byte](10)(3))
+    val got = Multimodal.readBinaryDir(spark, dir.toString, glob = "*.{jpg,png}")
+      .collect().sortBy(_.payload.length)
+    assert(got.length == 2, "glob must filter at the file index")
+    assert(got.map(_.format).toSet == Set("jpg", "png"))
+    assert(got.map(_.payload.length).toSeq == Seq(100, 200))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinaryDir(spark, dir.toString, glob = "*.{jpg,png}")).collect()
+    assert(feats.length == 2 && feats.forall(_.features.length == 8))
+  }
+
+  test("resizeFeatures preserves aspect ratio, caps the long side, and is idempotent on small media") {
+    val ds = Multimodal.typedMedia(spark, Multimodal.withPayload(
+      Seq((1L, "x" * 500), (2L, "y" * 300)).toDF("id", "text"), "id", "text", "bin"))
+    val base = Multimodal.extractFeatures(ds).collect().map(f => f.media_id -> f).toMap
+    val resized = Multimodal.resizeFeatures(ds, maxSide = 64).collect()
+    resized.foreach { f =>
+      val b = base(f.media_id)
+      assert(math.max(f.width, f.height) <= math.max(64, math.max(b.width, b.height)))
+      if (math.max(b.width, b.height) > 64) {
+        assert(math.max(f.width, f.height) <= 64)
+        // aspect ratio preserved within integer-floor tolerance
+        assert(math.abs(f.width.toDouble / f.height - b.width.toDouble / b.height) <
+          1.0, s"aspect drifted: $f vs $b")
+      } else assert(f.width == b.width && f.height == b.height)
+    }
+  }
 }
