@@ -26,11 +26,23 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Fan a CPU-bound per-row stage across the cluster when the source
+    * arrives under-partitioned: a small corpus parquet file is ONE scan
+    * partition (maxPartitionBytes is a BYTE heuristic), which serializes
+    * tokenize/shingle/hash work on a single core. The repartition moves
+    * tiny bytes to unlock full-width compute; already-wide inputs pass
+    * through untouched.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct word-`n`-gram shingle sets per document (docs shorter than
     * `n` tokens are excluded — cross-engine concat-null semantics).
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    fanOut(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
 
@@ -125,7 +137,7 @@ object Dedup {
     * interpreted folds per document).
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    fanOut(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
       .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
       .withColumn("simhash",
@@ -147,7 +159,7 @@ object Dedup {
   def levenshteinBlocked(
       df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 20, maxDist: Int = 30): DataFrame = {
-    val n = df.select(col(idCol).as("doc_id"), normalized(col(textCol)).as("nm"))
+    val n = fanOut(df).select(col(idCol).as("doc_id"), normalized(col(textCol)).as("nm"))
       .withColumn("blk", substring(col("nm"), 1, prefixLen))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Custom banded levenshtein (O(len·maxDist), early exit, codegen):
@@ -178,7 +190,7 @@ object Dedup {
     * 60 bits. Same SimHash64 codegen kernel.
     */
   def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    fanOut(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
       .withColumn("hs", transform(col("toks"), t => hash60(t)))
       .withColumn("simhash",
