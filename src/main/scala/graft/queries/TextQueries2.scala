@@ -345,6 +345,73 @@ object TextQueries2 {
         WHERE s.doc_id % 10 <> 3
           AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = s.doc_id)
         GROUP BY lang
+      """)),
+
+    // ---- q86: deterministic train/val/test split — hash-threshold
+    //      assignment (reproducible across engines and runs, unlike
+    //      rand()-based randomSplit), stratification verified by the
+    //      per-lang counts. 90/5/5 on the hash fraction. ----
+    GraftQuery(
+      "q86_train_split",
+      (s, d) => {
+        val h = hash60(col("doc_id").cast("string")).cast("double") / lit(math.pow(2.0, 60))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(h < 0.9, "train").when(h < 0.95, "val").otherwise("test").as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, lang,
+            CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+              / 2.0 ** 60 AS frac
+          FROM documents)
+        SELECT lang,
+          CASE WHEN frac < 0.9 THEN 'train'
+               WHEN frac < 0.95 THEN 'val'
+               ELSE 'test' END AS split,
+          count(*) AS n_docs
+        FROM h GROUP BY lang, split
+      """)),
+
+    // ---- q87: sequence packing — assign documents (in id order) to
+    //      fixed-capacity context windows by cumulative token count
+    //      (the standard approximate-packing shape: bin = floor of the
+    //      pre-doc running total / capacity). Packing is PER LANGUAGE
+    //      shard: a global-order window funnels everything through one
+    //      partition, while shard-local packing is both what a real
+    //      pipeline does and embarrassingly parallel. ----
+    GraftQuery(
+      "q87_sequence_packing",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val capacity = 4096L
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("nt"))
+          .withColumn("cum_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+          // explicit floor: `/` is fractional in both engines and DuckDB's
+          // CAST(double AS BIGINT) ROUNDS where Spark truncates
+          .withColumn("bin", floor(col("cum_before") / capacity).cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS nt
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, nt,
+            COALESCE(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t)
+        SELECT lang, CAST(floor(cum_before / 4096) AS BIGINT) AS bin,
+          count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM c GROUP BY lang, bin
       """))
   )
 }
