@@ -6,7 +6,8 @@ package graft
 object Registry {
   def all: Seq[GraftQuery] =
     queries.Relational.queries ++ queries.Relational2.queries ++
-      queries.Relational3.queries ++ queries.TpchQueries.queries ++
+      queries.Relational3.queries ++ queries.Relational4.queries ++
+      queries.TpchQueries.queries ++
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
       queries.VectorQueries.queries ++ queries.EventQueries.queries ++
       queries.MultimodalQueries.queries
