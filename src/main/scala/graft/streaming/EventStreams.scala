@@ -59,6 +59,43 @@ object EventStreams {
       col("user_id") === col("dim_user_id"), "left_outer")
       .drop("dim_user_id")
 
+  /** Stream → keyed materialized view via foreachBatch: every
+    * micro-batch folds into a parquet table keeping the LATEST row per
+    * key (event-time desc, tiebreak column desc), written through the
+    * staged atomic replace sink so readers never observe a partial
+    * table. This is the production upsert-sink pattern for engines
+    * without a native MERGE sink: the batch function is transactional
+    * per micro-batch (a throw fails the batch and the checkpoint
+    * retries it), and the read-merge-swap is safe because the staged
+    * write materializes from the OLD table before the swap.
+    *
+    * At warehouse scale the inner merge would be a MERGE INTO against a
+    * table format; the dataflow (micro-batch ⋈ current state → latest
+    * per key → atomic publish) is identical.
+    */
+  def keyedUpsertSink(
+      events: DataFrame, keyCol: String, tsCol: String, seqCol: String,
+      tableDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          try Some(spark.read.parquet(tableDir)) catch {
+            case _: org.apache.spark.sql.AnalysisException => None // first batch
+          }
+        val all = current.map(_.unionByName(batch.toDF)).getOrElse(batch.toDF)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
+        val latest = all
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        graft.load.Load.replaceTable(spark, latest, tableDir).get
+        ()
+      }
+      .start()
+
   /** Streaming deduplication: drop repeated event ids arriving within
     * the watermark horizon (exactly the at-least-once → effectively-once
     * ingest guard an LLM-data pipeline needs in front of its sinks).
