@@ -48,15 +48,17 @@ object Ivf {
     */
   def build(
       df: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
-      lloydSteps: Int = 2): (DataFrame, DataFrame) = {
+      lloydSteps: Int = 2, farthestSeeding: Boolean = false): (DataFrame, DataFrame) = {
     require(lloydSteps >= 0, s"lloydSteps must be >= 0, got $lloydSteps")
     val p = prep(df, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
     // cid is just a deterministic cell id: the seed's own vid serves (no
     // global row_number window — an unpartitioned WindowExec funnels its
     // input, however small, through one partition). vid order == rank
     // order, so tie-breaks in `nearest` are unchanged.
-    val seeds = p.orderBy(col("vid")).limit(nCentroids)
-      .select(col("vid").as("cid"), col("v").as("cvec"))
+    val seeds =
+      if (farthestSeeding) farthestPointSeeds(p, nCentroids)
+      else p.orderBy(col("vid")).limit(nCentroids)
+        .select(col("vid").as("cid"), col("v").as("cvec"))
     // Lloyd iterations: assign → cell mean → renormalize. Each
     // iteration's centroids are persisted and materialized so the next
     // round's `nearest` broadcasts a computed table instead of
@@ -82,6 +84,68 @@ object Ivf {
     val assignments = nearest(p, centroids, keep = 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     (centroids, assignments)
+  }
+
+  /** Deterministic k-means++-style seeding: farthest-point traversal
+    * (the 2-approximation for k-center) over a hash-chosen sample. The
+    * sample is picked by md5-derived hash of the id (deterministic, not
+    * id-order-biased), capped so the driver does O(sample × k) dot
+    * products and the corpus never leaves the executors.
+    *
+    * OFF by default, by measurement: on the near-uniform fixture
+    * embeddings it LOWERS recall@10 vs first-k seeding (0.82→0.52 at
+    * sf0.001, 0.80→0.60 at sf0.01, nProbe=4) — k-center deliberately
+    * seeds on extreme points, the wrong objective for unclustered data
+    * where random-equivalent seeds are already well spread. Reach for
+    * it on corpora with strong natural clusters, where first-k can land
+    * every seed inside one dense cluster.
+    */
+  private def farthestPointSeeds(
+      p: DataFrame, nCentroids: Int, sampleSize: Int = 2048): DataFrame = {
+    val spark = p.sparkSession
+    val sample = p
+      .withColumn("h", graft.functions.TextFunctions.hash60(col("vid").cast("string")))
+      .orderBy(col("h"), col("vid")).limit(sampleSize)
+      .select(col("vid"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "cannot seed IVF from an empty corpus")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      sample.minBy(_._1)) // deterministic start: min id in the sample
+    // maxSim(i) = similarity of sample(i) to its closest chosen seed
+    val maxSim = Array.fill(sample.length)(-2.0)
+    while (chosen.length < math.min(nCentroids, sample.length)) {
+      val last = chosen.last._2
+      var bestIdx = -1
+      var bestVal = 2.0 // want the MIN max-similarity (farthest point)
+      var i = 0
+      while (i < sample.length) {
+        val s = dot(sample(i)._2, last)
+        if (s > maxSim(i)) maxSim(i) = s
+        // tie-break on id for determinism
+        if (!chosen.exists(_._1 == sample(i)._1) &&
+            (maxSim(i) < bestVal || (maxSim(i) == bestVal && bestIdx >= 0 &&
+              sample(i)._1 < sample(bestIdx)._1))) {
+          bestVal = maxSim(i); bestIdx = i
+        }
+        i += 1
+      }
+      if (bestIdx < 0) return toSeedsDf(spark, chosen.toSeq) // all points chosen
+      chosen += sample(bestIdx)
+    }
+    toSeedsDf(spark, chosen.toSeq)
+  }
+
+  private def toSeedsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      seeds: Seq[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    seeds.map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cvec")
   }
 
   /** Probe a PREBUILT index (from `build`) — the steady-state serving

@@ -22,6 +22,18 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("farthest-point seeding builds a deterministic, full-coverage index") {
+    val emb = Tables.embeddings(spark, sf)
+    val (c1, a1) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16,
+      farthestSeeding = true)
+    val (c2, _) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16,
+      farthestSeeding = true)
+    assert(c1.count() == 16)
+    assert(a1.count() == emb.count())
+    // deterministic: same seeds → same centroids across builds
+    assertSameRows(c1.select($"cid"), c2.select($"cid"))
+  }
+
   test("index build: every vector assigned to exactly one cell; cells nonempty-ish") {
     val emb = Tables.embeddings(spark, sf)
     val (centroids, assignments) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16)
