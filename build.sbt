@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks in ONE JVM; the 8g
+  // default showed GC-driven 2-3x slowdowns on cache-heavy queries late
+  // in the 88-query bench suite (the host has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
 // Pass the forked program's stdout straight through (no "[info] " logger
 // prefix) so harnesses can parse Bench's single JSON output line.
