@@ -24,13 +24,11 @@ object Decontaminate {
     * the CPU-bound tokenize/shingle single-core (same rationale as
     * Dedup.fanOut).
     */
-  private def gramsOf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val wide = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-    wide.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+  private def gramsOf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    graft.core.Partitioning.fanOut(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= n)
       .select(col("doc_id"), explode(shingles(col("tk"), n)).as("gram"))
-  }
 
   /** Corpus docs sharing ≥1 n-gram with the benchmark: (doc_id,
     * n_shared_grams). Docs with zero overlap don't appear (the common

@@ -26,17 +26,7 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Fan a CPU-bound per-row stage across the cluster when the source
-    * arrives under-partitioned: a small corpus parquet file is ONE scan
-    * partition (maxPartitionBytes is a BYTE heuristic), which serializes
-    * tokenize/shingle/hash work on a single core. The repartition moves
-    * tiny bytes to unlock full-width compute; already-wide inputs pass
-    * through untouched.
-    */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def fanOut(df: DataFrame): DataFrame = graft.core.Partitioning.fanOut(df)
 
   /** Distinct word-`n`-gram shingle sets per document (docs shorter than
     * `n` tokens are excluded — cross-engine concat-null semantics).

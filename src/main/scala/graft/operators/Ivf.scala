@@ -115,9 +115,14 @@ object Ivf {
       while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
       s
     }
+    val startIdx = sample.indices.minBy(sample(_)._1)
     val chosen = scala.collection.mutable.ArrayBuffer(
-      sample.minBy(_._1)) // deterministic start: min id in the sample
-    // maxSim(i) = similarity of sample(i) to its closest chosen seed
+      sample(startIdx)) // deterministic start: min id in the sample
+    val isChosen = new Array[Boolean](sample.length)
+    isChosen(startIdx) = true
+    // maxSim(i) = similarity of sample(i) to its closest chosen seed;
+    // O(sample × k) total — one dot per point per round, flag array for
+    // membership (a chosen.exists scan would make this O(sample × k²))
     val maxSim = Array.fill(sample.length)(-2.0)
     while (chosen.length < math.min(nCentroids, sample.length)) {
       val last = chosen.last._2
@@ -128,7 +133,7 @@ object Ivf {
         val s = dot(sample(i)._2, last)
         if (s > maxSim(i)) maxSim(i) = s
         // tie-break on id for determinism
-        if (!chosen.exists(_._1 == sample(i)._1) &&
+        if (!isChosen(i) &&
             (maxSim(i) < bestVal || (maxSim(i) == bestVal && bestIdx >= 0 &&
               sample(i)._1 < sample(bestIdx)._1))) {
           bestVal = maxSim(i); bestIdx = i
@@ -136,6 +141,7 @@ object Ivf {
         i += 1
       }
       if (bestIdx < 0) return toSeedsDf(spark, chosen.toSeq) // all points chosen
+      isChosen(bestIdx) = true
       chosen += sample(bestIdx)
     }
     toSeedsDf(spark, chosen.toSeq)

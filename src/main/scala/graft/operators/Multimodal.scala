@@ -102,15 +102,20 @@ object Multimodal {
       .select(
         xxhash64(col("path")).as("media_id"),
         col("content").as("payload"),
-        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("format"))
+        // lowercased so photo.JPG and photo.jpg dispatch as one media
+        // type; extensionless files get an explicit sentinel, not ""
+        when(col("path").rlike("\\.[A-Za-z0-9]+$"),
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
+          .otherwise("unknown").as("format"))
       .as[MediaRecord]
   }
 
   /** Resize plumbing: recompute target dimensions preserving aspect
-    * ratio (exact integer math) and re-extract features from the
-    * decoded-resized payload. The pixel resample itself is part of the
-    * decode STUB; the dimension contract and the single-pass batched
-    * shape are the real interface a codec drops into.
+    * ratio (exact integer math). ONLY the dimension contract is real —
+    * `features` and `n_bytes` still describe the SOURCE payload, because
+    * producing resized pixels is the decode stub's job; a real codec
+    * implementation would decode-resize-re-extract inside the same
+    * batched pass (and this signature doesn't need to change for that).
     */
   def resizeFeatures(ds: Dataset[MediaRecord], maxSide: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._

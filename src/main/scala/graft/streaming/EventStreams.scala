@@ -81,10 +81,13 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val current =
-          try Some(spark.read.parquet(tableDir)) catch {
-            case _: org.apache.spark.sql.AnalysisException => None // first batch
-          }
+        // genuine first-batch = the table path does not exist. Anything
+        // else (corrupt table, failed prior swap leaving __old behind)
+        // must THROW so the batch fails and retries, not silently reset
+        // the accumulated view to this batch's rows.
+        val dest = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val current = if (fs.exists(dest)) Some(spark.read.parquet(tableDir)) else None
         val all = current.map(_.unionByName(batch.toDF)).getOrElse(batch.toDF)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
