@@ -43,4 +43,29 @@ class PlanAssertionsSpec extends SparkTestBase {
     val p = plan("q43_embedding_neardup")
     assert(p.contains("graft_dot"), "codegen kernel fell out of the plan")
   }
+
+  test("q60/q72: EXISTS shapes decorrelate to semi joins, not inner+distinct") {
+    val p60 = plan("q60_tpch4_exists")
+    assert(p60.contains("LeftSemi"), "q60 must plan a left-semi join")
+    val p72 = plan("q72_tpch20_nested")
+    assert(p72.contains("LeftSemi"), "q72 must plan a left-semi join")
+  }
+
+  test("q68/q73: NOT-IN / NOT-EXISTS shapes plan as anti joins") {
+    assert(plan("q68_tpch16_suppcnt").contains("LeftAnti"), "q68 must plan a left-anti join")
+    assert(plan("q73_tpch22_antijoin").contains("LeftAnti"), "q73 must plan a left-anti join")
+  }
+
+  test("q83: benchmark gram set broadcasts; corpus side has no sort-merge join") {
+    val p = plan("q83_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "bench grams must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle-sort against the bench grams")
+  }
+
+  test("q76: banded levenshtein kernel present; block join is a hash join") {
+    val p = plan("q76_dedup_levenshtein")
+    assert(p.contains("graft_levenshtein"), "banded kernel fell out of the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "prefix blocking must keep the pair join an equi hash join")
+  }
 }

@@ -28,6 +28,19 @@ class KmvDistinctSpec extends SparkTestBase {
     assert(math.abs(est1 - n) < 5 * se, s"estimate $est1 too far from $n")
   }
 
+  test("sketch union == sketch of union (mergeability, the cross-day property)") {
+    // estimate(A ∪ B) computed by merging partial sketches must equal
+    // the single-pass estimate — this is what makes per-partition /
+    // per-day sketches safely combinable without rescanning
+    val a = (1 to 5000).map(_.toString).toDF("v").select(hash60(col("v")).as("h"))
+    val b = (2500 to 9000).map(_.toString).toDF("v").select(hash60(col("v")).as("h"))
+    val merged = a.union(b).repartition(7)
+      .agg(kmvDistinct(col("h"), 128)).first().getDouble(0)
+    val onePass = a.union(b).repartition(1)
+      .agg(kmvDistinct(col("h"), 128)).first().getDouble(0)
+    assert(merged == onePass)
+  }
+
   test("null hashes are skipped; empty input estimates zero") {
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
       .select(when(col("v").isNotNull, hash60(col("v"))).as("h"))
