@@ -10,6 +10,7 @@ object Registry {
       queries.TpchQueries.queries ++
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
       queries.VectorQueries.queries ++ queries.EventQueries.queries ++
+      queries.EventQueries2.queries ++
       queries.MultimodalQueries.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

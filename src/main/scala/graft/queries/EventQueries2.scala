@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+
+/** Event-analytics extensions: ordered funnel conversion (q91) and
+  * weekly cohort retention (q92) — the product-analytics shapes an
+  * events table exists to answer. Both reduce to joins + conditional
+  * aggregation (no sessionization state), and both keep timestamps
+  * internal (only counts/dates/offsets are output, per the
+  * cross-engine comparison rules).
+  */
+object EventQueries2 {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q91: strictly-ordered funnel view → click → purchase. Each
+    //      stage's entry time is the user's first qualifying event
+    //      AFTER the previous stage (not just "did both ever happen").
+    //      Stage frames broadcast (one row per user). ----
+    GraftQuery(
+      "q91_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.where(col("event_type") === "click")
+          .join(broadcast(v), Seq("user_id"))
+          .where(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.where(col("event_type") === "purchase")
+          .join(broadcast(c), Seq("user_id"))
+          .where(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_click_after_view"))).crossJoin(
+          p.agg(count(lit(1)).as("n_purchase_after_click")))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click_after_view,
+               (SELECT count(*) FROM p) AS n_purchase_after_click
+      """)),
+
+    // ---- q92: weekly cohort retention — users grouped by first-seen
+    //      week, counted in each later week they were active. Week
+    //      offsets are exact (both sides truncate to week starts, so
+    //      day deltas are multiples of 7). ----
+    GraftQuery(
+      "q92_retention",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val firstSeen = e.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+        val active = e
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        active.join(broadcast(firstSeen), Seq("user_id"))
+          .groupBy(
+            col("cohort_w").cast("date").as("cohort_week"),
+            (datediff(col("w"), col("cohort_w")) / 7).cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        WITH firstSeen AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        SELECT CAST(cohort_w AS DATE) AS cohort_week,
+          CAST(date_diff('day', cohort_w, w) / 7 AS BIGINT) AS week_offset,
+          count(DISTINCT user_id) AS n_users
+        FROM active JOIN firstSeen USING (user_id)
+        GROUP BY cohort_week, week_offset
+      """))
+  )
+}
