@@ -96,6 +96,36 @@ object Relational4 {
         FROM n a JOIN n b
           ON a.grp IS NOT DISTINCT FROM b.grp AND a.n_nationkey < b.n_nationkey
         GROUP BY a.grp
+      """)),
+
+    // ---- q93: scalar string-function breadth — pad/translate/repeat/
+    //      reverse/instr/split_part over part names (q15 covers
+    //      trim/case/concat; this fills the rest of the everyday string
+    //      toolbox). substring_index(s, d, n) ≡ DuckDB split_part for
+    //      one field when n picks a single delimiter slot. ----
+    GraftQuery(
+      "q93_string_breadth",
+      (s, d) =>
+        Tables.part(s, d).where(col("p_partkey") < 200)
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+            rpad(col("p_type"), 10, ".").as("type_rpad"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("name_voweled"),
+            repeat(left(col("p_name"), lit(2)), 3).as("prefix_x3"),
+            reverse(col("p_name")).as("name_rev"),
+            substring_index(col("p_name"), " ", 1).as("first_word"),
+            instr(col("p_name"), "e").cast("long").as("first_e")),
+      Some("""
+        SELECT p_partkey,
+          lpad(p_brand, 12, '*') AS brand_lpad,
+          rpad(p_type, 10, '.') AS type_rpad,
+          translate(p_name, 'aeiou', 'AEIOU') AS name_voweled,
+          repeat(left(p_name, 2), 3) AS prefix_x3,
+          reverse(p_name) AS name_rev,
+          split_part(p_name, ' ', 1) AS first_word,
+          CAST(instr(p_name, 'e') AS BIGINT) AS first_e
+        FROM part WHERE p_partkey < 200
       """))
   )
 }
