@@ -285,8 +285,10 @@ object TextQueries2 {
             size(tokens(col("text"))).cast("long").as("nt"),
             size(shingles(tokens(col("text")), 3)).cast("long").as("nd"))
           .withColumn("ng", col("nt") - 2) // derived, not a third tokenize
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        metrics.count() // materialize before the consumers race to fill the cache
+          // eager localCheckpoint: materializes once (no consumer race)
+          // AND truncates the plan, so the stages downstream compile
+          // against a leaf instead of re-deriving the tokenize pipeline
+          .localCheckpoint(true)
         val quality = metrics
           .where(col("nt") >= 10 && length(col("text")) <= 5000 &&
             (col("ng") - col("nd")).cast("double") / col("ng") < 0.5)
@@ -303,8 +305,7 @@ object TextQueries2 {
               .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
           .where(col("keep"))
           .select(col("doc_id"), col("lang"), col("text"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        survivors.count() // ditto: two decontamination consumers below
+          .localCheckpoint(true) // ditto: two decontamination consumers below
         // stage 3: decontamination against the pseudo-benchmark slice
         val clean = graft.operators.Decontaminate.clean(
           survivors.where(col("doc_id") % 10 =!= 3),
