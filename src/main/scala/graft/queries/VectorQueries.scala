@@ -25,27 +25,67 @@ object VectorQueries {
       |          list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
       |        FROM e)""".stripMargin
 
-  /** DuckDB replica of Similarity.lshTopK: same plane family (via
-    * Similarity.planeSigns), same sequential-fold projections, same
-    * bucket join, same exact re-score. Generated, not handwritten —
-    * the plane literals are ~6 KB of ±1 arrays.
+  /** SQL fragments replicating Similarity's md5-derived hyperplane LSH
+    * in DuckDB: identical plane family (via Similarity.planeSigns),
+    * identical sequential-fold projections, identical b-bit sign-mask
+    * buckets. Generated, not handwritten — the plane literals are ~6 KB
+    * of ±1 arrays. Shared by the lshTopK oracle (q42) and the
+    * approximate near-dup oracles (q94/q95).
+    */
+  private def planeLitSql(t: Int, p: Int, dims: Int): String =
+    Similarity.planeSigns(t, p, dims)
+      .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private def foldSql(vExpr: String, wExpr: String, dims: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $dims), i -> $vExpr[i] * $wExpr[i]), (a, b) -> a + b)"
+
+  private def bucketSql(vExpr: String, t: Int, bits: Int, dims: Int): String =
+    (0 until bits).map(p =>
+      s"(CASE WHEN ${foldSql(vExpr, s"(${planeLitSql(t, p, dims)})", dims)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** UNION ALL legs computing (vec_id, v, tbl, bucket) per hash table —
+    * requires a CTE `e(vec_id, v)` in scope.
+    */
+  private def bucketLegsSql(tables: Int, bits: Int, dims: Int): String =
+    (0 until tables).map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucketSql("v", t, bits, dims)} AS bucket FROM e")
+      .mkString("\nUNION ALL\n")
+
+  /** CTE chain replicating Similarity.nearDupPairsApprox end to end:
+    * buckets → distinct candidate pairs (id_a < id_b sharing any
+    * (table, bucket)) → exact cosine verification on the unit-normalized
+    * vectors. Terminal CTE: aprs(id_a, id_b, sim).
+    */
+  private def approxPairsCtes(tau: Double, tables: Int, bits: Int, dims: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       nrmx AS (SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
+         FROM e),
+       bk AS (
+         ${bucketLegsSql(tables, bits, dims)}),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM bk x JOIN bk y
+           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       aprs AS (
+         SELECT * FROM (
+           SELECT cand.id_a, cand.id_b,
+             ${foldSql("a.vn", "b.vn", dims)} AS sim
+           FROM cand
+           JOIN nrmx a ON a.vec_id = cand.id_a
+           JOIN nrmx b ON b.vec_id = cand.id_b) t
+         WHERE sim >= $tau)"""
+
+  /** DuckDB replica of Similarity.lshTopK — full algorithm, so the
+    * approximate result hash-matches bit-for-bit.
     */
   private def lshOracleSql(tables: Int, bits: Int, dims: Int, k: Int): String = {
-    def planeLit(t: Int, p: Int): String =
-      Similarity.planeSigns(t, p, dims)
-        .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    def fold(vExpr: String, wExpr: String): String =
-      s"list_reduce(list_transform(generate_series(1, $dims), i -> $vExpr[i] * $wExpr[i]), (a, b) -> a + b)"
-    def bucket(vExpr: String, t: Int): String =
-      (0 until bits).map(p =>
-        s"(CASE WHEN ${fold(vExpr, s"(${planeLit(t, p)})")} > 0 THEN ${1 << p} ELSE 0 END)")
-        .mkString(" + ")
-    val bucketLegs = (0 until tables).map(t =>
-      s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM e").mkString("\nUNION ALL\n")
+    def fold(vExpr: String, wExpr: String): String = foldSql(vExpr, wExpr, dims)
     s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
       bk AS (
-        $bucketLegs),
+        ${bucketLegsSql(tables, bits, dims)}),
       q AS (SELECT vec_id AS query_id, tbl, bucket FROM bk WHERE vec_id < 5),
       cand AS (
         SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
@@ -250,6 +290,48 @@ object VectorQueries {
         losers AS (SELECT node FROM comp WHERE node <> component)
         SELECT vec_id, label FROM e
         WHERE vec_id NOT IN (SELECT node FROM losers)
+      """)),
+
+    // ---- q94: the APPROXIMATE near-dup kernel — the one that survives
+    //      100 TB (bucket equi-join candidates, never O(N²)) — oracle-
+    //      checked end to end with the q42 technique: the DuckDB SQL
+    //      embeds the identical md5-derived plane literals and replicates
+    //      buckets → distinct candidates → exact cosine verify, so the
+    //      approximate result hash-matches bit-for-bit ----
+    GraftQuery(
+      "q94_neardup_approx",
+      (s, d) => Similarity.nearDupPairsApprox(
+        Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
+        tables = 8, bits = 4),
+      Some(s"""
+        WITH ${approxPairsCtes(tau = 0.4, tables = 8, bits = 4, dims = 64)}
+        SELECT id_a, id_b, sim FROM aprs
+      """)),
+
+    // ---- q95: duplicate clustering over the APPROXIMATE pairs — the
+    //      full 100 TB dedup chain (LSH candidates → verify → connected
+    //      components), oracle-checked: the recursive transitive-closure
+    //      CTE runs over the replicated approximate pair set ----
+    GraftQuery(
+      "q95_clusters_approx",
+      (s, d) => {
+        val pairs = Similarity.nearDupPairsApprox(
+          Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
+          tables = 8, bits = 4)
+        graft.operators.Components.dupGroups(pairs, "id_a", "id_b")
+      },
+      Some(s"""
+        WITH RECURSIVE ${approxPairsCtes(tau = 0.4, tables = 8, bits = 4, dims = 64)},
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM aprs
+          UNION SELECT id_b, id_a FROM aprs),
+        reach(node, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, edges.d FROM reach JOIN edges ON edges.s = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT component AS keep_id, count(*) AS n_members
+        FROM comp GROUP BY component
       """))
   )
 }
