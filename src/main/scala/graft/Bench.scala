@@ -34,7 +34,13 @@ object Bench {
           org.apache.spark.sql.functions.col("l_quantity")))
       .write.format("noop").mode("overwrite").save()
 
-    val results = Registry.all.map { q =>
+    // Dev-only subset filter (unset in the driver's run → all queries):
+    // SPARK_GRAFT_ONLY=q85_corpus_pipeline,q58_json_schema
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(Registry.all)(names => Registry.all.filter(q => names(q.name)))
+
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }

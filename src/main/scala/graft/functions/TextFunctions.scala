@@ -20,11 +20,35 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Lowercased non-whitespace token runs (no empty tokens — mirrors
-    * `regexp_extract_all(lower(x), '\S+')` in the oracle).
+    * `regexp_extract_all(lower(x), '\S+')` in the oracle). Fused
+    * byte-scan kernel (expressions.TokenArray): identical output to the
+    * regex formulation — the \s byte-class equivalence argument lives on
+    * TokenShingles — at a fraction of the per-row cost.
     */
-  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TokenArray(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
-  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+  /** Token count without materializing the token array (zero-alloc
+    * scan). Null text → null (the regex formulation's size(null) → -1
+    * never occurs: fixture text is non-null, and the DuckDB oracles'
+    * len(...) would disagree on nulls anyway).
+    */
+  def tokenCount(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TokenCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Distinct word n-gram shingles straight from raw text — the fused
+    * lowercase→tokenize→shingle→distinct kernel (one pass, inside
+    * codegen). Equals `shingles(tokens(c), n)` wherever that is defined
+    * (≥ n tokens) and the empty array below (no guard needed).
+    */
+  def textShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TokenShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
 
   /** BPE-style pre-tokenization pattern (GPT-2-shaped, ASCII-simplified
     * and RE2-compatible — no lookahead, so the IDENTICAL pattern runs in

@@ -26,9 +26,8 @@ object Decontaminate {
     */
   private def gramsOf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     graft.core.Partitioning.fanOut(df)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) >= n)
-      .select(col("doc_id"), explode(shingles(col("tk"), n)).as("gram"))
+      .select(col(idCol).as("doc_id"),
+        explode(textShingles(col(textCol), n)).as("gram"))
 
   /** Corpus docs sharing ≥1 n-gram with the benchmark: (doc_id,
     * n_shared_grams). Docs with zero overlap don't appear (the common

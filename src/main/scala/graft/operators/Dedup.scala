@@ -32,9 +32,9 @@ object Dedup {
     * `n` tokens are excluded — cross-engine concat-null semantics).
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    fanOut(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
+    fanOut(df).select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .where(tokenCount(col("txt")) >= n) // cheap zero-alloc pre-filter
+      .select(col("doc_id"), textShingles(col("txt"), n).as("sh"))
 
   /** MinHash + LSH near-dup pairs, exact-verified.
     *
@@ -251,9 +251,9 @@ object Dedup {
     // formulation would recompute the tokenize→shingle pipeline per
     // consumer (measured 2× the whole query's cost). At cluster scale
     // this stage would be a checkpoint/staging table.
-    val s = df.select(col(idCol).as("doc_id"), col(blockCol).as("blk"), tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), col("blk"), shingles(col("toks"), n).as("sh"))
+    val s = df.select(col(idCol).as("doc_id"), col(blockCol).as("blk"), col(textCol).as("txt"))
+      .where(tokenCount(col("txt")) >= n)
+      .select(col("doc_id"), col("blk"), textShingles(col("txt"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One shuffle on (block, gram): gather each gram's doc list and

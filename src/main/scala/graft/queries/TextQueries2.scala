@@ -237,11 +237,10 @@ object TextQueries2 {
       "q84_repetition",
       (s, d) =>
         Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("tk"))
-          .where(size(col("tk")) >= 3)
+          .where(tokenCount(col("text")) >= 3) // cheap zero-alloc scan
           .select(col("doc_id"),
-            (size(col("tk")) - 2).cast("long").as("n_grams"),
-            size(shingles(col("tk"), 3)).cast("long").as("n_distinct"))
+            (tokenCount(col("text")) - 2).as("n_grams"),
+            size(textShingles(col("text"), 3)).cast("long").as("n_distinct"))
           .select(col("doc_id"), col("n_grams"), col("n_distinct"),
             ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
               .as("rep_ratio")),
@@ -282,21 +281,28 @@ object TextQueries2 {
         // cluster (bytes are tiny, compute is not)
         val metrics = docs.repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"), col("text"),
-            size(tokens(col("text"))).cast("long").as("nt"),
-            size(shingles(tokens(col("text")), 3)).cast("long").as("nd"))
+            tokenCount(col("text")).as("nt"),
+            size(textShingles(col("text"), 3)).cast("long").as("nd"))
           .withColumn("ng", col("nt") - 2) // derived, not a third tokenize
-          // eager localCheckpoint: materializes once (no consumer race)
-          // AND truncates the plan, so the stages downstream compile
-          // against a leaf instead of re-deriving the tokenize pipeline
-          .localCheckpoint(true)
+          // LAZY localCheckpoint: truncates the plan at call time (the
+          // quality filter below compiles against a LogicalRDD leaf, so
+          // the predicate can't be pushed into/re-evaluate the tokenize
+          // projection) but materializes only when the single terminal
+          // action runs — the whole pipeline is ONE job, not three
+          // (measured 17.9 s cold / 4.6 s warm as 3 eager actions →
+          // one action total at sf0.1; see stage-2 note)
+          .localCheckpoint(false)
         val quality = metrics
           .where(col("nt") >= 10 && length(col("text")) <= 5000 &&
             (col("ng") - col("nd")).cast("double") / col("ng") < 0.5)
         // stage 2: exact dedup — keep the min doc_id per fingerprint.
-        // Staged (persist): the decontamination stage consumes survivors
-        // TWICE (gram extraction + the final anti-join) and the chain
-        // above it carries a tokenize + shingle + window — measured 9.2s
-        // unstaged vs ~2s staged at sf0.1. At cluster scale this stage
+        // Staged: the decontamination stage consumes survivors TWICE
+        // (gram extraction + the final anti-join) and the chain above it
+        // carries a tokenize + shingle + window — measured 9.2s unstaged
+        // vs ~2s staged at sf0.1. The checkpoint RDD is persisted on
+        // first compute, so the two consumer stages of the one terminal
+        // job share it exactly like an eager persist+count, minus the
+        // extra driver-synchronized actions. At cluster scale this stage
         // boundary is where a checkpoint/staging table goes.
         val survivors = quality
           .withColumn("fp", fingerprint(col("text")))
@@ -305,7 +311,13 @@ object TextQueries2 {
               .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
           .where(col("keep"))
           .select(col("doc_id"), col("lang"), col("text"))
-          .localCheckpoint(true) // ditto: two decontamination consumers below
+          // explicit width: AQE coalesces the window's small-BYTES
+          // shuffle output to ~1 partition, which would serialize the
+          // CPU-heavy 8-gram explode downstream on one core (bytes are
+          // a bad proxy for compute here); a user-specified repartition
+          // is exempt from AQE coalescing
+          .repartition(s.sparkContext.defaultParallelism)
+          .localCheckpoint(false) // ditto: two decontamination consumers below
         // stage 3: decontamination against the pseudo-benchmark slice
         val clean = graft.operators.Decontaminate.clean(
           survivors.where(col("doc_id") % 10 =!= 3),
