@@ -11,9 +11,29 @@ object Partitioning {
     * tokenize/shingle/hash/dot-product work on a single core. Bytes are
     * tiny in that regime, compute is not, so the repartition is pure
     * win; already-wide inputs pass through untouched.
+    *
+    * The width decision comes from OPTIMIZER STATS (file-listing bytes
+    * over `spark.sql.files.maxPartitionBytes` — the same arithmetic the
+    * scan planner applies), NOT from `df.rdd.getNumPartitions`: the RDD
+    * conversion forces a full physical planning pass that the actual
+    * execution then repeats, and for post-shuffle plans it reports the
+    * pre-AQE partition count anyway. Consequence of using stats: the
+    * helper is only meaningful directly over file scans (where stats
+    * are real listing bytes). Post-shuffle/checkpoint inputs carry
+    * estimated stats — a huge estimate makes fanOut a no-op (safe), a
+    * tiny inherited estimate costs one extra exchange of tiny data
+    * (harmless). At the 100 TB design point scans are naturally wide
+    * (size ≫ maxPartitionBytes · parallelism) and this is a no-op.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes = // value may carry a unit suffix ("128MB"/"...b")
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+      catch { case _: Exception => 134217728L }
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estScanPartitions = (estBytes / maxPartitionBytes).toLong + 1
+    if (estScanPartitions < target) df.repartition(target) else df
   }
 }

@@ -279,19 +279,18 @@ object TextQueries2 {
         // partition, which serializes this CPU-bound tokenize/shingle
         // stage on one core; a cheap repartition fans it across the
         // cluster (bytes are tiny, compute is not)
-        val metrics = docs.repartition(s.sparkContext.defaultParallelism)
+        // stage-1 history: with the interpreted regex/HOF shingle chain
+        // this projection needed a checkpoint barrier (predicate pushdown
+        // inlined the aliases and re-evaluated the chain per conjunct —
+        // measured ~15× slower). The fused TokenCount/TokenShingles
+        // kernels are cheap enough that the inlined single Filter is now
+        // the FASTER shape (no checkpoint serialization of every doc),
+        // so the barrier is gone and Catalyst is left alone.
+        val metrics = graft.core.Partitioning.fanOut(docs)
           .select(col("doc_id"), col("lang"), col("text"),
             tokenCount(col("text")).as("nt"),
             size(textShingles(col("text"), 3)).cast("long").as("nd"))
           .withColumn("ng", col("nt") - 2) // derived, not a third tokenize
-          // LAZY localCheckpoint: truncates the plan at call time (the
-          // quality filter below compiles against a LogicalRDD leaf, so
-          // the predicate can't be pushed into/re-evaluate the tokenize
-          // projection) but materializes only when the single terminal
-          // action runs — the whole pipeline is ONE job, not three
-          // (measured 17.9 s cold / 4.6 s warm as 3 eager actions →
-          // one action total at sf0.1; see stage-2 note)
-          .localCheckpoint(false)
         val quality = metrics
           .where(col("nt") >= 10 && length(col("text")) <= 5000 &&
             (col("ng") - col("nd")).cast("double") / col("ng") < 0.5)
@@ -311,13 +310,12 @@ object TextQueries2 {
               .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
           .where(col("keep"))
           .select(col("doc_id"), col("lang"), col("text"))
-          // explicit width: AQE coalesces the window's small-BYTES
-          // shuffle output to ~1 partition, which would serialize the
-          // CPU-heavy 8-gram explode downstream on one core (bytes are
-          // a bad proxy for compute here); a user-specified repartition
-          // is exempt from AQE coalescing
-          .repartition(s.sparkContext.defaultParallelism)
-          .localCheckpoint(false) // ditto: two decontamination consumers below
+          // (no repartition here: AQE byte-coalescing only narrows this
+          // when the survivor set is small — exactly when the downstream
+          // 8-gram explode is cheap; at corpus scale the window output
+          // stays wide on its own. Measured locally: the extra exchange
+          // cost more than the single-core explode it prevented.)
+          .localCheckpoint(false) // two decontamination consumers below
         // stage 3: decontamination against the pseudo-benchmark slice
         val clean = graft.operators.Decontaminate.clean(
           survivors.where(col("doc_id") % 10 =!= 3),
