@@ -213,7 +213,11 @@ object Dedup {
         }: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
       // staged: both self-join sides (and the optimizer's isnotnull
-      // join-key filters) would otherwise recompute the simhash pipeline
+      // join-key filters) would otherwise recompute the simhash pipeline.
+      // Re-measured at sf0.1 (round 3): with vs without persist is
+      // inside run-to-run noise locally (±0.3 s, opposite signs on
+      // q36/q79); kept because the recompute it prevents grows with the
+      // corpus while the banded table stays 4 rows/doc.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&

@@ -131,7 +131,9 @@ object Relational3 {
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType)))
-        Tables.events(s, d)
+        // single-file scan → one partition; the per-row JSON parse is
+        // CPU-bound, so widen first (no-op on a naturally-wide scan)
+        graft.core.Partitioning.fanOut(Tables.events(s, d))
           .withColumn("p", from_json(col("props"), schema))
           .select(col("event_type"), col("p.k").as("k"))
           .withColumn("k_parity", (col("k") % 2).cast("long"))
