@@ -70,6 +70,63 @@ object Load {
       if (hadPrev) fs.delete(backup, true)
       LoadReport(rows, destination)
     }
+    report(result, destination)
+  }
+
+  /** K2/K3 against a CATALOG TABLE — the shape a warehouse deployment
+    * uses (the reference's destination is a warehouse table:
+    * `database_util.py:39` TRUNCATE + `:42-49` bulk load + `:57`
+    * ROLLBACK). Same contract as [[replaceTable]], delivered through
+    * the session catalog instead of a path:
+    *
+    *  - the new contents are FULLY written to a staging table first —
+    *    a mid-write failure leaves the destination untouched (the
+    *    transactional guarantee the reference gets from ROLLBACK);
+    *  - the publish is a rename pair (dest → __old, staging → dest)
+    *    with restore-on-failure, mirroring the path sink's swap;
+    *  - an orphaned `__old` WITHOUT a destination means a prior swap's
+    *    restore failed — refuse to run rather than guess which copy is
+    *    authoritative.
+    *
+    * No JDBC driver ships in this environment; against a real
+    * warehouse the same staged-swap sequence runs as CREATE TABLE
+    * staging AS … / ALTER TABLE RENAME, or collapses to the native
+    * transactional TRUNCATE+COPY where the warehouse provides one.
+    */
+  def replaceCatalogTable(
+      spark: SparkSession, df: DataFrame, table: String): Try[LoadReport] = {
+    val staging = table + "__staging"
+    val backup = table + "__old"
+    val result = Try {
+      val cat = spark.catalog
+      if (!cat.tableExists(table) && cat.tableExists(backup))
+        throw new IllegalStateException(
+          s"destination $table is missing but backup $backup exists — a prior " +
+            "swap failed and was not restored; recover manually before loading")
+      // leftover staging from a prior failed run is abandoned garbage
+      spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+      df.write.mode(SaveMode.Overwrite).saveAsTable(staging)
+      val rows = spark.table(staging).count()
+      spark.sql(s"DROP TABLE IF EXISTS `$backup`")
+      val hadPrev = cat.tableExists(table)
+      if (hadPrev) spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
+      try spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      catch {
+        case e: Throwable =>
+          val note =
+            if (!hadPrev) ""
+            else if (Try(spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")).isSuccess)
+              "; previous table restored"
+            else s"; RESTORE FAILED — previous table left at $backup"
+          throw new java.io.IOException(s"publish of $table failed$note", e)
+      }
+      if (hadPrev) spark.sql(s"DROP TABLE IF EXISTS `$backup`")
+      LoadReport(rows, table)
+    }
+    report(result, table)
+  }
+
+  private def report(result: Try[LoadReport], destination: String): Try[LoadReport] = {
     result match {
       case Success(r) =>
         // K4: the reference's "Uploaded X rows to <dest>" signal.

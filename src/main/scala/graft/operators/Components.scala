@@ -191,14 +191,21 @@ object Components {
   def dropNearDuplicates(
       corpus: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // explicit hint: the label table's stats are reset to the default
-    // (huge) estimate by the lineage truncation above, so Catalyst can't
-    // see that the loser set is small — without the hint the corpus side
-    // would shuffle
-    val losers = broadcast(
-      connectedComponents(pairs, aCol, bCol)
-        .where(col("node") =!= col("component"))
-        .select(col("node")))
+    // The label table's stats are reset to the default (huge) estimate
+    // by the lineage truncation above, so Catalyst can't see that the
+    // loser set is usually small — without a hint the corpus side would
+    // shuffle. But the hint must be GATED: the loser set scales with the
+    // duplicate count (worst case ~the whole corpus), and a mandatory
+    // broadcast of that would blow the driver at the cluster design
+    // point. Labels are materialized (driver dataset or checkpointed
+    // RDD), so the gate count is one cheap job; above the threshold the
+    // anti-join falls back to a shuffle join (AQE may still upgrade it
+    // from runtime sizes).
+    val losersDf = connectedComponents(pairs, aCol, bCol)
+      .where(col("node") =!= col("component"))
+      .select(col("node"))
+    val maxRows = graft.core.Joins.maxBroadcastRows(corpus.sparkSession, bytesPerRow = 24)
+    val losers = if (losersDf.count() <= maxRows) broadcast(losersDf) else losersDf
     corpus.join(losers, corpus(idCol).cast("long") === losers("node"), "left_anti")
   }
 }

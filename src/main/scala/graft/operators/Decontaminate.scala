@@ -47,12 +47,24 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
-  /** The decontaminated corpus: drop every flagged document. */
+  /** The decontaminated corpus: drop every flagged document.
+    *
+    * The flagged set is normally eval-set-sized (tiny), so it is
+    * broadcast and the corpus never shuffles — but the broadcast is
+    * GATED on a measured count: a pathologically contaminated corpus
+    * could flag most of itself, and a mandatory broadcast of that
+    * would blow the driver. The flagged frame is persisted before
+    * counting so the gram pipeline behind it runs once (the count
+    * materializes the cache the join then reads).
+    */
   def clean(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val flagged = broadcast(overlaps(corpus, bench, idCol, textCol, n)
-      .select(col("doc_id")))
+    val flaggedDf = overlaps(corpus, bench, idCol, textCol, n)
+      .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxRows = graft.core.Joins.maxBroadcastRows(corpus.sparkSession, bytesPerRow = 24)
+    val flagged = if (flaggedDf.count() <= maxRows) broadcast(flaggedDf) else flaggedDf
     corpus.join(flagged, corpus(idCol) === flagged("doc_id"), "left_anti")
   }
 }

@@ -7,18 +7,27 @@ import org.apache.spark.sql.functions._
   * typed metadata, batched decode/feature-extraction, and frame
   * sampling.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (no
-  * image/audio codecs exist in this container); everything around it —
-  * the schema, the `mapPartitions` batching shape (the Scala analogue of
-  * a Pandas `mapInPandas` batch UDF: decode cost amortized over
-  * `BatchSize` records, never one-row-at-a-time), and the binary slicing
-  * — is real, typed, and tested. Swapping `decodeStub` for a JNI/codec
-  * call changes no plumbing.
+  * Decode dispatches on the record's `format`: uncompressed formats
+  * with pure-JVM parsers (24-bit BMP, binary PPM "P6") decode FOR REAL
+  * — header parse + pixel statistics over the raw bytes. Every other
+  * format falls to a clearly-marked DETERMINISTIC STUB (no compressed
+  * codecs exist in this container). Everything around the dispatch —
+  * the schema, the `mapPartitions` batching shape (the Scala analogue
+  * of a Pandas `mapInPandas` batch UDF: decode cost amortized over
+  * `BatchSize` records, never one-row-at-a-time), and the binary
+  * slicing — is shared by both paths; adding a JPEG/PNG codec is one
+  * more dispatch arm, no plumbing change.
   */
 object Multimodal {
 
-  /** Rows entering the media pipeline. */
-  final case class MediaRecord(media_id: Long, payload: Array[Byte], format: String)
+  /** Rows entering the media pipeline. `path` (empty for synthesized
+    * payloads) rides alongside the hashed id: media_id is xxhash64 of
+    * the path, and two distinct files colliding on 64 bits would
+    * silently merge downstream — carrying the unique path makes any
+    * collision detectable/recoverable instead of silent.
+    */
+  final case class MediaRecord(
+      media_id: Long, payload: Array[Byte], format: String, path: String = "")
 
   /** Typed decode output. */
   final case class MediaFeatures(
@@ -43,9 +52,99 @@ object Multimodal {
     (width, height, feats)
   }
 
+  /** Integer-exact pixel statistics as the image feature contract:
+    * [sumR, sumG, sumB, nPixels, min(r+g+b), max(r+g+b), 0, 0]. All
+    * values are integers ≤ 2^24 represented exactly as Float, so the
+    * features are bit-reproducible cross-engine (an oracle can
+    * replicate them in SQL); normalization is left to consumers.
+    */
+  private def pixelStats(px: Iterator[(Int, Int, Int)]): Array[Float] = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+    var minL = Long.MaxValue; var maxL = Long.MinValue
+    px.foreach { case (r, g, b) =>
+      sr += r; sg += g; sb += b; n += 1
+      val l = r.toLong + g + b
+      if (l < minL) minL = l
+      if (l > maxL) maxL = l
+    }
+    if (n == 0) Array.fill(8)(0f)
+    else Array(sr.toFloat, sg.toFloat, sb.toFloat, n.toFloat,
+      minL.toFloat, maxL.toFloat, 0f, 0f)
+  }
+
+  /** REAL decoder: uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB).
+    * Header parse (little-endian fields), 4-byte row padding, BGR pixel
+    * order, negative height = top-down (row order is irrelevant to the
+    * statistics contract). None on anything that isn't a well-formed
+    * 24-bit uncompressed BMP.
+    */
+  private[operators] def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOff = le32(10)
+    val width = le32(18)
+    val heightRaw = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    val height = math.abs(heightRaw)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val rowSize = ((24 * width + 31) / 32) * 4
+    if (dataOff < 54 || p.length.toLong < dataOff.toLong + rowSize.toLong * height) return None
+    val px = for {
+      r <- Iterator.range(0, height)
+      c <- Iterator.range(0, width)
+    } yield {
+      val o = dataOff + r * rowSize + c * 3 // stored BGR
+      ((p(o + 2) & 0xff), (p(o + 1) & 0xff), (p(o) & 0xff))
+    }
+    Some((width, height, pixelStats(px)))
+  }
+
+  /** REAL decoder: binary PPM ("P6"), maxval ≤ 255. Header tokens are
+    * whitespace-separated with '#' comments; a single whitespace byte
+    * separates maxval from the RGB payload. None on malformed input.
+    */
+  private[operators] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < p.length) {
+        if (isWs(p(i))) i += 1
+        else if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      if (i >= p.length || p(i) < '0' || p(i) > '9') return -1
+      var v = 0
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (i >= p.length || !isWs(p(i))) return None
+    i += 1 // exactly one whitespace byte before the pixel payload
+    val need = w.toLong * h * 3
+    if (p.length.toLong < i + need) return None
+    val base = i
+    val px = Iterator.range(0, w * h).map { k =>
+      val o = base + k * 3
+      ((p(o) & 0xff), (p(o + 1) & 0xff), (p(o + 2) & 0xff))
+    }
+    Some((w, h, pixelStats(px)))
+  }
+
   /** Batched decode: partitions stream through in `BatchSize` groups —
     * the shape a vectorized codec wants — with no driver collect and no
     * shuffle (narrow transformation; partitioning is preserved).
+    * Formats with a pure-JVM parser decode for real; the rest hit the
+    * deterministic stub (malformed real-format payloads also fall back
+    * — the stub is the "undecodable" lane, keeping the pipeline total).
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -53,7 +152,12 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // batch-level setup would init the codec once per batch here
         batch.iterator.map { r =>
-          val (w, h, f) = decodeStub(r.payload)
+          val real = r.format match {
+            case "bmp" => decodeBmp(r.payload)
+            case "ppm" => decodePpm(r.payload)
+            case _ => None
+          }
+          val (w, h, f) = real.getOrElse(decodeStub(r.payload))
           MediaFeatures(r.media_id, w, h, r.payload.length, f)
         }
       }
@@ -67,7 +171,8 @@ object Multimodal {
     df.select(
       col(idCol).as("media_id"),
       col(textCol).cast("binary").as("payload"),
-      lit(format).as("format"))
+      lit(format).as("format"),
+      lit("").as("path")) // synthesized payloads have no source file
 
   /** Frame sampling: k fixed-stride byte windows of the payload
     * (expression-level binary slicing — at scale this is the "sample k
@@ -106,7 +211,11 @@ object Multimodal {
         // type; extensionless files get an explicit sentinel, not ""
         when(col("path").rlike("\\.[A-Za-z0-9]+$"),
           lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
-          .otherwise("unknown").as("format"))
+          .otherwise("unknown").as("format"),
+        // the unique source path rides along: a 64-bit media_id
+        // collision between two files stays DETECTABLE (and joins can
+        // fall back to the path) instead of silently merging them
+        col("path"))
       .as[MediaRecord]
   }
 

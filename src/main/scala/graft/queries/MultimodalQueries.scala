@@ -32,6 +32,60 @@ object MultimodalQueries {
           md5(text) AS content_md5,
           CAST(4 AS BIGINT) AS n_frames
         FROM documents
+      """)),
+
+    // ---- q96: the REAL decode path, oracle-checked — each document's
+    //      first 9 bytes become the RGB payload of a 3×1 binary PPM
+    //      (header + raw pixels), which operators.Multimodal decodes
+    //      with its pure-JVM P6 parser inside the batched mapPartitions
+    //      pipeline. Features are the integer-exact pixel statistics
+    //      (channel sums, pixel count, min/max r+g+b), so DuckDB
+    //      replicates them from ascii() codes. Docs are restricted to a
+    //      printable-ASCII 9-char prefix on BOTH sides so chars == bytes.
+    GraftQuery(
+      "q96_multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .where(col("text").rlike("^[ -~]{9}"))
+          .select(
+            col("doc_id").as("media_id"),
+            concat(lit("P6\n3 1\n255\n").cast("binary"),
+              substring(col("text"), 1, 9).cast("binary")).as("payload"),
+            lit("ppm").as("format"),
+            lit("").as("path"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractFeatures(media).toDF()
+          .select(
+            col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_bytes").cast("long").as("n_bytes"),
+            element_at(col("features"), 1).cast("double").as("sum_r"),
+            element_at(col("features"), 2).cast("double").as("sum_g"),
+            element_at(col("features"), 3).cast("double").as("sum_b"),
+            element_at(col("features"), 5).cast("double").as("min_rgb"),
+            element_at(col("features"), 6).cast("double").as("max_rgb"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 9) AS s
+          FROM documents
+          WHERE regexp_matches(text, '^[ -~]{9}')),
+        b AS (
+          SELECT doc_id,
+            list_transform(generate_series(1, 9), i -> ascii(substr(s, i, 1))) AS cs
+          FROM d)
+        SELECT doc_id AS media_id,
+          CAST(3 AS BIGINT) AS width,
+          CAST(1 AS BIGINT) AS height,
+          CAST(20 AS BIGINT) AS n_bytes,
+          CAST(cs[1] + cs[4] + cs[7] AS DOUBLE) AS sum_r,
+          CAST(cs[2] + cs[5] + cs[8] AS DOUBLE) AS sum_g,
+          CAST(cs[3] + cs[6] + cs[9] AS DOUBLE) AS sum_b,
+          CAST(least(cs[1]+cs[2]+cs[3], cs[4]+cs[5]+cs[6], cs[7]+cs[8]+cs[9]) AS DOUBLE) AS min_rgb,
+          CAST(greatest(cs[1]+cs[2]+cs[3], cs[4]+cs[5]+cs[6], cs[7]+cs[8]+cs[9]) AS DOUBLE) AS max_rgb
+        FROM b
       """))
   )
 }

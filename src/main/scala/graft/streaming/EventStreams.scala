@@ -87,6 +87,17 @@ object EventStreams {
         // the accumulated view to this batch's rows.
         val dest = new org.apache.hadoop.fs.Path(tableDir)
         val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // A missing dest is only a genuine first batch when no swap
+        // debris exists: if a prior replaceTable failed after moving
+        // dest aside AND its restore failed ("previous table left at
+        // __old"), treating this batch as first would silently reset
+        // the accumulated view to this batch's rows — data loss with no
+        // error. Throw so the batch retries/alerts instead.
+        if (!fs.exists(dest) &&
+            fs.exists(new org.apache.hadoop.fs.Path(tableDir + "__old")))
+          throw new IllegalStateException(
+            s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
+              "without restore; recover the backup before resuming the stream")
         val current = if (fs.exists(dest)) Some(spark.read.parquet(tableDir)) else None
         val all = current.map(_.unionByName(batch.toDF)).getOrElse(batch.toDF)
         val w = org.apache.spark.sql.expressions.Window

@@ -44,4 +44,60 @@ class LoadSpec extends SparkTestBase {
     }
     assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  /** Drop a catalog table AND its leftover managed-warehouse directory
+    * (debris from a crashed earlier test run would fail CREATE).
+    */
+  private def resetTables(names: String*): Unit = names.foreach { n =>
+    spark.sql(s"DROP TABLE IF EXISTS `$n`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val d = new java.io.File(wh, n)
+    if (d.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+  }
+
+  test("replaceCatalogTable swaps atomically and reports row count") {
+    val t = "load_cat_t1"
+    resetTables(t, t + "__staging", t + "__old")
+    assert(Load.replaceCatalogTable(spark, Seq(1, 2, 3).toDF("v"), t) ==
+      Success(LoadReport(3, t)))
+    assert(Load.replaceCatalogTable(spark, Seq(9, 10).toDF("v"), t) ==
+      Success(LoadReport(2, t)))
+    assert(spark.table(t).as[Int].collect().sorted.toSeq == Seq(9, 10))
+    assert(!spark.catalog.tableExists(t + "__staging"))
+    assert(!spark.catalog.tableExists(t + "__old"))
+  }
+
+  test("failed catalog load preserves the previous table (the reference's ROLLBACK)") {
+    val t = "load_cat_t2"
+    resetTables(t, t + "__staging", t + "__old")
+    assert(Load.replaceCatalogTable(spark, Seq(1L, 2L, 3L).toDF("v"), t).isSuccess)
+    // mid-write failure: ANSI cast throws inside the staging write job,
+    // so the publish swap is never reached
+    val bad = Seq("not-a-number").toDF("s").select(col("s").cast("long").as("v"))
+    Load.replaceCatalogTable(spark, bad, t) match {
+      case Failure(_) => // expected
+      case Success(r) => fail(s"expected failure, got $r")
+    }
+    assert(spark.table(t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // and a subsequent good load recovers without manual cleanup
+    assert(Load.replaceCatalogTable(spark, Seq(7L).toDF("v"), t).map(_.rows) ==
+      Success(1L))
+  }
+
+  test("orphaned catalog backup without a destination refuses to load") {
+    val t = "load_cat_t3"
+    resetTables(t, t + "__staging", t + "__old")
+    Seq(42).toDF("v").write.saveAsTable(t + "__old")
+    val r = Load.replaceCatalogTable(spark, Seq(1).toDF("v"), t)
+    assert(r.isFailure)
+    // the backup copy is untouched and the destination was not created
+    assert(spark.table(t + "__old").as[Int].collect().toSeq == Seq(42))
+    assert(!spark.catalog.tableExists(t))
+  }
 }

@@ -46,4 +46,27 @@ class UpsertSinkSpec extends SparkTestBase {
       assert(spark.read.parquet(table).count() == 3)
     } finally q.stop()
   }
+
+  test("missing table with swap debris (__old) fails the batch instead of resetting state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    // simulate "previous table left at __old" after a failed swap whose
+    // restore also failed: dest missing, backup present
+    Seq((1L, 1.0)).toDF("user_id", "value").write.parquet(table + "__old")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.keyedUpsertSink(
+      mem.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7, 1.0))
+      val failed =
+        try { q.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+      assert(failed, "batch should fail on swap debris")
+      assert(q.exception.isDefined)
+      // the accumulated view was NOT silently reset to this batch's rows
+      assert(!new java.io.File(table).exists)
+    } finally q.stop()
+  }
 }
