@@ -86,6 +86,37 @@ object EventQueries2 {
           count(DISTINCT user_id) AS n_users
         FROM active JOIN firstSeen USING (user_id)
         GROUP BY cohort_week, week_offset
-      """))
+      """)),
+
+    // ---- q97: DISTRIBUTED connected components soak — the pointer-
+    //      jumping path itself (driver union-find disabled), over a
+    //      pseudo-random event-affinity graph (event_id hashed to two
+    //      node ids). Output is the component-structure summary. No
+    //      oracle by design: a transitive-closure CTE over ~100k edges
+    //      is quadratic-explosive in DuckDB (the q57 CTE already costs
+    //      ~90 s on far fewer edges); correctness of the algorithm is
+    //      pinned by q57/q95 (oracle) + ComponentsSpec's 2M-edge soak
+    //      asserting distributed==union-find and O(log d) rounds. ----
+    GraftQuery(
+      "q97_components_distributed",
+      (s, d) => {
+        // sized to exercise the per-round dataflow, not to dominate the
+        // bench: round count is what matters (each round is a fixed set
+        // of driver-synchronized jobs), and it is diameter-logarithmic,
+        // so a modest graph exercises the same machinery as a huge one
+        val nodes = 2000L
+        val edges = Tables.events(s, d)
+          .where(col("event_id") % 5 === 0)
+          .select((col("event_id") % nodes).as("a"),
+            (pmod(col("event_id") * 7919, lit(nodes))).as("b"))
+          .where(col("a") =!= col("b"))
+        val labels = graft.operators.Components
+          .connectedComponents(edges, "a", "b", driverMaxEdges = -1)
+        labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_components"),
+            max(col("sz")).as("max_component"),
+            sum(col("sz")).as("n_nodes"))
+      },
+      None)
   )
 }

@@ -40,6 +40,25 @@ class ComponentsSpec extends SparkTestBase {
     assert(drv((31L)) == 1L && drv(300L) == 100L && drv(41L) == 40L)
   }
 
+  test("soak: >2M-edge chain takes the distributed path and converges in O(log d) rounds") {
+    // Two chains over 2,000,002 nodes (split at the midpoint), generated
+    // distributed — never materialized on the driver. The edge count
+    // exceeds DriverMaxEdges, so the POINTER-JUMPING path (not driver
+    // union-find) runs. Chain diameter ≈ 1e6; plain min-propagation
+    // would need ~1e6 rounds, pointer jumping covers ~4^r distance per
+    // round → ~10-11 rounds. maxIter=15 makes the spec FAIL (require
+    // inside connectedComponents) if the log-round bound regresses.
+    val n = 2000001L
+    val mid = n / 2
+    val edges = spark.range(n)
+      .where($"id" =!= mid - 1) // cut one edge → exactly two components
+      .select($"id".as("a"), ($"id" + 1).as("b"))
+    val labels = Components.connectedComponents(edges, "a", "b", maxIter = 15)
+    val comps = labels.groupBy($"component").count()
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(0L -> mid, mid -> (n + 1 - mid)))
+  }
+
   test("dropNearDuplicates keeps untouched rows and one survivor per group") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z"))
       .toDF("id", "payload")
