@@ -47,9 +47,91 @@ object Xlsx {
       }
     try {
       val shared = readSharedStrings(zip)
+      val dateStyles = readDateStyles(zip)
       val sheetPart = resolveSheetPart(zip, sheetName)
-      readSheet(zip, sheetPart, shared)
+      readSheet(zip, sheetPart, shared, dateStyles)
     } finally zip.close()
+  }
+
+  /** Built-in OOXML numFmtIds that render as dates/times (ECMA-376
+    * §18.8.30): 14-22 core date/time, 27-36 locale era dates, 45-47
+    * elapsed/time, 50-58 locale variants.
+    */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** A custom format code is date-like when it contains y/m/d/h/s
+    * tokens OUTSIDE quoted literals, [..] sections (colors, conditions,
+    * elapsed markers are bracketed) and backslash escapes — the same
+    * heuristic spreadsheet readers use (month-vs-minute ambiguity is
+    * irrelevant: either way the cell is a date/time serial).
+    */
+  private[ingest] def isDateFormatCode(code: String): Boolean = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    var inBracket = false
+    while (i < code.length) {
+      val c = code.charAt(i)
+      if (inQuote) { if (c == '"') inQuote = false }
+      else if (inBracket) { if (c == ']') inBracket = false }
+      else c match {
+        case '"' => inQuote = true
+        case '[' => inBracket = true
+        case '\\' => i += 1 // skip the escaped char
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString.toLowerCase.exists("ymdhs".contains(_))
+  }
+
+  /** styles.xml → per-cellXf-index "is a date format" flags. Custom
+    * `<numFmt>` codes are classified by [[isDateFormatCode]]; only the
+    * `<cellXfs>` list maps cell `s` indexes (cellStyleXfs does not).
+    */
+  private def readDateStyles(zip: ZipFile): IndexedSeq[Boolean] =
+    withPart(zip, "xl/styles.xml") { r =>
+      val customDate = mutable.Map.empty[Int, Boolean]
+      val flags = mutable.ArrayBuffer.empty[Boolean]
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                for {
+                  id <- attr(r, "numFmtId").flatMap(_.toIntOption)
+                  code <- attr(r, "formatCode")
+                } customDate(id) = isDateFormatCode(code)
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                val id = attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(0)
+                flags += customDate.getOrElse(id, BuiltinDateFmts.contains(id))
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+      flags.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+  /** Excel serial → ISO string. Day 0 is 1899-12-30 (the convention
+    * that agrees with Excel for serials ≥ 61, i.e. any date from
+    * 1900-03-01 — the 1900-leap-year-bug window below that is out of
+    * scope, as in other readers). A fractional part is a time of day
+    * (rounded to the nearest second): pure dates render `yyyy-MM-dd`,
+    * datetimes `yyyy-MM-dd HH:mm:ss`.
+    */
+  private[ingest] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val secs = math.round((serial - days) * 86400d)
+    if (secs == 0) date.toString
+    else date.atStartOfDay.plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
   private def factory: XMLInputFactory = {
@@ -132,7 +214,8 @@ object Xlsx {
     * values resolved per cell type, gaps null-filled.
     */
   private def readSheet(
-      zip: ZipFile, part: String, shared: IndexedSeq[String]): Seq[Seq[String]] = {
+      zip: ZipFile, part: String, shared: IndexedSeq[String],
+      dateStyles: IndexedSeq[Boolean] = IndexedSeq.empty): Seq[Seq[String]] = {
     case class Cell(row: Int, colIdx: Int, value: String)
     val cells = withPart(zip, part) { r =>
       val out = mutable.ArrayBuffer.empty[Cell]
@@ -142,6 +225,7 @@ object Xlsx {
       var colCursor = 0
       var cellCol = 0
       var cellType = ""
+      var cellIsDate = false
       var haveCell = false
       var inV = false
       var inIsT = false
@@ -161,6 +245,11 @@ object Xlsx {
                 }
                 colCursor = cellCol + 1
                 cellType = attr(r, "t").getOrElse("n")
+                // numeric cell + date-formatted style (styles.xml) →
+                // the raw value is an Excel date serial
+                cellIsDate = cellType == "n" &&
+                  attr(r, "s").flatMap(_.toIntOption)
+                    .exists(i => dateStyles.lift(i).getOrElse(false))
                 haveCell = true
                 text.clear()
               case "rPh" | "phoneticPr" => phoneticDepth += 1
@@ -178,6 +267,8 @@ object Xlsx {
                 val raw = text.toString
                 val value = cellType match {
                   case "s" => shared.lift(raw.trim.toInt).orNull
+                  case "n" if cellIsDate =>
+                    raw.trim.toDoubleOption.map(serialToIso).getOrElse(raw)
                   case _ => raw
                 }
                 out += Cell(rowIdx, cellCol, value)

@@ -164,6 +164,55 @@ class XlsxSpec extends SparkTestBase {
     assert(Xlsx.readGrid(p, "Local_authority")(0) == Seq("Tokyo"))
   }
 
+  test("date-formatted numeric cells resolve through styles.xml to ISO dates") {
+    // style 0: plain numeric; style 1: builtin date (numFmtId 14);
+    // style 2: custom date code (dd/mm/yyyy, id 164); style 3: custom
+    // NON-date code that only LOOKS date-ish inside quotes/brackets
+    val styles =
+      """<?xml version="1.0"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <numFmts count="2">
+        |    <numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/>
+        |    <numFmt numFmtId="165" formatCode="&quot;days&quot; 0.0;[Red]0"/>
+        |  </numFmts>
+        |  <cellStyleXfs count="1"><xf numFmtId="14"/></cellStyleXfs>
+        |  <cellXfs count="4">
+        |    <xf numFmtId="0"/>
+        |    <xf numFmtId="14"/>
+        |    <xf numFmtId="164"/>
+        |    <xf numFmtId="165"/>
+        |  </cellXfs>
+        |</styleSheet>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row r="1">
+        |  <c r="A1" t="n" s="1"><v>45000</v></c>
+        |  <c r="B1" t="n" s="2"><v>45000.5</v></c>
+        |  <c r="C1" t="n" s="0"><v>45000</v></c>
+        |  <c r="D1" t="n" s="3"><v>45000</v></c>
+        |  <c r="E1" t="n"><v>45000</v></c>
+        |</row>
+        |</sheetData></worksheet>""".stripMargin
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/worksheets/sheet2.xml" -> sheet))
+    assert(Xlsx.readGrid(p, "Local_authority")(0) ==
+      Seq("2023-03-15", "2023-03-15 12:00:00", "45000", "45000", "45000"))
+  }
+
+  test("date format-code heuristic respects quotes, brackets and escapes") {
+    assert(Xlsx.isDateFormatCode("dd/mm/yyyy"))
+    assert(Xlsx.isDateFormatCode("h:mm AM/PM"))
+    assert(Xlsx.isDateFormatCode("[$-409]mmm-yy"))
+    assert(!Xlsx.isDateFormatCode("0.00"))
+    assert(!Xlsx.isDateFormatCode("\"yards\" 0"))
+    assert(!Xlsx.isDateFormatCode("#,##0;[Red]#,##0"))
+    assert(!Xlsx.isDateFormatCode("0\\d"))
+  }
+
   test("column reference arithmetic handles multi-letter columns") {
     val sheet =
       """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
