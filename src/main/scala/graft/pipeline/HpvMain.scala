@@ -11,21 +11,24 @@ import graft.load.Load
   * replace the destination, print the load report.
   *
   * Configuration mirrors the reference's `.env` contract (S4,
-  * `sample.env`): `HPV_DATA_DIR` (default ./data), `HPV_DEST` (the
-  * destination path — the reference's DATABASE/SCHEMA/DESTINATION_TABLE
-  * triple collapses to one locator for the file-based sink),
-  * `HPV_SHEET` (default Local_authority). CSV-staged workbooks (*.csv)
-  * are accepted alongside *.xlsx.
+  * `main.py:123` load_dotenv + `sample.env`): keys `HPV_DATA_DIR`
+  * (default ./data), `HPV_DEST` (the destination path — the
+  * reference's DATABASE/SCHEMA/DESTINATION_TABLE triple collapses to
+  * one locator for the file-based sink), `HPV_SHEET` (default
+  * Local_authority), resolved as args > process env > `.env` file
+  * (path overridable via HPV_ENV_FILE) > default. CSV-staged workbooks
+  * (*.csv) are accepted alongside *.xlsx.
   *
   * Usage: `sbt "runMain graft.pipeline.HpvMain [dataDir dest]"`.
   */
 object HpvMain {
   def main(args: Array[String]): Unit = {
+    val envFile = graft.core.DotEnv.parse(sys.env.getOrElse("HPV_ENV_FILE", ".env"))
     val dataDir = args.headOption
-      .orElse(sys.env.get("HPV_DATA_DIR")).getOrElse("./data")
+      .getOrElse(graft.core.DotEnv.get("HPV_DATA_DIR", envFile, "./data"))
     val dest = args.drop(1).headOption
-      .orElse(sys.env.get("HPV_DEST")).getOrElse("./output/hpv_uptake")
-    val sheet = sys.env.getOrElse("HPV_SHEET", "Local_authority")
+      .getOrElse(graft.core.DotEnv.get("HPV_DEST", envFile, "./output/hpv_uptake"))
+    val sheet = graft.core.DotEnv.get("HPV_SHEET", envFile, "Local_authority")
 
     val spark = Sessions.local()
     val xlsx = Xlsx.glob(dataDir).map(p => Xlsx.readWorkbook(spark, p, sheet))
