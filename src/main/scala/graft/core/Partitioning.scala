@@ -33,7 +33,20 @@ object Partitioning {
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
       catch { case _: Exception => 134217728L }
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estScanPartitions = (estBytes / maxPartitionBytes).toLong + 1
+    // The byte arithmetic assumes the scan planner can SPLIT each file.
+    // A large gzip/zstd JSON or CSV file is one scan partition no matter
+    // its size — for those, true scan width is the FILE COUNT, and using
+    // listing bytes would make fanOut a no-op in exactly the narrow-scan
+    // regime it exists to fix. (.snappy.parquet ends in .parquet, so
+    // columnar formats with internal compression are untouched; .bz2 is
+    // splittable in Hadoop and deliberately absent.)
+    val files = df.inputFiles // metadata-only plan walk, no job
+    val nonSplittable = files.nonEmpty &&
+      Seq(".gz", ".deflate", ".zst", ".snappy", ".lz4", ".br")
+        .exists(suf => files.exists(_.endsWith(suf)))
+    val estScanPartitions =
+      if (nonSplittable) files.length.toLong
+      else (estBytes / maxPartitionBytes).toLong + 1
     if (estScanPartitions < target) df.repartition(target) else df
   }
 }

@@ -129,7 +129,11 @@ object Xlsx {
     val days = math.floor(serial).toLong
     val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
     val secs = math.round((serial - days) * 86400d)
+    // A fraction a hair under midnight rounds to a full day: render it
+    // as the NEXT day's pure date (what Excel displays), not as
+    // "<next day> 00:00:00".
     if (secs == 0) date.toString
+    else if (secs == 86400) date.plusDays(1).toString
     else date.atStartOfDay.plusSeconds(secs)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }

@@ -104,26 +104,42 @@ object Load {
           s"destination $table is missing but backup $backup exists — a prior " +
             "swap failed and was not restored; recover manually before loading")
       // leftover staging from a prior failed run is abandoned garbage
-      spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+      spark.sql(s"DROP TABLE IF EXISTS ${quoted(staging)}")
       df.write.mode(SaveMode.Overwrite).saveAsTable(staging)
       val rows = spark.table(staging).count()
-      spark.sql(s"DROP TABLE IF EXISTS `$backup`")
+      spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
       val hadPrev = cat.tableExists(table)
-      if (hadPrev) spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
-      try spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      if (hadPrev) spark.sql(s"ALTER TABLE ${quoted(table)} RENAME TO ${quoted(backup)}")
+      try spark.sql(s"ALTER TABLE ${quoted(staging)} RENAME TO ${quoted(table)}")
       catch {
         case e: Throwable =>
           val note =
             if (!hadPrev) ""
-            else if (Try(spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")).isSuccess)
+            else if (Try(spark.sql(
+              s"ALTER TABLE ${quoted(backup)} RENAME TO ${quoted(table)}")).isSuccess)
               "; previous table restored"
             else s"; RESTORE FAILED — previous table left at $backup"
           throw new java.io.IOException(s"publish of $table failed$note", e)
       }
-      if (hadPrev) spark.sql(s"DROP TABLE IF EXISTS `$backup`")
+      if (hadPrev) spark.sql(s"DROP TABLE IF EXISTS ${quoted(backup)}")
       LoadReport(rows, table)
     }
     report(result, table)
+  }
+
+  /** Dot-separated multi-part name with each part backticked, so the
+    * handwritten SQL resolves the SAME table as saveAsTable/tableExists
+    * (which parse names multi-part). Quoting the whole name as one
+    * identifier would aim DROP/ALTER at a single-part table literally
+    * named "db.tbl__staging" in the current database — every qualified
+    * load would fail at publish. Backticks inside a part are rejected
+    * rather than mis-quoted.
+    */
+  private def quoted(name: String): String = {
+    require(!name.contains("`"), s"table name must not contain backticks: $name")
+    val parts = name.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty), s"malformed table name: $name")
+    parts.map(p => s"`$p`").mkString(".")
   }
 
   private def report(result: Try[LoadReport], destination: String): Try[LoadReport] = {

@@ -53,16 +53,19 @@ object Decontaminate {
     * broadcast and the corpus never shuffles — but the broadcast is
     * GATED on a measured count: a pathologically contaminated corpus
     * could flag most of itself, and a mandatory broadcast of that
-    * would blow the driver. The flagged frame is persisted before
-    * counting so the gram pipeline behind it runs once (the count
-    * materializes the cache the join then reads).
+    * would blow the driver. The flagged frame is materialized ONCE via
+    * eager localCheckpoint so the gram pipeline behind it runs once
+    * (the count and the join both read the checkpoint blocks) — and,
+    * unlike persist(), the blocks are released by the ContextCleaner
+    * when the result is unreachable, so repeated clean() calls don't
+    * accumulate session-lifetime cache entries.
     */
   def clean(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val flaggedDf = overlaps(corpus, bench, idCol, textCol, n)
       .select(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val maxRows = graft.core.Joins.maxBroadcastRows(corpus.sparkSession, bytesPerRow = 24)
     val flagged = if (flaggedDf.count() <= maxRows) broadcast(flaggedDf) else flaggedDf
     corpus.join(flagged, corpus(idCol) === flagged("doc_id"), "left_anti")

@@ -51,17 +51,20 @@ object Dedup {
     val k = bands * rowsPerBand
     // Staged once: the shingle sets feed the signature AND both sides of
     // the verification join; the banded signatures feed both sides of
-    // the candidate self-join. Without persist each consumer re-runs the
-    // tokenize/shingle/minhash pipeline from the scan.
+    // the candidate self-join. Without staging each consumer re-runs the
+    // tokenize/shingle/minhash pipeline from the scan. localCheckpoint
+    // (not persist) across all dedup staging: blocks release via the
+    // ContextCleaner when the result is unreachable — library calls must
+    // not accumulate session-lifetime cache entries.
     val s = shingleSets(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sig = s.select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
     val bandCol = explode(sequence(lit(0), lit(bands - 1))).as("band")
     val banded = sig.select(col("doc_id"), bandCol, col("sig"))
       .select(col("doc_id"), col("band"),
         concat_ws("", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), col("band") * rowsPerBand + r + 1)): _*).as("bsig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     verifiedJaccardPairs(s, banded, tau)
   }
 
@@ -103,7 +106,7 @@ object Dedup {
       tau: Double = 0.3): DataFrame = {
     val k = bands * rowsPerBand
     val s = shingleSets(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sig = s.select(col("doc_id"),
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.expressions.MinHashSigFast(
@@ -117,7 +120,7 @@ object Dedup {
       .select(col("doc_id"), col("band"),
         xxhash64((col("band") +: (0 until rowsPerBand).map(r =>
           element_at(col("sig"), col("band") * rowsPerBand + r + 1))): _*).as("bsig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     verifiedJaccardPairs(s, banded, tau)
   }
 
@@ -151,7 +154,7 @@ object Dedup {
       prefixLen: Int = 20, maxDist: Int = 30): DataFrame = {
     val n = fanOut(df).select(col(idCol).as("doc_id"), normalized(col(textCol)).as("nm"))
       .withColumn("blk", substring(col("nm"), 1, prefixLen))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Custom banded levenshtein (O(len·maxDist), early exit, codegen):
     // Catalyst pushes the final distance filter into the join condition,
     // so the distance runs for EVERY same-block hash match — the
@@ -214,11 +217,11 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
       // staged: both self-join sides (and the optimizer's isnotnull
       // join-key filters) would otherwise recompute the simhash pipeline.
-      // Re-measured at sf0.1 (round 3): with vs without persist is
+      // Re-measured at sf0.1 (round 3): with vs without staging is
       // inside run-to-run noise locally (±0.3 s, opposite signs on
       // q36/q79); kept because the recompute it prevents grows with the
       // corpus while the banded table stays 4 rows/doc.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -251,7 +254,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 2, tau: Double = 0.25): DataFrame = {
     require(tau > 0, "tau must be positive (zero-overlap pairs are never emitted)")
-    // Staged once (persist): three consumers below — a self-join
+    // Staged once (localCheckpoint): three consumers below — a self-join
     // formulation would recompute the tokenize→shingle pipeline per
     // consumer (measured 2× the whole query's cost). At cluster scale
     // this stage would be a checkpoint/staging table.
@@ -259,7 +262,7 @@ object Dedup {
       .where(tokenCount(col("txt")) >= n)
       .select(col("doc_id"), col("blk"), textShingles(col("txt"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // One shuffle on (block, gram): gather each gram's doc list and
     // expand i<j combinations in-place — no self-join, no second
     // pipeline evaluation. Group sizes are bounded by block size (df-

@@ -83,7 +83,20 @@ object Ivf {
     }
     val assignments = nearest(p, centroids, keep = 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    assignments.count() // materialize first, so the corpus staging can unpin
+    p.unpersist(blocking = false)
     (centroids, assignments)
+  }
+
+  /** Free a built index's cached frames. `build`'s returned centroids/
+    * assignments are deliberately persisted (built once, probed many
+    * times) — long-lived services call this when done with the index so
+    * the cache entries don't outlive their use.
+    */
+  def release(index: (DataFrame, DataFrame)): Unit = {
+    index._1.unpersist(blocking = false)
+    index._2.unpersist(blocking = false)
+    ()
   }
 
   /** Deterministic k-means++-style seeding: farthest-point traversal
@@ -176,15 +189,19 @@ object Ivf {
       .where(col("rank") <= k)
   }
 
-  /** One-shot convenience: build + probe. Rebuilds the index each call
-    * (and, like the dedup operators, leaves its persisted stages cached
-    * for the session — Spark's LRU evicts under pressure). Long-lived
-    * services should call `build` once and `probe` per batch.
+  /** One-shot convenience: build + probe + release. The probe result
+    * (≤ k rows per query) is materialized via localCheckpoint so the
+    * index caches can be released before returning — repeated one-shot
+    * calls leave nothing cached. Long-lived services should call `build`
+    * once, `probe` per batch, and `release` when done.
     */
   def topK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (centroids, assignments) = build(corpus, idCol, vecCol, nCentroids)
-    probe(centroids, assignments, queries, idCol, vecCol, k, nProbe)
+    val index = build(corpus, idCol, vecCol, nCentroids)
+    val out = probe(index._1, index._2, queries, idCol, vecCol, k, nProbe)
+      .localCheckpoint()
+    release(index)
+    out
   }
 }

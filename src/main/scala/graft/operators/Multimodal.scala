@@ -90,8 +90,12 @@ object Multimodal {
     val compression = le32(30)
     val height = math.abs(heightRaw)
     if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
-    val rowSize = ((24 * width + 31) / 32) * 4
-    if (dataOff < 54 || p.length.toLong < dataOff.toLong + rowSize.toLong * height) return None
+    // Long math: a hostile header with width ≈ 89M overflows the Int
+    // expression to a negative rowSize, which would slip past the bounds
+    // check below and crash the pixel loop instead of falling back.
+    val rowSizeL = (24L * width + 31) / 32 * 4
+    if (dataOff < 54 || p.length.toLong < dataOff.toLong + rowSizeL * height) return None
+    val rowSize = rowSizeL.toInt // fits: rowSizeL * height ≤ p.length ≤ Int.MaxValue
     val px = for {
       r <- Iterator.range(0, height)
       c <- Iterator.range(0, width)
@@ -152,11 +156,14 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // batch-level setup would init the codec once per batch here
         batch.iterator.map { r =>
-          val real = r.format match {
+          // Try(...) keeps the promise that malformed real-format payloads
+          // fall back to the stub even if a decoder bug throws — one bad
+          // record must not kill a 100 TB job.
+          val real = scala.util.Try(r.format match {
             case "bmp" => decodeBmp(r.payload)
             case "ppm" => decodePpm(r.payload)
             case _ => None
-          }
+          }).toOption.flatten
           val (w, h, f) = real.getOrElse(decodeStub(r.payload))
           MediaFeatures(r.media_id, w, h, r.payload.length, f)
         }

@@ -203,6 +203,15 @@ class XlsxSpec extends SparkTestBase {
       Seq("2023-03-15", "2023-03-15 12:00:00", "45000", "45000", "45000"))
   }
 
+  test("serial a hair under midnight renders as the next day's pure date") {
+    // 45000.9999999 rounds to 86400 s past 2023-03-15: Excel displays
+    // 2023-03-16, so we must NOT emit "2023-03-16 00:00:00"
+    assert(Xlsx.serialToIso(45000.9999999) == "2023-03-16")
+    // one second before midnight stays a datetime
+    assert(Xlsx.serialToIso(45000 + 86399d / 86400) == "2023-03-15 23:59:59")
+    assert(Xlsx.serialToIso(45001) == "2023-03-16")
+  }
+
   test("date format-code heuristic respects quotes, brackets and escapes") {
     assert(Xlsx.isDateFormatCode("dd/mm/yyyy"))
     assert(Xlsx.isDateFormatCode("h:mm AM/PM"))

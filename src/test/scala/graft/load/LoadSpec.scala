@@ -90,6 +90,37 @@ class LoadSpec extends SparkTestBase {
       Success(1L))
   }
 
+  test("qualified db.tbl destination publishes to the named database, not a mis-quoted literal") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS load_qdb")
+    val t = "load_qdb.qt1"
+    Seq(t, t + "__staging", t + "__old").foreach { n =>
+      spark.sql("DROP TABLE IF EXISTS " + n.split('.').map(p => s"`$p`").mkString("."))
+      // clear leftover managed-warehouse debris (same rationale as
+      // resetTables, one directory level deeper for the database)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val d = new java.io.File(new java.io.File(wh, "load_qdb.db"), n.split('.').last)
+      if (d.exists) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+    assert(Load.replaceCatalogTable(spark, Seq(1, 2).toDF("v"), t).map(_.rows) ==
+      Success(2L))
+    // the swap (the second load) is where the old one-identifier quoting broke
+    assert(Load.replaceCatalogTable(spark, Seq(5).toDF("v"), t).map(_.rows) ==
+      Success(1L))
+    assert(spark.table(t).as[Int].collect().toSeq == Seq(5))
+    assert(!spark.catalog.tableExists(t + "__staging"))
+    assert(!spark.catalog.tableExists(t + "__old"))
+    // and no single-part debris named "load_qdb.qt1*" landed in the default db
+    assert(spark.catalog.listTables("default").collect().forall(!_.name.contains("qt1")))
+    // names that can't be quoted safely are rejected, not mis-published
+    assert(Load.replaceCatalogTable(spark, Seq(1).toDF("v"), "bad`tick").isFailure)
+  }
+
   test("orphaned catalog backup without a destination refuses to load") {
     val t = "load_cat_t3"
     resetTables(t, t + "__staging", t + "__old")

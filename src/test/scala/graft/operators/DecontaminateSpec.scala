@@ -23,11 +23,16 @@ class DecontaminateSpec extends SparkTestBase {
   }
 
   test("clean drops flagged docs and keeps the rest") {
+    val cacheWasEmpty = spark.sharedState.cacheManager.isEmpty
     val corpus = Seq((1L, contaminated), (2L, cleanDoc)).toDF("doc_id", "text")
     val bench = Seq((100L, benchDoc)).toDF("doc_id", "text")
     val kept = Decontaminate.clean(corpus, bench, "doc_id", "text")
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(2L))
+    // flagged set rides a localCheckpoint, not persist — no cache leak
+    // (guarded: other suites share this session and may hold caches)
+    if (cacheWasEmpty) assert(spark.sharedState.cacheManager.isEmpty,
+      "clean must not leave cached frames behind")
   }
 
   test("short docs (< n tokens) never match and never crash") {

@@ -24,24 +24,26 @@ class IvfSpec extends SparkTestBase {
 
   test("farthest-point seeding builds a deterministic, full-coverage index") {
     val emb = Tables.embeddings(spark, sf)
-    val (c1, a1) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16,
+    val i1 @ (c1, a1) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16,
       farthestSeeding = true)
-    val (c2, _) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16,
+    val i2 @ (c2, _) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16,
       farthestSeeding = true)
     assert(c1.count() == 16)
     assert(a1.count() == emb.count())
     // deterministic: same seeds → same centroids across builds
     assertSameRows(c1.select($"cid"), c2.select($"cid"))
+    Ivf.release(i1); Ivf.release(i2)
   }
 
   test("index build: every vector assigned to exactly one cell; cells nonempty-ish") {
     val emb = Tables.embeddings(spark, sf)
-    val (centroids, assignments) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16)
+    val index @ (centroids, assignments) = Ivf.build(emb, "vec_id", "embedding", nCentroids = 16)
     assert(centroids.count() == 16)
     assert(assignments.count() == emb.count())
     assert(assignments.groupBy("vid").count().where($"count" > 1).count() == 0)
     // one Lloyd step from arbitrary seeds: most cells should be used
     assert(assignments.select("cid").distinct().count() >= 8)
+    Ivf.release(index)
   }
 
   test("HLL approx distinct stays within its declared error (q24)") {

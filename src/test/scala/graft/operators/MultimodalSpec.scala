@@ -106,6 +106,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.features.length == 8)
   }
 
+  test("hostile BMP header with overflowing width falls to the stub, not a crash") {
+    // width 89478486: 24*width overflows Int to a negative rowSize, which
+    // pre-fix slipped past the bounds check and crashed the pixel loop
+    val b = scala.collection.mutable.ArrayBuffer[Byte]()
+    def le32(v: Int): Unit = b ++= Seq(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int): Unit = b ++= Seq(v, v >> 8).map(x => (x & 0xff).toByte)
+    b += 'B'.toByte += 'M'.toByte
+    le32(70); le32(0); le32(54)
+    le32(40); le32(89478486); le32(1) // hostile width, height 1
+    le16(1); le16(24); le32(0); le32(0)
+    le32(0); le32(0); le32(0); le32(0)
+    b ++= Array.fill[Byte](16)(9) // a few payload bytes
+    val hostile = b.toArray
+    assert(Multimodal.decodeBmp(hostile).isEmpty, "must reject, not overflow")
+    val out = Multimodal.extractFeatures(
+      Seq(MediaRecord(1L, hostile, "bmp")).toDS()).collect()
+    assert(out.length == 1 && out.head.features.length == 8, "stub lane must absorb it")
+  }
+
   test("ingested records carry the unique source path beside the hashed id") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_path")
     java.nio.file.Files.write(dir.resolve("x.bin"), Array.fill[Byte](5)(1))

@@ -35,6 +35,9 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("approx near-dup pairs: verified subset of exact, decent recall") {
+    // guarded, not absolute: other suites share this session and may
+    // legitimately hold caches (e.g. a built IVF index)
+    val cacheWasEmpty = spark.sharedState.cacheManager.isEmpty
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -44,6 +47,10 @@ class SimilaritySpec extends SparkTestBase {
     val recall = if (exact.isEmpty) 1.0 else (exact & approx).size.toDouble / exact.size
     info(f"near-dup recall = $recall%.2f (${approx.size}/${exact.size} pairs)")
     assert(recall >= 0.5, s"recall collapsed: $recall")
+    // the bucket table is materialized via localCheckpoint, not persist:
+    // repeated calls must not accumulate session-lifetime cache entries
+    if (cacheWasEmpty) assert(spark.sharedState.cacheManager.isEmpty,
+      "nearDupPairsApprox must not leave cached frames behind")
   }
 
   test("lshTopK on an empty query set returns empty, not a crash") {
