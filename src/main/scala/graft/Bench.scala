@@ -52,8 +52,17 @@ object Bench {
       spark.catalog.clearCache()
       q.name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Full-precision, full-name map goes to stderr for humans/logs; the
+    // stdout contract line uses short ids (q54, q14b) and 3-decimal values
+    // so the WHOLE line fits in the driver's 2 KB output tail — rounds 1-3
+    // all recorded `parsed: null` because the ~3.5 KB full-name line
+    // overflowed that window and the parse failed.
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    System.err.println(s"[bench-full] $full")
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
