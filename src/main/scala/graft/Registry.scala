@@ -7,9 +7,12 @@ object Registry {
   def all: Seq[GraftQuery] =
     queries.Relational.queries ++ queries.Relational2.queries ++
       queries.Relational3.queries ++ queries.Relational4.queries ++
+      queries.Relational5.queries ++
       queries.TpchQueries.queries ++
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
-      queries.VectorQueries.queries ++ queries.EventQueries.queries ++
+      queries.TextQueries3.queries ++
+      queries.VectorQueries.queries ++ queries.VectorQueries2.queries ++
+      queries.EventQueries.queries ++
       queries.EventQueries2.queries ++
       queries.MultimodalQueries.queries
 

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.operators.Quantize
+
+/** Vector round 4: int8 scalar quantization (q102) — the compressed
+  * scoring path (4× smaller rows, integer dot products). The oracle
+  * replicates the quantizer verbatim (fixed chain of IEEE double ops,
+  * no accumulation-order dependence), so the approximate result —
+  * integer scores included — hash-matches bit-for-bit, the same
+  * full-algorithm-oracle technique as q42/q94.
+  */
+object VectorQueries2 {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q102_int8_quantized_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Quantize.int8TopK(
+            emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                   FROM embeddings),
+        mx AS (SELECT vec_id, v, list_aggregate(list_transform(v, y -> abs(y)), 'max') m FROM e),
+        qc AS (SELECT vec_id,
+            CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) END AS codes
+          FROM mx),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_reduce(list_transform(generate_series(1, len(q.codes)),
+              i -> q.codes[i] * c.codes[i]), (a, b) -> a + b) AS score
+          FROM qc q JOIN qc c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 5),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM pairs)
+        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+      """))
+  )
+}
