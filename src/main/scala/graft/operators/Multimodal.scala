@@ -143,6 +143,62 @@ object Multimodal {
     Some((w, h, pixelStats(px)))
   }
 
+  /** REAL decoder: RIFF/WAVE, PCM 16-bit. Walks the chunk list (fmt →
+    * data), then computes integer-exact statistics over the interleaved
+    * int16 samples. Audio maps onto the MediaFeatures shape as
+    * width = sampleRate, height = channels; features =
+    * [nSamples, sum, min, max, zeroCrossings, 0, 0, 0] — all integers,
+    * exact in Float while |value| ≤ 2^24 (fixture payloads are tiny;
+    * production consumers wanting exact sums over long audio should
+    * widen the contract, the plumbing is unchanged). None on anything
+    * that isn't well-formed 16-bit PCM.
+    */
+  private[operators] def decodeWav(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = ((p(o) & 0xffL)) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    if (p.length < 44) return None
+    if (p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var i = 12
+    var rate = -1; var channels = -1; var dataOff = -1; var dataLen = 0L
+    while (i + 8 <= p.length && (rate < 0 || dataOff < 0)) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > p.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        val audioFormat = le16(i + 8)
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        val bits = le16(i + 22)
+        if (audioFormat != 1 || bits != 16 || channels < 1 || channels > 8 ||
+          rate <= 0) return None
+      } else if (id == "data") { dataOff = i + 8; dataLen = sz }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || dataOff < 0) return None
+    val n = (dataLen / 2).toInt
+    var k = 0
+    var sum = 0L; var minS = Long.MaxValue; var maxS = Long.MinValue
+    var zc = 0L; var prevNeg = false
+    while (k < n) {
+      val o = dataOff + 2 * k
+      val v = ((p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)).toShort.toLong
+      sum += v
+      if (v < minS) minS = v
+      if (v > maxS) maxS = v
+      val neg = v < 0
+      if (k > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      k += 1
+    }
+    val feats =
+      if (n == 0) Array.fill(8)(0f)
+      else Array(n.toFloat, sum.toFloat, minS.toFloat, maxS.toFloat, zc.toFloat, 0f, 0f, 0f)
+    Some((rate, channels, feats))
+  }
+
   /** Batched decode: partitions stream through in `BatchSize` groups —
     * the shape a vectorized codec wants — with no driver collect and no
     * shuffle (narrow transformation; partitioning is preserved).
@@ -162,6 +218,7 @@ object Multimodal {
           val real = scala.util.Try(r.format match {
             case "bmp" => decodeBmp(r.payload)
             case "ppm" => decodePpm(r.payload)
+            case "wav" => decodeWav(r.payload)
             case _ => None
           }).toOption.flatten
           val (w, h, f) = real.getOrElse(decodeStub(r.payload))

@@ -86,6 +86,77 @@ object MultimodalQueries {
           CAST(least(cs[1]+cs[2]+cs[3], cs[4]+cs[5]+cs[6], cs[7]+cs[8]+cs[9]) AS DOUBLE) AS min_rgb,
           CAST(greatest(cs[1]+cs[2]+cs[3], cs[4]+cs[5]+cs[6], cs[7]+cs[8]+cs[9]) AS DOUBLE) AS max_rgb
         FROM b
+      """)),
+
+    // ---- q103: the REAL audio decode path, oracle-checked — each
+    //      document's first 8 printable-ASCII bytes become the PCM
+    //      payload (4 little-endian int16 samples) of a mono 8 kHz WAV
+    //      whose 44-byte header is a constant, decoded by
+    //      operators.Multimodal.decodeWav inside the same batched
+    //      mapPartitions pipeline as the image formats. Features are
+    //      integer-exact sample statistics, so DuckDB replicates them
+    //      from ascii() codes: sample_k = lo + hi·256 (hi ≤ 126 keeps
+    //      every sample positive → zero_cross is identically 0; the
+    //      signed/negative path is spec-covered instead). ----
+    GraftQuery(
+      "q103_wav_decode",
+      (s, d) => {
+        import s.implicits._
+        val header: Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(44)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 8)
+          bb.put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+          bb.putShort(1); bb.putShort(1) // PCM, mono
+          bb.putInt(8000); bb.putInt(8000 * 2) // rate, byte rate
+          bb.putShort(2); bb.putShort(16) // block align, bits
+          bb.put("data".getBytes("US-ASCII")); bb.putInt(8)
+          bb.array()
+        }
+        val media = Tables.documents(s, d)
+          .where(col("text").rlike("^[ -~]{8}"))
+          .select(
+            col("doc_id").as("media_id"),
+            concat(lit(header), substring(col("text"), 1, 8).cast("binary")).as("payload"),
+            lit("wav").as("format"),
+            lit("").as("path"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractFeatures(media).toDF()
+          .select(
+            col("media_id"),
+            col("width").cast("long").as("sample_rate"),
+            col("height").cast("long").as("channels"),
+            col("n_bytes").cast("long").as("n_bytes"),
+            element_at(col("features"), 1).cast("long").as("n_samples"),
+            element_at(col("features"), 2).cast("long").as("sum_s"),
+            element_at(col("features"), 3).cast("long").as("min_s"),
+            element_at(col("features"), 4).cast("long").as("max_s"),
+            element_at(col("features"), 5).cast("long").as("zero_cross"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 8) AS s
+          FROM documents
+          WHERE regexp_matches(text, '^[ -~]{8}')),
+        b AS (
+          SELECT doc_id,
+            list_transform(generate_series(1, 8), i -> ascii(substr(s, i, 1))) AS cs
+          FROM d),
+        sm AS (
+          SELECT doc_id,
+            list_transform(generate_series(1, 4), k -> cs[2*k-1] + cs[2*k] * 256) AS ss
+          FROM b)
+        SELECT doc_id AS media_id,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(1 AS BIGINT) AS channels,
+          CAST(52 AS BIGINT) AS n_bytes,
+          CAST(4 AS BIGINT) AS n_samples,
+          CAST(list_reduce(ss, (a, b) -> a + b) AS BIGINT) AS sum_s,
+          CAST(list_aggregate(ss, 'min') AS BIGINT) AS min_s,
+          CAST(list_aggregate(ss, 'max') AS BIGINT) AS max_s,
+          CAST(0 AS BIGINT) AS zero_cross
+        FROM sm
       """))
   )
 }

@@ -125,6 +125,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.features.length == 8, "stub lane must absorb it")
   }
 
+  /** Minimal valid WAV: PCM header (rate, channels) + int16 LE samples. */
+  private def wav(rate: Int, channels: Int, samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("real WAV decode: signed samples, zero crossings, chunk walk") {
+    // negative samples + sign changes — the lane the all-positive
+    // q103 oracle payloads never exercise
+    val got = Multimodal.decodeWav(wav(8000, 1, Seq(100, -200, 300, -400, 500)))
+    // [n, sum, min, max, zeroCrossings, 0, 0, 0]
+    assert(got.map { case (w, h, f) => (w, h, f.toSeq) } ==
+      Some((8000, 1, Seq(5f, 300f, -400f, 500f, 4f, 0f, 0f, 0f))))
+    // an extra chunk BEFORE fmt/data must be skipped, not rejected
+    val extra = {
+      val base = wav(44100, 2, Seq(1, 2))
+      val junk = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ Array.fill[Byte](4)(9)
+      base.take(12) ++ junk ++ base.drop(12)
+    }
+    // RIFF size field is now stale, but the chunk walk bounds on the
+    // actual payload length — decode must still succeed
+    assert(Multimodal.decodeWav(extra).map(t => (t._1, t._2)) == Some((44100, 2)))
+    // truncated data chunk, 8-bit PCM, and non-RIFF all fall to None
+    assert(Multimodal.decodeWav(wav(8000, 1, Seq(1, 2, 3)).dropRight(1)).isEmpty)
+    val eightBit = wav(8000, 1, Seq(1)); eightBit(34) = 8
+    assert(Multimodal.decodeWav(eightBit).isEmpty)
+    assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
+  }
+
+  test("wav dispatch: declared-wav garbage rides the stub lane; real wav decodes") {
+    val out = Multimodal.extractFeatures(Seq(
+        MediaRecord(1L, wav(16000, 1, Seq(7, -7)), "wav"),
+        MediaRecord(2L, Array[Byte]('R', 'I', 'F', 'F', 0), "wav")).toDS())
+      .collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out(0).width == 16000 && out(0).height == 1 &&
+      out(0).features.toSeq == Seq(2f, 0f, -7f, 7f, 1f, 0f, 0f, 0f))
+    assert(out(1).features.length == 8, "stub lane must absorb the garbage")
+  }
+
   test("ingested records carry the unique source path beside the hashed id") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_path")
     java.nio.file.Files.write(dir.resolve("x.bin"), Array.fill[Byte](5)(1))
