@@ -73,6 +73,82 @@ object Load {
     report(result, destination)
   }
 
+  /** Partition-level staged replace: only the partitions PRESENT in
+    * `df` are rewritten; every other partition of the destination is
+    * untouched. This is the nightly-delta shape a 100 TB store needs —
+    * [[replaceTable]] rewrites (and re-reads, and re-swaps) the whole
+    * table, a non-starter when the delta touches 1 of 3000 date
+    * partitions. Same guarantee per partition as the full swap: new
+    * contents are fully staged first; the publish is a rename pair with
+    * backup; any failure rolls every already-published partition back.
+    *
+    * (Spark's own `partitionOverwriteMode=dynamic` INSERT OVERWRITE
+    * gives the per-partition scoping but not the backup/restore — a
+    * mid-publish crash can leave some partitions new, some old, none
+    * recoverable. The staged swap here keeps the old bytes until every
+    * partition is published.)
+    */
+  def replacePartitions(
+      spark: SparkSession, df: DataFrame, destination: String,
+      partitionCol: String, format: String = "parquet"): Try[LoadReport] = {
+    val result = Try {
+      val dest = new Path(destination)
+      val staging = new Path(destination + "__staging")
+      val backupRoot = new Path(destination + "__old")
+      val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val writer = df.write.mode(SaveMode.Overwrite).format(format)
+        .partitionBy(partitionCol)
+      (if (format == "csv") writer.option("header", "true") else writer)
+        .save(staging.toString)
+      // count back what was STAGED (the writer's schema — the partition
+      // column comes back from the directory names)
+      val reader = spark.read.format(format).schema(df.schema)
+      val rows = (if (format == "csv")
+        reader.option("header", "true").option("multiLine", "true").option("escape", "\"")
+      else reader)
+        .load(staging.toString).count()
+      val parts = fs.listStatus(staging)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(partitionCol + "="))
+      if (fs.exists(backupRoot)) fs.delete(backupRoot, true)
+      fs.mkdirs(backupRoot)
+      if (!fs.exists(dest)) fs.mkdirs(dest)
+      val swapped = scala.collection.mutable.ListBuffer[String]()
+      try {
+        parts.foreach { p =>
+          val d = new Path(dest, p)
+          val b = new Path(backupRoot, p)
+          val hadPrev = fs.exists(d)
+          if (hadPrev && !fs.rename(d, b))
+            throw new java.io.IOException(s"backup rename $d -> $b failed")
+          if (!fs.rename(new Path(staging, p), d))
+            throw new java.io.IOException(s"publish rename of partition $p failed")
+          swapped += p
+        }
+      } catch {
+        case e: Throwable =>
+          // roll back every partition published so far (delete the new
+          // bytes, restore the backup where one exists)
+          val restored = swapped.forall { p =>
+            val d = new Path(dest, p)
+            val b = new Path(backupRoot, p)
+            Try {
+              fs.delete(d, true)
+              !fs.exists(b) || fs.rename(b, d)
+            }.getOrElse(false)
+          }
+          val note =
+            if (restored) "; all published partitions rolled back"
+            else s"; ROLLBACK INCOMPLETE — previous partitions left at $backupRoot"
+          throw new java.io.IOException(s"partition publish to $dest failed$note", e)
+      }
+      fs.delete(backupRoot, true)
+      fs.delete(staging, true) // leftover _SUCCESS marker etc.
+      LoadReport(rows, destination)
+    }
+    report(result, destination)
+  }
+
   /** K2/K3 against a CATALOG TABLE — the shape a warehouse deployment
     * uses (the reference's destination is a warehouse table:
     * `database_util.py:39` TRUNCATE + `:42-49` bulk load + `:57`

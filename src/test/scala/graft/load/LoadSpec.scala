@@ -45,6 +45,39 @@ class LoadSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("replacePartitions rewrites only the delta's partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_loadp").toString + "/t"
+    val full = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("v", "p")
+    assert(Load.replacePartitions(spark, full, dir, "p").map(_.rows) == Success(4L))
+    // delta touches ONLY p=b; a and c must keep their original bytes
+    val aFiles = new java.io.File(dir, "p=a").listFiles().map(_.getName).toSet
+    val delta = Seq((30L, "b"), (31L, "b")).toDF("v", "p")
+    assert(Load.replacePartitions(spark, delta, dir, "p").map(_.rows) == Success(2L))
+    val back = spark.read.parquet(dir).select($"v", $"p").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(back == Seq((1L, "a"), (2L, "a"), (4L, "c"), (30L, "b"), (31L, "b")))
+    assert(new java.io.File(dir, "p=a").listFiles().map(_.getName).toSet == aFiles,
+      "untouched partition must not be rewritten")
+    assert(!new java.io.File(dir + "__old").exists && !new java.io.File(dir + "__staging").exists,
+      "staging/backup debris must be cleaned up")
+  }
+
+  test("failed partition load preserves every destination partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_loadp").toString + "/t"
+    val full = Seq((1L, "a"), (3L, "b")).toDF("v", "p")
+    assert(Load.replacePartitions(spark, full, dir, "p").isSuccess)
+    // ANSI cast failure mid-staging-write: destination untouched
+    val bad = Seq(("x", "b")).toDF("s", "p")
+      .select(col("s").cast("long").as("v"), col("p"))
+    Load.replacePartitions(spark, bad, dir, "p") match {
+      case Failure(_) => // expected
+      case Success(r) => fail(s"expected failure, got $r")
+    }
+    val back = spark.read.parquet(dir).select($"v", $"p").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(back == Seq((1L, "a"), (3L, "b")))
+  }
+
   /** Drop a catalog table AND its leftover managed-warehouse directory
     * (debris from a crashed earlier test run would fail CREATE).
     */
