@@ -80,6 +80,87 @@ object Relational5 {
         SELECT strftime(spine.m, '%Y-%m') AS month,
           CAST(COALESCE(monthly.n_orders, 0) AS BIGINT) AS n_orders
         FROM spine LEFT JOIN monthly ON monthly.m = spine.m
+      """)),
+
+    // ---- q104: triangle counts over the parts-co-ordered-together
+    //      graph. The Spark side runs operators.Triangles' DEGREE-
+    //      ORIENTED wedge join (the O(m^1.5) scale formulation — hub
+    //      fan-out bounded by out-degree under the (deg, id) total
+    //      order); the oracle runs the naive u<v formulation. The
+    //      triangle set is orientation-invariant, so the two agree —
+    //      the oracle is verifying the optimized plan's RESULT, not
+    //      mirroring its shape. ----
+    GraftQuery(
+      "q104_triangle_counts",
+      (s, d) => {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = op.as("a").join(op.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct()
+        graft.operators.Triangles.triangleCounts(edges)
+          .orderBy(col("n_triangles").desc, col("vertex"))
+          .limit(10)
+          .select(col("vertex").as("part"), col("n_triangles"))
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        tri AS (SELECT e1.u a, e1.v b, e2.v c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pt AS (SELECT vx.p, count(*) n
+               FROM (SELECT a p FROM tri UNION ALL
+                     SELECT b FROM tri UNION ALL
+                     SELECT c FROM tri) vx(p)
+               GROUP BY 1)
+        SELECT p AS part, CAST(n AS BIGINT) AS n_triangles
+        FROM pt ORDER BY n DESC, p LIMIT 10
+      """)),
+
+    // ---- q105: median by mergeable fixed-width histogram — the
+    //      sketch-style quantile (vs q28's exact interpolated
+    //      percentile): bin counts are associative/mergeable (one
+    //      map-side-combined shuffle at any scale), and the estimate is
+    //      the first bin whose cumulative count crosses half. Unlike
+    //      t-digest/KLL the result is deterministic, so it carries a
+    //      full DuckDB oracle. floor(x/1000) is one IEEE double op —
+    //      identical bins in both engines. ----
+    GraftQuery(
+      "q105_histogram_median",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority")).orderBy(col("bin"))
+        val tot = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice") / 1000).cast("long").as("bin"))
+          .groupBy(col("o_orderpriority"), col("bin")).agg(count(lit(1)).as("n"))
+          .withColumn("cum", sum(col("n")).over(w))
+          .withColumn("total", sum(col("n")).over(tot))
+          .where(col("cum") * 2 >= col("total"))
+          .groupBy(col("o_orderpriority"))
+          .agg(min(col("bin")).as("p50_bin"), min(col("total")).as("n_orders"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT o_orderpriority, CAST(floor(o_totalprice / 1000) AS BIGINT) bin, count(*) n
+          FROM orders GROUP BY 1, 2),
+        c AS (
+          SELECT o_orderpriority, bin, n,
+            sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bin) cum,
+            sum(n) OVER (PARTITION BY o_orderpriority) total
+          FROM b)
+        SELECT o_orderpriority,
+          CAST(min(bin) AS BIGINT) AS p50_bin,
+          CAST(min(total) AS BIGINT) AS n_orders
+        FROM c WHERE cum * 2 >= total GROUP BY o_orderpriority
       """))
   )
 }
