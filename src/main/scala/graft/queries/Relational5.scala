@@ -93,13 +93,22 @@ object Relational5 {
     GraftQuery(
       "q104_triangle_counts",
       (s, d) => {
-        val op = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = op.as("a").join(op.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .distinct()
+        // co-order pairs WITHOUT a self-join: group each order's part
+        // set once, expand the u<v pairs inside codegen (a self-join on
+        // l_orderkey costs two extra shuffles of the lineitem scan and
+        // recomputes the distinct per join leg — measured 2-3 s slower
+        // at sf0.1 for an identical edge set)
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        val edges = perOrder
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+              y => struct(x.as("u"), y.as("v"))))))
+            .as("e"))
+          .select(col("e.u"), col("e.v"))
+        // no .distinct(): cross-order duplicate pairs dedup inside the
+        // operator's adjacency build (one shuffle instead of two)
         graft.operators.Triangles.triangleCounts(edges)
           .orderBy(col("n_triangles").desc, col("vertex"))
           .limit(10)

@@ -38,7 +38,8 @@ class TrianglesSpec extends SparkTestBase {
       val v = rnd.nextInt(30).toLong
       (math.min(u, v), math.max(u, v))
     }.filter { case (u, v) => u != v }.distinct.toDF("u", "v")
-    val oriented = Triangles.triangles(edges).count()
+    val idOriented = Triangles.triangles(edges).count()
+    val degOriented = Triangles.triangles(edges, degreeOriented = true).count()
     // naive: wedges on u<v edges closed by a third u<v edge
     val e = edges
     val naive = e.as("e1")
@@ -47,7 +48,10 @@ class TrianglesSpec extends SparkTestBase {
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"),
         "leftsemi")
       .count()
-    assert(oriented == naive, s"oriented $oriented vs naive $naive")
-    assert(oriented > 0, "fixture graph must actually contain triangles")
+    assert(idOriented == naive, s"id-oriented $idOriented vs naive $naive")
+    assert(degOriented == naive, s"degree-oriented $degOriented vs naive $naive")
+    assert(naive > 0, "fixture graph must actually contain triangles")
+    // duplicate input edges must not create duplicate triangles
+    assert(Triangles.triangles(edges.unionAll(edges)).count() == naive)
   }
 }
