@@ -27,6 +27,22 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("l_orderkey"), "unreferenced column not pruned from scan")
   }
 
+  test("q102: quantized query side broadcasts; no sort-merge join") {
+    val p = plan("q102_int8_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query vectors must broadcast against the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle for the scoring join")
+  }
+
+  test("q104: adjacency joins broadcast; no cartesian product") {
+    val p = plan("q104_triangle_counts")
+    assert(p.contains("BroadcastHashJoin"),
+      "adjacency must attach via broadcast hash join")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "triangle probe must not shuffle edge×array rows")
+  }
+
   test("q03: dimension joins are broadcast, not shuffled") {
     val p = plan("q03_join_topk")
     assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
