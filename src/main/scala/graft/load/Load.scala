@@ -127,16 +127,7 @@ object Load {
         }
       } catch {
         case e: Throwable =>
-          // roll back every partition published so far (delete the new
-          // bytes, restore the backup where one exists)
-          val restored = swapped.forall { p =>
-            val d = new Path(dest, p)
-            val b = new Path(backupRoot, p)
-            Try {
-              fs.delete(d, true)
-              !fs.exists(b) || fs.rename(b, d)
-            }.getOrElse(false)
-          }
+          val restored = rollbackPartitions(fs, dest, backupRoot, parts.toSeq, swapped.toSet)
           val note =
             if (restored) "; all published partitions rolled back"
             else s"; ROLLBACK INCOMPLETE — previous partitions left at $backupRoot"
@@ -148,6 +139,30 @@ object Load {
     }
     report(result, destination)
   }
+
+  /** Roll back every partition TOUCHED by a failed publish — not just
+    * the fully published ones: the partition that failed mid-swap may
+    * have had its backup rename succeed and its publish rename fail,
+    * leaving its old bytes in the backup and its destination dir
+    * missing. For each affected partition: drop whatever sits at the
+    * destination (staged bytes or nothing), then restore the backup if
+    * one exists. Package-private so the spec can exercise the
+    * mid-swap states directly (fault injection through the FS layer is
+    * not portable).
+    */
+  private[load] def rollbackPartitions(
+      fs: org.apache.hadoop.fs.FileSystem, dest: Path, backupRoot: Path,
+      parts: Seq[String], swapped: Set[String]): Boolean =
+    parts.forall { p =>
+      val d = new Path(dest, p)
+      val b = new Path(backupRoot, p)
+      Try {
+        if (fs.exists(b)) {
+          fs.delete(d, true)
+          fs.rename(b, d)
+        } else if (swapped.contains(p)) fs.delete(d, true) else true
+      }.getOrElse(false)
+    }
 
   /** K2/K3 against a CATALOG TABLE — the shape a warehouse deployment
     * uses (the reference's destination is a warehouse table:

@@ -78,6 +78,36 @@ class LoadSpec extends SparkTestBase {
     assert(back == Seq((1L, "a"), (3L, "b")))
   }
 
+  test("mid-swap rollback restores the half-moved partition, not only published ones") {
+    // manufacture the exact state after a publish rename fails: p=a fully
+    // published (backup holds its old bytes), p=b backed up but its
+    // destination missing, p=c untouched, p=d brand new and published
+    val root = java.nio.file.Files.createTempDirectory("graft_rb")
+    def mk(rel: String, content: String): Unit = {
+      val f = root.resolve(rel)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, content.getBytes)
+    }
+    mk("t/p=a/part-0", "NEW-a"); mk("t__old/p=a/part-0", "OLD-a")
+    mk("t__old/p=b/part-0", "OLD-b") // dest p=b missing: swap died here
+    mk("t/p=c/part-0", "OLD-c")      // untouched
+    mk("t/p=d/part-0", "NEW-d")      // new partition, no backup
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok = Load.rollbackPartitions(fs,
+      new org.apache.hadoop.fs.Path(root.resolve("t").toString),
+      new org.apache.hadoop.fs.Path(root.resolve("t__old").toString),
+      parts = Seq("p=a", "p=b", "p=c", "p=d"),
+      swapped = Set("p=a", "p=d"))
+    assert(ok, "rollback must report success")
+    def read(rel: String) = new String(java.nio.file.Files.readAllBytes(root.resolve(rel)))
+    assert(read("t/p=a/part-0") == "OLD-a", "published partition must revert")
+    assert(read("t/p=b/part-0") == "OLD-b", "half-moved partition must be restored")
+    assert(read("t/p=c/part-0") == "OLD-c", "untouched partition must stay")
+    assert(!java.nio.file.Files.exists(root.resolve("t/p=d")),
+      "brand-new published partition must be removed")
+  }
+
   /** Drop a catalog table AND its leftover managed-warehouse directory
     * (debris from a crashed earlier test run would fail CREATE).
     */
