@@ -170,6 +170,70 @@ object Relational5 {
           CAST(min(bin) AS BIGINT) AS p50_bin,
           CAST(min(total) AS BIGINT) AS n_orders
         FROM c WHERE cum * 2 >= total GROUP BY o_orderpriority
+      """)),
+
+    // ---- q106: deterministic fixed-point PageRank (3 iterations) over
+    //      the undirected co-order parts graph. Ranks are integers
+    //      scaled by 10^12 and every step is integer arithmetic
+    //      (truncating div, exact 85/100 damping), so the per-vertex
+    //      contribution sums are associative — bit-identical under any
+    //      partitioning, and the DuckDB oracle replicates the FULL
+    //      iteration with an unrolled CTE chain. Float PageRank could
+    //      never hash-match (shuffle-order-dependent reductions).
+    //      Unlike q104, the edge set must be DISTINCT here — duplicate
+    //      edges would inflate degrees and contributions. ----
+    GraftQuery(
+      "q106_pagerank",
+      (s, d) => {
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        val edges = perOrder
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+              y => struct(x.as("u"), y.as("v"))))))
+            .as("e"))
+          .select(col("e.u"), col("e.v"))
+          .distinct()
+        graft.operators.PageRank
+          .ranks(graft.operators.PageRank.bothDirections(edges), iters = 3)
+          .orderBy(col("rank").desc, col("vertex"))
+          .limit(10)
+          .select(col("vertex").as("part"), col("rank"))
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        arcs AS (SELECT u src, v dst FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT src, count(*) d FROM arcs GROUP BY src),
+        verts AS (SELECT src AS vertex FROM arcs UNION SELECT dst FROM arcs),
+        nv AS (SELECT count(*) n FROM verts),
+        r0 AS (SELECT vertex, 1000000000000 // (SELECT n FROM nv) AS rank FROM verts),
+        c1 AS (SELECT a.dst vertex, sum(r.rank // deg.d) s
+               FROM r0 r JOIN deg ON deg.src = r.vertex JOIN arcs a ON a.src = r.vertex
+               GROUP BY a.dst),
+        r1 AS (SELECT v.vertex,
+                 (1000000000000 * 15 // 100) // (SELECT n FROM nv)
+                   + (COALESCE(c1.s, 0) * 85) // 100 AS rank
+               FROM verts v LEFT JOIN c1 ON c1.vertex = v.vertex),
+        c2 AS (SELECT a.dst vertex, sum(r.rank // deg.d) s
+               FROM r1 r JOIN deg ON deg.src = r.vertex JOIN arcs a ON a.src = r.vertex
+               GROUP BY a.dst),
+        r2 AS (SELECT v.vertex,
+                 (1000000000000 * 15 // 100) // (SELECT n FROM nv)
+                   + (COALESCE(c2.s, 0) * 85) // 100 AS rank
+               FROM verts v LEFT JOIN c2 ON c2.vertex = v.vertex),
+        c3 AS (SELECT a.dst vertex, sum(r.rank // deg.d) s
+               FROM r2 r JOIN deg ON deg.src = r.vertex JOIN arcs a ON a.src = r.vertex
+               GROUP BY a.dst),
+        r3 AS (SELECT v.vertex,
+                 (1000000000000 * 15 // 100) // (SELECT n FROM nv)
+                   + (COALESCE(c3.s, 0) * 85) // 100 AS rank
+               FROM verts v LEFT JOIN c3 ON c3.vertex = v.vertex)
+        SELECT vertex AS part, CAST(rank AS BIGINT) AS rank
+        FROM r3 ORDER BY rank DESC, vertex LIMIT 10
       """))
   )
 }
