@@ -59,10 +59,14 @@ object Bench {
     // overflowed that window and the parse failed.
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     System.err.println(s"[bench-full] $full")
+    // Locale.ROOT: the f-interpolator uses the default locale, which in
+    // e.g. fr_FR renders 1.234 as "1,234" — invalid JSON on the line
+    // whose whole job is to parse
+    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = num(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -110,7 +110,18 @@ object Load {
       val parts = fs.listStatus(staging)
         .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith(partitionCol + "="))
-      if (fs.exists(backupRoot)) fs.delete(backupRoot, true)
+      // A NON-EMPTY backup root means a prior publish failed with an
+      // incomplete rollback — it holds the ONLY copy of those
+      // partitions' old bytes. Deleting it here would destroy them on
+      // the retry. Refuse and make the operator decide (an empty dir —
+      // debris from a crash between mkdirs and swap — is safe to clear).
+      if (fs.exists(backupRoot)) {
+        if (fs.listStatus(backupRoot).nonEmpty)
+          throw new IllegalStateException(
+            s"backup dir $backupRoot is non-empty — a prior partition publish " +
+              "failed and was not fully rolled back; recover manually before loading")
+        fs.delete(backupRoot, true)
+      }
       fs.mkdirs(backupRoot)
       if (!fs.exists(dest)) fs.mkdirs(dest)
       val swapped = scala.collection.mutable.ListBuffer[String]()
@@ -128,6 +139,9 @@ object Load {
       } catch {
         case e: Throwable =>
           val restored = rollbackPartitions(fs, dest, backupRoot, parts.toSeq, swapped.toSet)
+          // a fully-restored backup root is empty shell — remove it so the
+          // retry isn't refused by the non-empty-backup guard above
+          if (restored) Try(fs.delete(backupRoot, true))
           val note =
             if (restored) "; all published partitions rolled back"
             else s"; ROLLBACK INCOMPLETE — previous partitions left at $backupRoot"
@@ -153,7 +167,9 @@ object Load {
   private[load] def rollbackPartitions(
       fs: org.apache.hadoop.fs.FileSystem, dest: Path, backupRoot: Path,
       parts: Seq[String], swapped: Set[String]): Boolean =
-    parts.forall { p =>
+    parts.map { p => // map-then-forall: attempt EVERY partition — a
+      // forall would short-circuit on the first failed restore and
+      // abandon the rest even where their renames would succeed
       val d = new Path(dest, p)
       val b = new Path(backupRoot, p)
       Try {
@@ -162,7 +178,7 @@ object Load {
           fs.rename(b, d)
         } else if (swapped.contains(p)) fs.delete(d, true) else true
       }.getOrElse(false)
-    }
+    }.forall(identity)
 
   /** K2/K3 against a CATALOG TABLE — the shape a warehouse deployment
     * uses (the reference's destination is a warehouse table:

@@ -46,6 +46,7 @@ object PageRank {
       .unionAll(a.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint()
     val n = vertices.count()
+    require(n > 0, "PageRank over an empty arc set — no vertices to rank")
     val base = Scale * 15L / 100L / n // teleport term, truncating like every step
     var rank = vertices.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {

@@ -25,15 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** (vid, codes array<long>) with codes in [-127, 127]. */
-  def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** (vid, codes array<long>) with codes in [-127, 127]. `fan` widens a
+    * narrow corpus scan; leave it off for the handful of broadcast-bound
+    * query rows (repartitioning 5 rows just to collect them back to the
+    * driver for the broadcast is a pure-overhead exchange).
+    */
+  def quantized(df: DataFrame, idCol: String, vecCol: String,
+      fan: Boolean = true): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     // array_max is order-independent (exact) and abs/floor/* / are
     // single IEEE ops — every element's code depends only on (x_i, mx).
     val mx = array_max(transform(v, x => abs(x)))
     val codes = when(mx === lit(0d), transform(v, _ => lit(0L)))
       .otherwise(transform(v, x => floor(x * lit(127d) / mx + lit(0.5d)).cast("long")))
-    graft.core.Partitioning.fanOut(df)
+    (if (fan) graft.core.Partitioning.fanOut(df) else df)
       .select(col(idCol).as("vid"), codes.as("codes"))
   }
 
@@ -46,7 +51,7 @@ object Quantize {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val c = quantized(corpus, idCol, vecCol)
-    val q = quantized(queries, idCol, vecCol)
+    val q = quantized(queries, idCol, vecCol, fan = false)
       .withColumnRenamed("vid", "query_id").withColumnRenamed("codes", "qcodes")
     val scored = c.crossJoin(broadcast(q))
       .where(col("vid") =!= col("query_id"))

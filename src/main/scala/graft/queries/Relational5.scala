@@ -10,6 +10,24 @@ import graft.core.Tables
   */
 object Relational5 {
 
+  /** Parts-co-ordered-together pair stream (u < v, duplicates across
+    * orders retained): group each order's part set once and expand the
+    * pairs in-array — a self-join on l_orderkey costs two extra
+    * shuffles of the lineitem scan and recomputes the distinct per join
+    * leg (measured 2-3 s slower at sf0.1 for an identical edge set).
+    * Shared by q104 (dedups in its adjacency build) and q106 (applies
+    * .distinct() — PageRank degrees must not count duplicate edges).
+    */
+  private def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("u"), y.as("v"))))))
+        .as("e"))
+      .select(col("e.u"), col("e.v"))
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- q98: higher-order functions over word arrays — transform /
@@ -39,7 +57,8 @@ object Relational5 {
                    FROM documents WHERE doc_id < 100)
         SELECT doc_id,
           CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long,
-          CAST(list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) AS BIGINT) AS total_len,
+          CAST(CASE WHEN len(w) = 0 THEN 0
+               ELSE list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) END AS BIGINT) AS total_len,
           CAST(list_aggregate(list_transform(w, x -> length(x)), 'max') AS BIGINT) AS max_len,
           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
           CAST(len(list_filter(list_zip(w, list_reverse(w)), p -> p[1] = p[2])) AS BIGINT) AS n_mirror
@@ -83,37 +102,23 @@ object Relational5 {
       """)),
 
     // ---- q104: triangle counts over the parts-co-ordered-together
-    //      graph. The Spark side runs operators.Triangles' DEGREE-
-    //      ORIENTED wedge join (the O(m^1.5) scale formulation — hub
-    //      fan-out bounded by out-degree under the (deg, id) total
-    //      order); the oracle runs the naive u<v formulation. The
-    //      triangle set is orientation-invariant, so the two agree —
-    //      the oracle is verifying the optimized plan's RESULT, not
-    //      mirroring its shape. ----
+    //      graph, via operators.Triangles' adjacency-intersection plan.
+    //      Orientation here is the default id order: the co-order graph
+    //      is near-uniform (max degree 222 at sf0.1), so the degree
+    //      orientation's extra shuffle + join buys nothing — the
+    //      degree-oriented path is equivalence-tested in TrianglesSpec
+    //      for the skewed-graph case. The oracle runs the naive wedge
+    //      formulation; the triangle set is orientation-invariant, so
+    //      it verifies the optimized plan's RESULT, not its shape. ----
     GraftQuery(
       "q104_triangle_counts",
-      (s, d) => {
-        // co-order pairs WITHOUT a self-join: group each order's part
-        // set once, expand the u<v pairs inside codegen (a self-join on
-        // l_orderkey costs two extra shuffles of the lineitem scan and
-        // recomputes the distinct per join leg — measured 2-3 s slower
-        // at sf0.1 for an identical edge set)
-        val perOrder = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        val edges = perOrder
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-              y => struct(x.as("u"), y.as("v"))))))
-            .as("e"))
-          .select(col("e.u"), col("e.v"))
-        // no .distinct(): cross-order duplicate pairs dedup inside the
-        // operator's adjacency build (one shuffle instead of two)
-        graft.operators.Triangles.triangleCounts(edges)
+      (s, d) =>
+        // no .distinct() on the pairs: cross-order duplicates dedup
+        // inside the operator's adjacency build (one shuffle, not two)
+        graft.operators.Triangles.triangleCounts(coOrderPairs(s, d))
           .orderBy(col("n_triangles").desc, col("vertex"))
           .limit(10)
-          .select(col("vertex").as("part"), col("n_triangles"))
-      },
+          .select(col("vertex").as("part"), col("n_triangles")),
       Some("""
         WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
@@ -185,16 +190,7 @@ object Relational5 {
     GraftQuery(
       "q106_pagerank",
       (s, d) => {
-        val perOrder = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        val edges = perOrder
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-              y => struct(x.as("u"), y.as("v"))))))
-            .as("e"))
-          .select(col("e.u"), col("e.v"))
-          .distinct()
+        val edges = coOrderPairs(s, d).distinct()
         graft.operators.PageRank
           .ranks(graft.operators.PageRank.bothDirections(edges), iters = 3)
           .orderBy(col("rank").desc, col("vertex"))

@@ -49,7 +49,8 @@ object TextQueries3 {
         WITH t AS (SELECT lang, regexp_extract_all(lower(text), '\S+') w FROM documents),
         m AS (SELECT lang,
             len(w) AS nw,
-            list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) AS sl,
+            CASE WHEN len(w) = 0 THEN 0
+                 ELSE list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) END AS sl,
             len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS ns,
             len(list_distinct(w)) AS nd
           FROM t),
