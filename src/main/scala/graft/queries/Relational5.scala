@@ -234,6 +234,36 @@ object Relational5 {
                FROM verts v LEFT JOIN c3 ON c3.vertex = v.vertex)
         SELECT vertex AS part, CAST(rank AS BIGINT) AS rank
         FROM r3 ORDER BY rank DESC, vertex LIMIT 10
+      """)),
+
+    // ---- q108: ranking-function breadth with TIES — rank vs
+    //      dense_rank diverge only when the order key collides, so the
+    //      bin deliberately coarsens o_totalprice; cume_dist is the
+    //      exact rational count<=/total (one integer division in
+    //      double — deterministic in both engines). ----
+    GraftQuery(
+      "q108_window_ranks",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority")).orderBy(col("bin"))
+        Tables.orders(s, d).where(col("o_custkey") < 100)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice") / 10000).cast("long").as("bin"),
+            col("o_orderkey"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("cd", cume_dist().over(w))
+      },
+      Some("""
+        SELECT o_orderpriority,
+          CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin,
+          o_orderkey,
+          CAST(rank() OVER w AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          cume_dist() OVER w AS cd
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice / 10000))
       """))
   )
 }

@@ -476,6 +476,62 @@ object TpchQueries {
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY CAST(c_nationkey % 5 AS INT)
+      """)),
+
+    // ---- q107: TPC-H Q21 shape — "suppliers who kept orders waiting",
+    //      adapted to the fixture's columns (l_shipdate stands in for
+    //      the missing commit/receipt dates: a supplier is "late" when
+    //      its line is the strictly-latest ship in a multi-supplier
+    //      order). The interesting structure survives intact: one
+    //      correlated EXISTS and one correlated NOT EXISTS against
+    //      OTHER lines of the same order, decorrelated Spark-side into
+    //      a semi join and an anti join on (orderkey, suppkey<>,
+    //      shipdate>) — the equi key carries the shuffle, the
+    //      inequalities ride as join residuals (never a cartesian). ----
+    GraftQuery(
+      "q107_tpch21_waiting",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val base = l
+          .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+              .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val other = l.select(
+          col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"),
+          col("l_shipdate").as("o2_shipdate"))
+        val waited = base
+          .join(other,
+            col("l_orderkey") === col("o2_orderkey") &&
+              col("l_suppkey") =!= col("o2_suppkey"),
+            "left_semi")
+          .join(other,
+            col("l_orderkey") === col("o2_orderkey") &&
+              col("l_suppkey") =!= col("o2_suppkey") &&
+              col("o2_shipdate") > col("l_shipdate"),
+            "left_anti")
+        waited
+          .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).cast("long").as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
       """))
   )
 }
