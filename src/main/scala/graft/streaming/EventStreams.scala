@@ -20,6 +20,35 @@ object EventStreams {
 
   final case class UserCounts(user_id: Long, n_events: Long, n_purchases: Long)
 
+  /** Streaming corpus intake — the streaming face of the batch
+    * corpus-prep pipeline (quality gate → exact dedup): documents
+    * arrive as (doc_id, text, lang, ts), pass the SAME stateless
+    * quality predicate the batch q85 pipeline applies (token count +
+    * alpha ratio via TextFunctions — one codegen'd projection, no
+    * state), and dedup on the canonical content fingerprint with
+    * `dropDuplicatesWithinWatermark` — state for a fingerprint is
+    * dropped once the watermark passes it, so the dedup memory is
+    * bounded by the (horizon × ingest-rate) working set instead of the
+    * whole corpus. A re-crawled duplicate INSIDE the horizon is
+    * suppressed; one beyond it re-enters (and the batch backfill
+    * catches it) — the standard streaming-ingest contract.
+    *
+    * Works identically on a batch DataFrame (watermark + the dedup
+    * degrade to a plain dropDuplicates) — the stream≡batch spec pins
+    * that equivalence.
+    */
+  def corpusIntake(
+      docs: DataFrame, minTokens: Int = 5, watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions
+    val gated = docs
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .where(col("n_tokens") >= minTokens)
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+    if (docs.isStreaming)
+      gated.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
+    else gated.dropDuplicates("fp")
+  }
+
   /** Tumbling-window counts with a watermark for late data. In a stream,
     * windows finalize `watermark` after their end; in batch the same
     * plan computes the full history.
