@@ -88,6 +88,36 @@ object EventQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
           FROM ev)
         SELECT user_id, event_id, last_click_id FROM w WHERE event_type = 'purchase'
+      """)),
+
+    // ---- q110: FORWARD as-of — for each click, the next purchase
+    //      at-or-after it by the same user (operators.AsOfJoin.forward:
+    //      same single-window union shape as q46's backward join, frame
+    //      reversed). ----
+    GraftQuery(
+      "q110_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+        val clicks = ev.where(col("event_type") === "click")
+        AsOfJoin.forward(clicks, purchases, "user_id", "ts", "ts", "event_id",
+            leftCols = Seq("event_id"))
+          .select(col("user_id"), col("event_id"),
+            col("asof_event_id").as("next_purchase_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, ts, event_id, event_type FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        w AS (
+          SELECT user_id, event_id, event_type,
+            first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+              OVER (PARTITION BY user_id
+                    ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+                             CASE WHEN event_type = 'purchase' THEN event_id END
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
+          FROM ev)
+        SELECT user_id, event_id, next_purchase_id FROM w WHERE event_type = 'click'
       """))
   )
 }

@@ -264,6 +264,32 @@ object Relational5 {
         FROM orders
         WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice / 10000))
+      """)),
+
+    // ---- q109: skew-salted aggregation under the oracle gate — the
+    //      two-phase salted sum (operators.Skew.saltedSumAgg: partial
+    //      sums per (key, salt) spread a hot key over `salts` reducers,
+    //      then final sums per key) must be RESULT-identical to the
+    //      plain GROUP BY the oracle runs. Measures are pre-cast to
+    //      exact decimals so the sum is order-independent — the
+    //      property that makes salting safe to apply at all. ----
+    GraftQuery(
+      "q109_skew_salted_agg",
+      (s, d) =>
+        graft.operators.Skew.saltedSumAgg(
+            Tables.lineitem(s, d).select(
+              col("l_returnflag"),
+              col("l_quantity").cast("decimal(12,2)").as("qty"),
+              col("l_extendedprice").cast("decimal(12,2)").as("price")),
+            keys = Seq("l_returnflag"), measures = Seq("qty", "price"), salts = 8)
+          .select(col("l_returnflag"),
+            col("qty").cast("double").as("sum_qty"),
+            col("price").cast("double").as("sum_price")),
+      Some("""
+        SELECT l_returnflag,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag
       """))
   )
 }

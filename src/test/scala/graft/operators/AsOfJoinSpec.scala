@@ -40,4 +40,37 @@ class AsOfJoinSpec extends SparkTestBase {
       .select($"asof_event_id").as[Long].head()
     assert(out == 9L)
   }
+
+  test("forward as-of: earliest right at-or-after, per key; null when none follows") {
+    val clicks = Seq(
+      (1L, 1L, ts("2024-01-01 09:30:00")),
+      (2L, 1L, ts("2024-01-01 10:00:00")), // same instant as purchase 100 -> counts (at-or-after)
+      (3L, 1L, ts("2024-01-01 12:30:00")), // after the last purchase -> null
+      (4L, 2L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 08:00:00")) // before user 2's click -> must not match
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.forward(clicks, purchases, "user_id", "ts", "ts", "event_id",
+        leftCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(100L))
+    assert(out(2L).contains(100L)) // tie at 10:00 -> purchase included
+    assert(out(3L).isEmpty)        // nothing follows
+    assert(out(4L).isEmpty)        // user 2: only an earlier purchase
+  }
+
+  test("forward ties among right rows at the same timestamp resolve to min id") {
+    val l = Seq((10L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (9L, 1L, ts("2024-01-01 10:00:00")),
+      (7L, 1L, ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.forward(l, r, "user_id", "ts", "ts", "event_id", Seq("event_id"))
+      .select($"asof_event_id").as[Long].head()
+    assert(out == 7L)
+  }
 }
