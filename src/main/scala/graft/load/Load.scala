@@ -33,7 +33,16 @@ object Load {
       val staging = new Path(destination + "__staging")
       val backup = new Path(destination + "__old")
       val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Leftover staging/backup from a prior failed run is cleared.
+      // A backup WITHOUT a destination means a prior swap's restore
+      // failed and the backup holds the only copy of the old table —
+      // clearing it on retry would destroy that copy right before
+      // re-attempting the same swap (same guard as the catalog and
+      // partition variants). A backup beside an existing destination is
+      // crash debris from after a successful publish — safe to clear.
+      if (fs.exists(backup) && !fs.exists(dest))
+        throw new IllegalStateException(
+          s"destination $destination is missing but backup $backup exists — a prior " +
+            "swap failed and was not restored; recover manually before loading")
       val writer = df.write.mode(SaveMode.Overwrite).format(format)
       (if (format == "csv") writer.option("header", "true") else writer)
         .save(staging.toString)

@@ -4,20 +4,55 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for each left row, the most recent right row at
-  * or before its time, per partition key. Spark has no built-in as-of
-  * join; the idiomatic scalable formulation is union + window rather
-  * than a range join: tag both sides, sort within the partition key by
-  * (time, side, id), and carry the last non-null right payload forward
-  * with `last(..., ignoreNulls)`.
+/** As-of joins — for each left row, the nearest right row at-or-before
+  * ([[backward]]) or at-or-after ([[forward]]) its time, per partition
+  * key. Spark has no built-in as-of join; the idiomatic scalable
+  * formulation is union + window rather than a range join: tag both
+  * sides, sort within the partition key by (time, side, id), and carry
+  * the nearest non-null right payload across with
+  * `last/first(..., ignoreNulls)` over a one-sided frame.
   *
   * Cost: ONE shuffle on the partition key + a window sort — no
   * quadratic range probe, no broadcast requirement; AQE handles skewed
-  * keys. Right rows sort BEFORE left rows at equal timestamps, giving
-  * at-or-before semantics; ties among right rows resolve to the highest
-  * id (deterministic).
+  * keys. At equal timestamps the right row is eligible in BOTH
+  * directions (at-or-before / at-or-after); ties among right rows
+  * resolve deterministically (backward: highest id wins — the last one
+  * the frame sees; forward: lowest id wins — the first).
   */
 object AsOfJoin {
+
+  /** Shared union/window scaffolding; direction picks the sort of the
+    * side tag (right rows must sort toward the frame), the frame side,
+    * and the picker function.
+    */
+  private def asOf(
+      left: DataFrame, right: DataFrame, on: String,
+      leftTime: String, rightTime: String, rightId: String,
+      leftCols: Seq[String], forwardDir: Boolean): DataFrame = {
+    val l = left.select(
+      (col(on).as("_key") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
+        lit(null).cast(right.schema(rightId).dataType).as("_payload") +:
+        leftCols.map(c => col(c).as(c))): _*)
+    val r = right.select(
+      (col(on).as("_key") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
+        col(rightId).as("_payload") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val sideOrder: Column = if (forwardDir) col("_side").desc else col("_side")
+    val base = Window.partitionBy(col("_key"))
+      .orderBy(col("_t"), sideOrder, col("_payload"))
+    val (w, pick) =
+      if (forwardDir)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_payload"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_payload"), ignoreNulls = true))
+    l.unionByName(r)
+      .withColumn(s"asof_$rightId", pick.over(w))
+      .where(col("_side") === 1)
+      .select((col("_key").as(on) +: col("_t").as(leftTime) +:
+        leftCols.map(col) :+ col(s"asof_$rightId")): _*)
+  }
 
   /** @param left       rows to enrich
     * @param right      rows providing the as-of payload
@@ -30,52 +65,15 @@ object AsOfJoin {
   def backward(
       left: DataFrame, right: DataFrame, on: String,
       leftTime: String, rightTime: String, rightId: String,
-      leftCols: Seq[String]): DataFrame = {
-    val l = left.select(
-      (col(on).as("_key") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        lit(null).cast(right.schema(rightId).dataType).as("_payload") +:
-        leftCols.map(c => col(c).as(c))): _*)
-    val r = right.select(
-      (col(on).as("_key") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        col(rightId).as("_payload") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(col("_key"))
-      .orderBy(col("_t"), col("_side"), col("_payload"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn(s"asof_$rightId", last(col("_payload"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-      .select((col("_key").as(on) +: col("_t").as(leftTime) +:
-        leftCols.map(col) :+ col(s"asof_$rightId")): _*)
-  }
+      leftCols: Seq[String]): DataFrame =
+    asOf(left, right, on, leftTime, rightTime, rightId, leftCols, forwardDir = false)
 
   /** Forward as-of: for each left row, the EARLIEST right row with
     * rightTime >= leftTime on the same key (null when none follows).
-    * Same union+single-window shape as [[backward]] — one shuffle on
-    * the key, no range join — with the frame reversed: first non-null
-    * payload over [current row, unbounded following], right rows
-    * sorted AFTER left at equal timestamps (`_side` descending) so a
-    * tie still matches, smallest payload winning ties for determinism.
     */
   def forward(
       left: DataFrame, right: DataFrame, on: String,
       leftTime: String, rightTime: String, rightId: String,
-      leftCols: Seq[String]): DataFrame = {
-    val l = left.select(
-      (col(on).as("_key") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        lit(null).cast(right.schema(rightId).dataType).as("_payload") +:
-        leftCols.map(c => col(c).as(c))): _*)
-    val r = right.select(
-      (col(on).as("_key") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        col(rightId).as("_payload") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(col("_key"))
-      .orderBy(col("_t"), col("_side").desc, col("_payload"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    l.unionByName(r)
-      .withColumn(s"asof_$rightId", first(col("_payload"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-      .select((col("_key").as(on) +: col("_t").as(leftTime) +:
-        leftCols.map(col) :+ col(s"asof_$rightId")): _*)
-  }
+      leftCols: Seq[String]): DataFrame =
+    asOf(left, right, on, leftTime, rightTime, rightId, leftCols, forwardDir = true)
 }

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle join (contributions to their destination)
   * plus one aggregation per iteration; ranks/degrees ride a compact
-  * (vertex, rank) table. Lineage is truncated per round with
-  * localCheckpoint — same rationale as Components' propagation loop
-  * (geometric plan growth otherwise).
+  * (vertex, rank) table broadcast against the checkpointed arc list.
+  * The loop deliberately unrolls into ONE straight-line plan (each
+  * round's rank feeds exactly one consumer) — no per-round job
+  * launches. That trades plan depth for latency: fine at the ≤10
+  * rounds PageRank needs to rank-stabilize; for unusually deep loops
+  * add a localCheckpoint every ~8 rounds (Components' pattern).
   */
 object PageRank {
 

@@ -194,7 +194,10 @@ object Relational5 {
     GraftQuery(
       "q106_pagerank",
       (s, d) => {
-        val edges = coOrderPairs(s, d).distinct()
+        // checkpoint BEFORE bothDirections: the unionAll embeds the
+        // edge lineage twice, so without the barrier the groupBy +
+        // pair-expansion + distinct would execute once per direction
+        val edges = coOrderPairs(s, d).distinct().localCheckpoint()
         graft.operators.PageRank
           .ranks(graft.operators.PageRank.bothDirections(edges), iters = 3)
           .orderBy(col("rank").desc, col("vertex"))

@@ -21,11 +21,10 @@ object EventStreams {
   final case class UserCounts(user_id: Long, n_events: Long, n_purchases: Long)
 
   /** Streaming corpus intake — the streaming face of the batch
-    * corpus-prep pipeline (quality gate → exact dedup): documents
-    * arrive as (doc_id, text, lang, ts), pass the SAME stateless
-    * quality predicate the batch q85 pipeline applies (token count +
-    * alpha ratio via TextFunctions — one codegen'd projection, no
-    * state), and dedup on the canonical content fingerprint with
+    * corpus-prep flow (stateless gate → exact dedup): documents arrive
+    * as (doc_id, text, lang, ts), pass a token-count quality gate (one
+    * codegen'd projection, no state — further stateless gates compose
+    * the same way), and dedup on the canonical content fingerprint with
     * `dropDuplicatesWithinWatermark` — state for a fingerprint is
     * dropped once the watermark passes it, so the dedup memory is
     * bounded by the (horizon × ingest-rate) working set instead of the
@@ -33,9 +32,12 @@ object EventStreams {
     * suppressed; one beyond it re-enters (and the batch backfill
     * catches it) — the standard streaming-ingest contract.
     *
-    * Works identically on a batch DataFrame (watermark + the dedup
-    * degrade to a plain dropDuplicates) — the stream≡batch spec pins
-    * that equivalence.
+    * Survivor pinning: the stream keeps a fingerprint's FIRST-processed
+    * row; a plain batch `dropDuplicates` keeps an arbitrary one
+    * (partition-order-dependent), so the batch branch picks the
+    * earliest (ts, doc_id) instead — deterministic, and equal to the
+    * stream whenever it ingests in event-time order. Output schema is
+    * the input's (helper columns dropped).
     */
   def corpusIntake(
       docs: DataFrame, minTokens: Int = 5, watermark: String = "1 hour"): DataFrame = {
@@ -44,9 +46,16 @@ object EventStreams {
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .where(col("n_tokens") >= minTokens)
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
-    if (docs.isStreaming)
-      gated.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
-    else gated.dropDuplicates("fp")
+    val deduped =
+      if (docs.isStreaming)
+        gated.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("ts"), col("doc_id"))
+        gated.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+      }
+    deduped.drop("n_tokens", "fp")
   }
 
   /** Tumbling-window counts with a watermark for late data. In a stream,
