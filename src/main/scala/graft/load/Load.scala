@@ -163,6 +163,32 @@ object Load {
     report(result, destination)
   }
 
+  /** Small-files compaction: rewrite a table directory into
+    * ~`targetBytes`-sized files through the same staged swap as
+    * [[replaceTable]] (any failure leaves the original layout intact).
+    * The 100 TB hygiene operator: streaming sinks and per-partition
+    * delta loads accrete thousands of KB-scale files whose per-file
+    * open/footer cost eventually dominates scans; compaction restores
+    * scan-sized files. File count = ceil(current bytes / targetBytes)
+    * — computed from the live listing, so repeated runs converge and a
+    * compacted table is a no-op rewrite.
+    */
+  def compact(
+      spark: SparkSession, destination: String,
+      format: String = "parquet", targetBytes: Long = 128L * 1024 * 1024): Try[LoadReport] = {
+    Try {
+      val dest = new Path(destination)
+      val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(dest).getLength
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val reader = if (format == "csv")
+        spark.read.format(format).option("header", "true") else spark.read.format(format)
+      // the staged write fully materializes from the CURRENT files
+      // before the swap touches them, so reading-while-replacing is safe
+      (nFiles, reader.load(destination).repartition(nFiles))
+    }.flatMap { case (nFiles, df) => replaceTable(spark, df, destination, format) }
+  }
+
   /** Roll back every partition TOUCHED by a failed publish — not just
     * the fully published ones: the partition that failed mid-swap may
     * have had its backup rename succeed and its publish rename fail,

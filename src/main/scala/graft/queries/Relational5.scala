@@ -293,6 +293,59 @@ object Relational5 {
           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         FROM lineitem GROUP BY l_returnflag
+      """)),
+
+    // ---- q111: one-pass column profiling (operators.Profile) — the
+    //      pre-ingest data-quality sweep: every column's null count,
+    //      exact distinct count, and canonical min/max computed in ONE
+    //      aggregation over the scan, exploded into tidy rows. min/max
+    //      canonicalization per type (decimals for the double, ISO date
+    //      for the timestamp) keeps both engines' string rendering
+    //      identical. ----
+    GraftQuery(
+      "q111_profile",
+      (s, d) => {
+        val canon: (String, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = {
+          case ("o_totalprice", v) => v.cast("decimal(14,2)").cast("string")
+          case ("o_orderdate", v) => date_format(v, "yyyy-MM-dd")
+          case (_, v) => v.cast("string")
+        }
+        graft.operators.Profile.summary(
+          Tables.orders(s, d),
+          Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+          canon)
+      },
+      Some("""
+        SELECT 'o_orderkey' AS column,
+          CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+          CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+          CAST(count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT),
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+          min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+          CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT),
+          CAST(count(DISTINCT o_totalprice) AS BIGINT),
+          CAST(min(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR),
+          CAST(max(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+          CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT),
+          CAST(count(DISTINCT o_orderdate) AS BIGINT),
+          strftime(min(o_orderdate), '%Y-%m-%d'), strftime(max(o_orderdate), '%Y-%m-%d')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+          CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+          min(o_orderpriority), max(o_orderpriority)
+        FROM orders
       """))
   )
 }

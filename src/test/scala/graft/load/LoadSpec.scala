@@ -78,6 +78,23 @@ class LoadSpec extends SparkTestBase {
     assert(back == Seq((1L, "a"), (3L, "b")))
   }
 
+  test("compact collapses a many-small-files table without changing its rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(0, 1000).toDF("v").repartition(20)
+      .write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).length
+    assert(files == 20)
+    val r = Load.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(r.map(_.rows) == Success(1000L), s"got $r")
+    assert(files == 1, "must collapse to ceil(bytes/target) = 1 file")
+    assert(spark.read.parquet(dir).count() == 1000)
+    assert(!new java.io.File(dir + "__old").exists && !new java.io.File(dir + "__staging").exists)
+    // idempotent: a second run keeps the single file and the rows
+    assert(Load.compact(spark, dir, targetBytes = Long.MaxValue).map(_.rows) == Success(1000L))
+    assert(files == 1)
+  }
+
   test("mid-swap rollback restores the half-moved partition, not only published ones") {
     // manufacture the exact state after a publish rename fails: p=a fully
     // published (backup holds its old bytes), p=b backed up but its
