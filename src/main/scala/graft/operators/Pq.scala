@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the high-compression ANN path: a 64-dim
+  * float vector (256 B) becomes `m` small codes (8 B at m=8, k=16),
+  * a 32× compression, scored against queries with asymmetric distance
+  * (ADC): the query stays full-precision, each code looks up a
+  * precomputed query-to-centroid dot product, so scoring is `m` array
+  * lookups + adds per corpus row. This is the standard
+  * billion-vector-on-one-cluster memory trick (FAISS's IndexPQ shape).
+  *
+  * Training follows the production pattern: codebooks fit on a
+  * DETERMINISTIC driver-side sample (md5-hash-ordered ids — the same
+  * sampling the IVF seeder uses), k-means per subspace with first-k
+  * seeding and a fixed iteration count, then ship as literals — the
+  * corpus never leaves the executors and every stage is reproducible.
+  * Codebooks are data-dependent, so (like IVF's q48) the query entry is
+  * rows-only; correctness is spec-gated: exact reconstruction when
+  * vectors sit on centroids, recall floor vs the float brute force,
+  * determinism across runs.
+  *
+  * Scale shape: encode is one narrow codegen-friendly projection per
+  * row (no shuffle); ADC scoring is a broadcast of (query id, m×k
+  * lookup table) against the coded corpus + the per-query rank window —
+  * identical plan shape to Similarity.bruteForceTopK but on 32×-smaller
+  * rows with multiply-free scoring.
+  */
+object Pq {
+
+  /** Trained codebooks: `cents(j)(c)` is centroid c of subspace j. */
+  final case class Codebooks(m: Int, k: Int, subDim: Int, cents: Array[Array[Array[Double]]])
+
+  private def prepped(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"),
+      graft.functions.VectorFunctions.normalized(
+        graft.functions.VectorFunctions.vecD(col(vecCol))).as("v"))
+
+  /** Fit per-subspace codebooks on a deterministic hash-ordered sample. */
+  def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, sampleSize: Int = 2048, iters: Int = 10): Codebooks = {
+    val sample = prepped(df, idCol, vecCol)
+      .withColumn("h", graft.functions.TextFunctions.hash60(col("vid").cast("string")))
+      .orderBy(col("h"), col("vid")).limit(sampleSize)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val cents = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      kmeans(subs, math.min(k, subs.length), iters)
+    }
+    Codebooks(m, k, subDim, cents)
+  }
+
+  /** Plain driver-side k-means, first-k seeding, fixed rounds — the
+    * sample is ≤ a few thousand subvectors, so this is microseconds;
+    * empty clusters keep their previous centroid (stable, no respawn
+    * randomness).
+    */
+  private def kmeans(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    var cents = xs.take(k).map(_.clone)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](xs.head.length))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        val c = nearestIdx(x, cents)
+        var i = 0
+        while (i < x.length) { sums(c)(i) += x(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
+  private def nearestIdx(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < x.length) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** (vid, codes array<int>): per subspace, the index of the nearest
+    * centroid by L2 — built from literal centroid arrays with builtin
+    * lambdas, ties to the LOWEST index (array_position finds the first
+    * minimum) so encoding is deterministic.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
+    val p = graft.core.Partitioning.fanOut(prepped(df, idCol, vecCol))
+    val codeCols: Seq[Column] = (0 until cb.m).map { j =>
+      val sub = slice(col("v"), j * cb.subDim + 1, cb.subDim)
+      val dists = array(cb.cents(j).indices.map { c =>
+        val cent = cb.cents(j)(c)
+        // |x - c|² expanded with literals: Σ (x_i - c_i)²
+        aggregate(
+          zip_with(sub, array(cent.map(lit): _*), (x, ctr) => (x - ctr) * (x - ctr)),
+          lit(0d), (acc, t) => acc + t)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    p.select(col("vid"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Top-k by ADC: per query, a flat m×k lookup table of
+    * query-subvector · centroid dot products (driver-computed — m×k
+    * doubles per query); corpus score = Σ_j table(j·k + code_j).
+    */
+  def adcTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks, topK: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coded = encode(corpus, idCol, vecCol, cb)
+    val qs = prepped(queries, idCol, vecCol)
+      .select(col("vid"), col("v")).collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        val table = Array.tabulate(cb.m * cb.k) { idx =>
+          val j = idx / cb.k; val c = idx % cb.k
+          val cent = cb.cents(j)(c)
+          var s = 0.0; var i = 0
+          while (i < cb.subDim) { s += q(j * cb.subDim + i) * cent(i); i += 1 }
+          s
+        }
+        (r.getLong(0), table)
+      }.toSeq.toDF("query_id", "tbl")
+    val scored = coded.crossJoin(broadcast(qs))
+      .where(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
+            (c, j) => element_at(col("tbl"), (j * cb.k + c + 1).cast("int"))),
+          lit(0d), (acc, x) => acc + x).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+  }
+}

@@ -43,6 +43,25 @@ object VectorQueries2 {
             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
           FROM pairs)
         SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
-      """))
+      """)),
+
+    // ---- q112: product-quantization ADC top-k — the 32x-compression
+    //      ANN path (operators.Pq: codebooks trained on a deterministic
+    //      hash-ordered sample, m lookup-adds per corpus row). Rows-only
+    //      like IVF's q48: the codebooks are data-dependent floats, so
+    //      no static oracle can replicate them — correctness is
+    //      spec-gated (PqSpec: exact on centroid-aligned vectors,
+    //      bit-identical retraining, recall floor vs float brute force)
+    //      with q41/q42/q102 as the oracle-checked neighbors. ----
+    GraftQuery(
+      "q112_pq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = graft.operators.Pq.train(emb, "vec_id", "embedding")
+        graft.operators.Pq.adcTopK(
+            emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      },
+      None)
   )
 }
