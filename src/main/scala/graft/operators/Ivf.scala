@@ -28,7 +28,7 @@ object Ivf {
     Similarity.prep(df, idCol, vecCol)
 
   /** Nearest centroid id per row of `vecs` against broadcast `cents`. */
-  private def nearest(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+  private[operators] def nearest(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy(col("vid")).orderBy(col("score").desc, col("cid"))
     vecs.crossJoin(broadcast(cents))
       .select(col("vid"), col("v"), col("cid"), dot(col("v"), col("cvec")).as("score"))

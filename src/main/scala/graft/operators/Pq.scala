@@ -41,8 +41,15 @@ object Pq {
   /** Fit per-subspace codebooks on a deterministic hash-ordered sample. */
   def train(
       df: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, sampleSize: Int = 2048, iters: Int = 10): Codebooks = {
-    val sample = prepped(df, idCol, vecCol)
+      m: Int = 8, k: Int = 16, sampleSize: Int = 2048, iters: Int = 10): Codebooks =
+    trainPrepped(prepped(df, idCol, vecCol), m, k, sampleSize, iters)
+
+  /** [[train]] over an already-(vid, v)-shaped frame — the residual-PQ
+    * entry point (operators.IvfPq), where v must NOT be re-normalized.
+    */
+  private[operators] def trainPrepped(
+      pr: DataFrame, m: Int, k: Int, sampleSize: Int = 2048, iters: Int = 10): Codebooks = {
+    val sample = pr
       .withColumn("h", graft.functions.TextFunctions.hash60(col("vid").cast("string")))
       .orderBy(col("h"), col("vid")).limit(sampleSize)
       .select(col("v")).collect()
@@ -98,8 +105,13 @@ object Pq {
     * lambdas, ties to the LOWEST index (array_position finds the first
     * minimum) so encoding is deterministic.
     */
-  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
-    val p = graft.core.Partitioning.fanOut(prepped(df, idCol, vecCol))
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame =
+    encodePrepped(graft.core.Partitioning.fanOut(prepped(df, idCol, vecCol)), cb)
+
+  /** [[encode]] over an already-(vid, v, …)-shaped frame; every column
+    * except `v` rides through (the residual path keeps its cell id).
+    */
+  private[operators] def encodePrepped(p: DataFrame, cb: Codebooks): DataFrame = {
     val codeCols: Seq[Column] = (0 until cb.m).map { j =>
       val sub = slice(col("v"), j * cb.subDim + 1, cb.subDim)
       val dists = array(cb.cents(j).indices.map { c =>
@@ -111,7 +123,7 @@ object Pq {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    p.select(col("vid"), array(codeCols: _*).as("codes"))
+    p.withColumn("codes", array(codeCols: _*)).drop("v")
   }
 
   /** Top-k by ADC: per query, a flat m×k lookup table of
