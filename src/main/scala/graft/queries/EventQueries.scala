@@ -118,6 +118,32 @@ object EventQueries {
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
           FROM ev)
         SELECT user_id, event_id, next_purchase_id FROM w WHERE event_type = 'click'
+      """)),
+
+    // ---- q114: event-transition matrix — the "user path" analytics
+    //      staple: per user, order events by time and count each
+    //      (previous type → this type) transition corpus-wide. One
+    //      window (the lag) + one aggregation; at scale both shuffle on
+    //      user_id / the transition pair respectively, no self-join. ----
+    GraftQuery(
+      "q114_transition_matrix",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
       """))
   )
 }
