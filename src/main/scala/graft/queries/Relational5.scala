@@ -346,6 +346,74 @@ object Relational5 {
           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
           min(o_orderpriority), max(o_orderpriority)
         FROM orders
+      """)),
+
+    // ---- q115: SCD Type-2 dimension merge (operators.Scd) — customer
+    //      segments as the dimension: the initial snapshot opens at
+    //      1990-01-01, each customer's LATEST 1997-H1 order drives an
+    //      update (priority-derived segment — overlapping domain, so
+    //      the batch mixes real changes with no-ops). The oracle
+    //      replicates the merge relationally: no-op/untouched rows ride
+    //      through, changes close the current row at the update ts and
+    //      open a new version. ----
+    GraftQuery(
+      "q115_scd2_merge",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val seg0 = when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "standard").otherwise("premium")
+        val hist0 = cust.select(col("c_custkey").as("cust"), seg0.as("segment"),
+          to_timestamp(lit("1990-01-01")).as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val upd = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("o_custkey").as("cust"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "premium")
+              .otherwise("standard").as("segment"),
+            col("o_orderdate").as("ts"))
+        graft.operators.Scd.merge(hist0, upd, "cust", Seq("segment"))
+          .select(col("cust"), col("segment"),
+            date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+      },
+      Some("""
+        WITH seg0 AS (
+          SELECT c_custkey cust,
+            CASE WHEN c_acctbal < 0 THEN 'debt'
+                 WHEN c_acctbal < 5000 THEN 'standard'
+                 ELSE 'premium' END AS segment
+          FROM customer),
+        upd AS (
+          SELECT cust, segment, ts FROM (
+            SELECT o_custkey cust,
+              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'premium'
+                   ELSE 'standard' END AS segment,
+              o_orderdate ts,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01') t
+          WHERE rn = 1),
+        merged AS (
+          SELECT s.cust, s.segment, TIMESTAMP '1990-01-01' vf, CAST(NULL AS TIMESTAMP) vt
+          FROM seg0 s LEFT JOIN upd u ON u.cust = s.cust
+          WHERE u.cust IS NULL OR u.segment = s.segment
+          UNION ALL
+          SELECT s.cust, s.segment, TIMESTAMP '1990-01-01', u.ts
+          FROM seg0 s JOIN upd u ON u.cust = s.cust AND u.segment <> s.segment
+          UNION ALL
+          SELECT u.cust, u.segment, u.ts, CAST(NULL AS TIMESTAMP)
+          FROM upd u JOIN seg0 s ON s.cust = u.cust AND u.segment <> s.segment)
+        SELECT cust, segment,
+          strftime(vf, '%Y-%m-%d') AS valid_from,
+          strftime(vt, '%Y-%m-%d') AS valid_to
+        FROM merged
       """))
   )
 }
