@@ -414,6 +414,84 @@ object Relational5 {
           strftime(vf, '%Y-%m-%d') AS valid_from,
           strftime(vt, '%Y-%m-%d') AS valid_to
         FROM merged
+      """)),
+
+    // ---- q116: point-in-time dimension enrichment — the query SCD2
+    //      history exists to answer: each 1997-H2 order joins the
+    //      segment its customer had AT order time (equi join on the
+    //      key, validity window as a residual predicate — a hash join,
+    //      never a range probe). Composes q115's merged history with
+    //      Scd.asOf semantics. ----
+    GraftQuery(
+      "q116_scd2_enrich",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val seg0 = when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "standard").otherwise("premium")
+        val hist0 = cust.select(col("c_custkey").as("cust"), seg0.as("segment"),
+          to_timestamp(lit("1990-01-01")).as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val upd = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("o_custkey").as("cust"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "premium")
+              .otherwise("standard").as("segment"),
+            col("o_orderdate").as("ts"))
+        val hist = graft.operators.Scd.merge(hist0, upd, "cust", Seq("segment"))
+        val facts = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1997-07-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        facts.join(hist,
+            facts("o_custkey") === hist("cust") &&
+              col("valid_from") <= col("o_orderdate") &&
+              (col("valid_to").isNull || col("valid_to") > col("o_orderdate")))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.functions.Exact.sumExact2(col("o_totalprice")).as("sum_price"))
+      },
+      Some("""
+        WITH seg0 AS (
+          SELECT c_custkey cust,
+            CASE WHEN c_acctbal < 0 THEN 'debt'
+                 WHEN c_acctbal < 5000 THEN 'standard'
+                 ELSE 'premium' END AS segment
+          FROM customer),
+        upd AS (
+          SELECT cust, segment, ts FROM (
+            SELECT o_custkey cust,
+              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'premium'
+                   ELSE 'standard' END AS segment,
+              o_orderdate ts,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01') t
+          WHERE rn = 1),
+        hist AS (
+          SELECT s.cust, s.segment, TIMESTAMP '1990-01-01' vf, CAST(NULL AS TIMESTAMP) vt
+          FROM seg0 s LEFT JOIN upd u ON u.cust = s.cust
+          WHERE u.cust IS NULL OR u.segment = s.segment
+          UNION ALL
+          SELECT s.cust, s.segment, TIMESTAMP '1990-01-01', u.ts
+          FROM seg0 s JOIN upd u ON u.cust = s.cust AND u.segment <> s.segment
+          UNION ALL
+          SELECT u.cust, u.segment, u.ts, CAST(NULL AS TIMESTAMP)
+          FROM upd u JOIN seg0 s ON s.cust = u.cust AND u.segment <> s.segment)
+        SELECT h.segment,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders o
+        JOIN hist h ON h.cust = o.o_custkey
+          AND h.vf <= o.o_orderdate AND (h.vt IS NULL OR h.vt > o.o_orderdate)
+        WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY h.segment
       """))
   )
 }
