@@ -148,6 +148,52 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SCD2 dimension maintenance: each micro-batch of
+    * attribute updates merges into a versioned history table
+    * (operators.Scd.merge — change closes the current row, opens a new
+    * version) published atomically per batch via the staged swap. The
+    * same first-batch / swap-debris guards as [[keyedUpsertSink]];
+    * within a batch only the LATEST update per key (by ts, then seq)
+    * merges — Scd.merge refuses ambiguous multi-update batches, and the
+    * stream's contract is "state as of the batch watermark", which is
+    * exactly the latest row.
+    */
+  def scd2Sink(
+      updates: DataFrame, keyCol: String, attrCols: Seq[String], tsCol: String,
+      seqCol: String, tableDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dest = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dest) &&
+            fs.exists(new org.apache.hadoop.fs.Path(tableDir + "__old")))
+          throw new IllegalStateException(
+            s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
+              "without restore; recover the backup before resuming the stream")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
+        val latest = batch.toDF
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        val history =
+          if (fs.exists(dest)) spark.read.parquet(tableDir)
+          else // first batch: open every key as-of its own update ts
+            latest.select((Seq(col(keyCol)) ++ attrCols.map(col) :+
+              col(tsCol).as("valid_from") :+
+              lit(null).cast("timestamp").as("valid_to")): _*)
+        val merged =
+          if (fs.exists(dest))
+            graft.operators.Scd.merge(history, latest, keyCol, attrCols, tsCol)
+          else history
+        graft.load.Load.replaceTable(spark, merged, tableDir).get
+        ()
+      }
+      .start()
+
   /** Streaming deduplication: drop repeated event ids arriving within
     * the watermark horizon (exactly the at-least-once → effectively-once
     * ingest guard an LLM-data pipeline needs in front of its sinks).
