@@ -40,34 +40,61 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(Registry.all)(names => Registry.all.filter(q => names(q.name)))
 
+    def loadAvg: Double = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      os.getSystemLoadAverage
+    }
+    val startLoad = loadAvg
     val results = selected.map { q =>
+      val la0 = loadAvg
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // operators stage intermediates with persist(); drop them between
-      // queries so accumulated cache pressure can't thrash later ones
-      // (observed: q35 degrading 5s → 24s late in the suite) and every
-      // query is timed cold
+      // Between-query hygiene so every query is timed cold and earlier
+      // queries can't thrash later ones (observed: q35 degrading
+      // 5s → 24s late in the suite):
+      // - clearCache drops persist()-staged intermediates;
+      // - unpersisting leftover RDDs frees localCheckpoint blocks, which
+      //   clearCache does NOT touch — they otherwise accumulate in the
+      //   block manager for the whole suite and push later queries'
+      //   staging onto contended disk. The previous query's result is
+      //   done, so dropping its checkpoint data is safe here.
       spark.catalog.clearCache()
-      q.name -> dt
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (q.name, dt, la0)
     }
+    // Bench forensics: host load average sampled before each query, so a
+    // regression can be separated from host contention after the fact.
+    val loads = results.map { case (k, _, la) => "\"" + k + "\":" + num2(la) }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench-load] $loads")
     // Full-precision, full-name map goes to stderr for humans/logs; the
     // stdout contract line uses short ids (q54, q14b) and 3-decimal values
     // so the WHOLE line fits in the driver's 2 KB output tail — rounds 1-3
     // all recorded `parsed: null` because the ~3.5 KB full-name line
     // overflowed that window and the parse failed.
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     System.err.println(s"[bench-full] $full")
-    // Locale.ROOT: the f-interpolator uses the default locale, which in
-    // e.g. fr_FR renders 1.234 as "1,234" — invalid JSON on the line
-    // whose whole job is to parse
-    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + num(v) }
+    val shortIds = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    // Short ids must stay unique — a collision (e.g. a future q54_a and
+    // q54_b) would emit duplicate JSON keys and silently drop a timing.
+    require(shortIds.distinct.size == shortIds.size,
+      s"duplicate short query ids in bench contract: ${
+        shortIds.groupBy(identity).collect { case (id, g) if g.size > 1 => id }.mkString(",")}")
+    val qs = shortIds.zip(results)
+      .map { case (id, (_, v, _)) => "\"" + id + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = num(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // load0/load1: 1-min host load average at suite start/end — lets a
+    // future reader separate host contention from a real regression.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  // Locale.ROOT: the f-interpolator uses the default locale, which in
+  // e.g. fr_FR renders 1.234 as "1,234" — invalid JSON on the line
+  // whose whole job is to parse
+  private def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def num2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 }

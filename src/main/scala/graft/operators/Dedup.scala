@@ -254,36 +254,42 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 2, tau: Double = 0.25): DataFrame = {
     require(tau > 0, "tau must be positive (zero-overlap pairs are never emitted)")
-    // Staged once (localCheckpoint): three consumers below — a self-join
-    // formulation would recompute the tokenize→shingle pipeline per
-    // consumer (measured 2× the whole query's cost). At cluster scale
-    // this stage would be a checkpoint/staging table.
+    // Single-pass, zero staging: each document's shingle-set SIZE rides
+    // along with its id through the explode, so the sizes need no second
+    // consumer of the pipeline and no join-back — the whole query is one
+    // linear plan (scan → explode → two shuffles). Earlier formulations
+    // staged the shingle sets via localCheckpoint to feed three
+    // consumers; under a contended local disk that staging write was the
+    // query's whole cost (observed 36 s vs ~5 s), and at cluster scale it
+    // would be a checkpoint table nobody needs.
     val s = df.select(col(idCol).as("doc_id"), col(blockCol).as("blk"), col(textCol).as("txt"))
       .where(tokenCount(col("txt")) >= n)
       .select(col("doc_id"), col("blk"), textShingles(col("txt"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
-      .localCheckpoint()
-    // One shuffle on (block, gram): gather each gram's doc list and
-    // expand i<j combinations in-place — no self-join, no second
-    // pipeline evaluation. Group sizes are bounded by block size (df-
-    // pruning of ubiquitous grams would bound them further at scale).
-    // The raw gram string is the group key: hashing it (xxhash64) would
-    // shuffle fewer bytes but a 64-bit collision silently inflates
-    // n_inter, and the query is exact by contract.
-    val ex = s.select(col("doc_id"), col("blk"), explode(col("sh")).as("g"))
+    // One shuffle on (block, gram): gather each gram's (doc, set-size)
+    // list and expand i<j combinations in-place — no self-join, no
+    // second pipeline evaluation. Group sizes are bounded by block size
+    // (df-pruning of ubiquitous grams would bound them further at
+    // scale). The raw gram string is the group key: hashing it
+    // (xxhash64) would shuffle fewer bytes but a 64-bit collision
+    // silently inflates n_inter, and the query is exact by contract.
+    val ex = s.select(col("blk"), explode(col("sh")).as("g"),
+      struct(col("doc_id"), col("n_sh")).as("d"))
+    // sort_array on struct(doc_id, n_sh) orders by doc_id first (n_sh is
+    // functionally dependent on doc_id), so pair orientation a < b is
+    // identical to the doc-id-only formulation.
     val grouped = ex.groupBy(col("blk"), col("g"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
       .where(size(col("ds")) > 1)
     val combos = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
       transform(sequence(i + 1, size(col("ds")) - 1), j =>
         struct(element_at(col("ds"), i + 1).as("a"), element_at(col("ds"), j + 1).as("b")))))
-    val counts = grouped.select(col("blk").as("block"), explode(combos).as("p"))
-      .groupBy(col("block"), col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    // Second shuffle groups per pair; the sizes come along in the key
+    // (functionally dependent on the ids — no extra cardinality).
+    grouped.select(col("blk").as("block"), explode(combos).as("p"))
+      .groupBy(col("block"), col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n_sh").as("n_a"), col("p.b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = s.select(col("doc_id"), col("n_sh"))
-    counts
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
       .where(col("jaccard") >= tau)
