@@ -66,24 +66,59 @@ object Triangles {
       .localCheckpoint()
   }
 
+  /** Broadcast the adjacency only while its payload (Σd⁺ longs ≈ the
+    * edge count) fits comfortably in executor/driver memory. 8M entries
+    * ≈ 64 MB of ids plus row overhead — the same order as a generous
+    * autoBroadcastJoinThreshold. Above it the attach falls back to a
+    * shuffled hash join on dst (see [[triangles]]).
+    */
+  private val BroadcastMaxAdjEntries = 8L * 1000 * 1000
+
   /** One row per triangle (a, b, c), each triangle exactly once.
     * Input: undirected edges as (u, v) with u < v; duplicates fine
     * (deduped in the adjacency build), self-loops are not.
+    *
+    * The destination-side adjacency attach is size-gated: the adjacency
+    * payload is Σd⁺ entries (≈ |E|), so broadcasting it is only safe
+    * while that fits in memory — q104's 1.2M-edge fixture does, a 100×
+    * graph does not. The measurement is exact and cheap (one agg over
+    * the already-checkpointed adjacency). Large graphs take a shuffled
+    * hash join on dst instead, which replicates neighbor arrays per
+    * edge row — bounded when `degreeOriented` caps array width at ~√m,
+    * which is the recommended setting for any graph big enough to hit
+    * this branch.
     */
-  def triangles(edges: DataFrame, degreeOriented: Boolean = false): DataFrame = {
+  def triangles(
+      edges: DataFrame, degreeOriented: Boolean = false,
+      broadcastMaxAdjEntries: Long = BroadcastMaxAdjEntries): DataFrame = {
     val adj = adjacency(edges, degreeOriented)
+    val adjEntries = adj.agg(coalesce(sum(size(col("nbrs"))), lit(0L))).head.getLong(0)
+    val probe = adj.select(col("src").as("b0"), col("nbrs").as("nb"))
+    // shuffle_hash (not default sort-merge) on the fallback: no sort
+    // over array-typed rows, and the per-partition build side is the
+    // adjacency slice, which partitions evenly on vertex id
+    val attach =
+      if (adjEntries <= broadcastMaxAdjEntries) broadcast(probe)
+      else probe.hint("shuffle_hash")
     // re-expand edges FROM the adjacency (narrow), carrying the source's
-    // neighbor array along — only the destination side needs a join
-    adj.select(col("src").as("a"), col("nbrs").as("na"), explode(col("nbrs")).as("b"))
-      .join(broadcast(adj.select(col("src").as("b0"), col("nbrs").as("nb"))),
-        col("b") === col("b0"))
+    // neighbor array along — only the destination side needs a join.
+    // The adjacency is |V| rows post-AQE-coalesce (observed: 5
+    // partitions at sf0.1), but the explode multiplies it to |E| rows
+    // and the intersection stage is CPU-bound — spread it across the
+    // full parallelism first (a ~|E|-long shuffle of a |V|-row table,
+    // trivial next to leaving 27 of 32 cores idle through the probe).
+    val spread = adj.repartition(adj.sparkSession.sparkContext.defaultParallelism)
+    spread.select(col("src").as("a"), col("nbrs").as("na"), explode(col("nbrs")).as("b"))
+      .join(attach, col("b") === col("b0"))
       .select(col("a"), col("b"),
         explode(array_intersect(col("na"), col("nb"))).as("c"))
   }
 
   /** Per-vertex triangle participation counts. */
-  def triangleCounts(edges: DataFrame, degreeOriented: Boolean = false): DataFrame =
-    triangles(edges, degreeOriented)
+  def triangleCounts(
+      edges: DataFrame, degreeOriented: Boolean = false,
+      broadcastMaxAdjEntries: Long = BroadcastMaxAdjEntries): DataFrame =
+    triangles(edges, degreeOriented, broadcastMaxAdjEntries)
       .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
 }

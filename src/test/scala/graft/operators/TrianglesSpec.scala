@@ -53,5 +53,23 @@ class TrianglesSpec extends SparkTestBase {
     assert(naive > 0, "fixture graph must actually contain triangles")
     // duplicate input edges must not create duplicate triangles
     assert(Triangles.triangles(edges.unionAll(edges)).count() == naive)
+    // the large-graph branch (adjacency too big to broadcast → shuffled
+    // hash join) must produce the identical triangle set
+    val shuffled = Triangles.triangles(edges, broadcastMaxAdjEntries = 0L)
+    assert(shuffled.count() == naive, "shuffle-attach branch diverged")
+    val a = Triangles.triangles(edges).select("a", "b", "c")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = shuffled.select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "broadcast and shuffle branches enumerate different triangles")
+  }
+
+  test("adjacency attach is size-gated: broadcast small, shuffle large") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+    assert(hasBroadcast(Triangles.triangles(e)),
+      "small adjacency must broadcast")
+    assert(!hasBroadcast(Triangles.triangles(e, broadcastMaxAdjEntries = 0L)),
+      "over-threshold adjacency must not broadcast")
   }
 }
