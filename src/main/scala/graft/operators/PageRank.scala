@@ -38,35 +38,60 @@ object PageRank {
     edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
 
+  /** Broadcast the (vertex, rank)/degree tables only while |V| stays
+    * driver/executor-sized: 4M vertices ≈ 64 MB of (long, long) rows
+    * before hash-relation overhead. Above it the loop switches to the
+    * co-partitioned shuffle formulation (identical arithmetic — the
+    * fixed-point design makes the two branches bit-identical).
+    */
+  private val BroadcastMaxVertices = 4L * 1000 * 1000
+
   /** (vertex, rank) after `iters` rounds; rank is the fixed-point
     * integer (true rank ≈ rank / Scale).
     */
-  def ranks(arcs: DataFrame, iters: Int): DataFrame = {
+  def ranks(arcs: DataFrame, iters: Int,
+      broadcastMaxVertices: Long = BroadcastMaxVertices): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val a = arcs.select(col("src"), col("dst")).localCheckpoint()
-    val outDeg = a.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val vertices = a.select(col("src").as("vertex"))
-      .unionAll(a.select(col("dst").as("vertex"))).distinct()
+    val a0 = arcs.select(col("src"), col("dst")).localCheckpoint()
+    val vertices0 = a0.select(col("src").as("vertex"))
+      .unionAll(a0.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint()
-    val n = vertices.count()
+    // |V| is needed for the teleport term anyway — the same count gates
+    // the broadcast-vs-shuffle branch for free.
+    val n = vertices0.count()
     require(n > 0, "PageRank over an empty arc set — no vertices to rank")
+    val small = n <= broadcastMaxVertices
+    // Small-|V| branch: ranks/degrees ride broadcasts, each iteration
+    // touches the |E|-row arc table with a narrow map join + one groupBy
+    // shuffle (localCheckpoint wipes stats, so without the hints every
+    // iteration sort-merges the full arc table: measured 11.8 s → 4.5 s
+    // at sf0.1).
+    //
+    // Large-|V| branch: nothing broadcasts. The arc table is hash-
+    // partitioned on src ONCE (checkpointed in that layout), so each
+    // iteration's contribution join reuses its partitioning — only the
+    // |V|-row rank/degree side exchanges per round, and the
+    // shuffle_hash hint keeps the arc side sort-free (a sort-merge
+    // would re-sort |E| rows every iteration). The rank-update join and
+    // the groupBy both hash on vertex, so those exchanges align round
+    // to round as well.
+    val a = if (small) a0 else a0.repartition(col("src")).localCheckpoint()
+    val vertices =
+      if (small) vertices0
+      else vertices0.repartition(col("vertex")).localCheckpoint()
+    val outDeg = a.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    def attach(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
     val base = Scale * 15L / 100L / n // teleport term, truncating like every step
     var rank = vertices.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {
       // `div` (integer division), NOT `/`: Spark's `/` on longs returns
       // DOUBLE, whose rounding would reintroduce the very
       // order/engine-dependence the fixed-point design removes.
-      // The (vertex, rank) tables are |V| rows — BROADCAST them so each
-      // iteration touches the |E|-row arc table with a narrow map join
-      // + one groupBy shuffle (localCheckpoint wipes stats, so without
-      // the hints every iteration sort-merges the full arc table:
-      // measured 11.8 s → 4.5 s at sf0.1). When |V| outgrows broadcast,
-      // repartition `a` by src once and co-partition the rank updates —
-      // same loop, hash joins reuse the one partitioning.
       val perSrc = rank
-        .join(broadcast(outDeg), rank("vertex") === outDeg("src"))
+        .join(attach(outDeg), rank("vertex") === outDeg("src"))
         .select(col("src"), expr("rank div deg").as("c"))
-      val contrib = a.join(broadcast(perSrc), "src")
+      val contrib = a.join(attach(perSrc), "src")
         .select(col("dst").as("vertex"), col("c"))
         .groupBy(col("vertex")).agg(sum(col("c")).as("s"))
       // NO per-iteration checkpoint: each rank table feeds exactly one
@@ -77,7 +102,7 @@ object PageRank {
       // problem (≫10), add a localCheckpoint every ~8 rounds — the
       // Components-loop pattern.
       rank = vertices
-        .join(broadcast(contrib), Seq("vertex"), "left")
+        .join(attach(contrib), Seq("vertex"), "left")
         .select(col("vertex"),
           expr(s"$base + (coalesce(s, 0L) * 85) div 100").as("rank"))
     }

@@ -29,6 +29,24 @@ class PageRankSpec extends SparkTestBase {
     assert(a == b, "fixed-point ranks must not depend on partitioning")
   }
 
+  test("large-|V| shuffle branch is bit-identical to the broadcast branch") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 300).map { _ =>
+      val u = rnd.nextInt(40).toLong; val v = rnd.nextInt(40).toLong
+      (math.min(u, v), math.max(u, v))
+    }.filter { case (u, v) => u != v }.distinct.toDF("u", "v")
+    val arcs = PageRank.bothDirections(edges)
+    val bcast = PageRank.ranks(arcs, iters = 5)
+    val shuffled = PageRank.ranks(arcs, iters = 5, broadcastMaxVertices = 0L)
+    assert(!shuffled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "forced shuffle branch must not contain a broadcast join")
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "default branch on a small graph must broadcast")
+    val a = bcast.as[(Long, Long)].collect().toMap
+    val b = shuffled.as[(Long, Long)].collect().toMap
+    assert(a == b, "shuffle and broadcast branches must be bit-identical")
+  }
+
   test("tracks float PageRank within fixed-point truncation error") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 120).map { _ =>
