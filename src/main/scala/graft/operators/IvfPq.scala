@@ -76,8 +76,14 @@ object IvfPq {
       .select(col("vid").as("query_id"), col("v").as("qv"), col("cid"))
       .join(broadcast(ix.centroids), "cid")
       .select(col("query_id"), col("cid"), dot(col("qv"), col("cvec")).as("base"))
-    // residual lookup tables per query (m×k doubles — driver-computed)
-    val tables = q.collect().map { r =>
+    // residual lookup tables per query (m×k doubles — driver-computed;
+    // same bounded serving-batch contract as Pq.adcTopK, ids cast to
+    // long so non-long integral id columns work)
+    val qRows = q.select(col("vid").cast("long").as("vid"), col("v")).collect()
+    require(qRows.length <= Pq.MaxAdcQueryBatch,
+      s"probe query batch ${qRows.length} exceeds ${Pq.MaxAdcQueryBatch} — " +
+        "the per-query lookup tables are driver-built and broadcast")
+    val tables = qRows.map { r =>
       val qv = r.getSeq[Double](1).toArray
       val tbl = Array.tabulate(ix.cb.m * ix.cb.k) { idx =>
         val j = idx / ix.cb.k; val c = idx % ix.cb.k
@@ -94,10 +100,11 @@ object IvfPq {
       .join(broadcast(probes.join(tables, "query_id")), "cid")
       .where(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        (col("base") + aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(ix.cb.m - 1)),
-            (c, j) => element_at(col("tbl"), (j * ix.cb.k + c + 1).cast("int"))),
-          lit(0d), (acc, x) => acc + x)).as("score"))
+        (col("base") + org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.AdcScore(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("tbl")),
+            ix.cb.k))).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }

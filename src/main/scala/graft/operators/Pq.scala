@@ -101,9 +101,11 @@ object Pq {
   }
 
   /** (vid, codes array<int>): per subspace, the index of the nearest
-    * centroid by L2 — built from literal centroid arrays with builtin
-    * lambdas, ties to the LOWEST index (array_position finds the first
-    * minimum) so encoding is deterministic.
+    * centroid by L2, ties to the LOWEST index (first strict minimum) so
+    * encoding is deterministic. One codegen expression
+    * (expressions.PqEncode) — the earlier m×k literal tree of
+    * interpreted `aggregate(zip_with(…))` lambdas cost ~1 ms/row AND
+    * handed Catalyst a thousand-node plan to analyze per query.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame =
     encodePrepped(graft.core.Partitioning.fanOut(prepped(df, idCol, vecCol)), cb)
@@ -111,20 +113,20 @@ object Pq {
   /** [[encode]] over an already-(vid, v, …)-shaped frame; every column
     * except `v` rides through (the residual path keeps its cell id).
     */
-  private[operators] def encodePrepped(p: DataFrame, cb: Codebooks): DataFrame = {
-    val codeCols: Seq[Column] = (0 until cb.m).map { j =>
-      val sub = slice(col("v"), j * cb.subDim + 1, cb.subDim)
-      val dists = array(cb.cents(j).indices.map { c =>
-        val cent = cb.cents(j)(c)
-        // |x - c|² expanded with literals: Σ (x_i - c_i)²
-        aggregate(
-          zip_with(sub, array(cent.map(lit): _*), (x, ctr) => (x - ctr) * (x - ctr)),
-          lit(0d), (acc, t) => acc + t)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    p.withColumn("codes", array(codeCols: _*)).drop("v")
-  }
+  private[operators] def encodePrepped(p: DataFrame, cb: Codebooks): DataFrame =
+    p.withColumn("codes",
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.PqEncode(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("v")), cb.cents)))
+      .drop("v")
+
+  /** The query batch is driver-built (one m×k-double lookup table per
+    * query, then broadcast) — a serving-path shape, not a corpus-scale
+    * one. The cap keeps the collect + broadcast bounded (~1 KB/query at
+    * m=8, k=16); score a corpus-sized "query" set with a join-based
+    * formulation instead. Query ids must be integral (cast to long).
+    */
+  val MaxAdcQueryBatch = 16384
 
   /** Top-k by ADC: per query, a flat m×k lookup table of
     * query-subvector · centroid dot products (driver-computed — m×k
@@ -136,8 +138,12 @@ object Pq {
     val spark = corpus.sparkSession
     import spark.implicits._
     val coded = encode(corpus, idCol, vecCol, cb)
-    val qs = prepped(queries, idCol, vecCol)
-      .select(col("vid"), col("v")).collect()
+    val qRows = prepped(queries, idCol, vecCol)
+      .select(col("vid").cast("long").as("vid"), col("v")).collect()
+    require(qRows.length <= MaxAdcQueryBatch,
+      s"adcTopK query batch ${qRows.length} exceeds $MaxAdcQueryBatch — " +
+        "the per-query lookup tables are driver-built and broadcast")
+    val qs = qRows
       .map { r =>
         val q = r.getSeq[Double](1).toArray
         val table = Array.tabulate(cb.m * cb.k) { idx =>
@@ -152,10 +158,11 @@ object Pq {
     val scored = coded.crossJoin(broadcast(qs))
       .where(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
-            (c, j) => element_at(col("tbl"), (j * cb.k + c + 1).cast("int"))),
-          lit(0d), (acc, x) => acc + x).as("score"))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.AdcScore(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("tbl")),
+            cb.k)).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
