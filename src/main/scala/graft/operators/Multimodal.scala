@@ -7,16 +7,16 @@ import org.apache.spark.sql.functions._
   * typed metadata, batched decode/feature-extraction, and frame
   * sampling.
   *
-  * Decode dispatches on the record's `format`: uncompressed formats
-  * with pure-JVM parsers (24-bit BMP, binary PPM "P6") decode FOR REAL
-  * — header parse + pixel statistics over the raw bytes. Every other
-  * format falls to a clearly-marked DETERMINISTIC STUB (no compressed
-  * codecs exist in this container). Everything around the dispatch —
+  * Decode dispatches on the record's `format`: hand-rolled pure-JVM
+  * parsers decode 24-bit BMP, binary PPM "P6", and 16-bit PCM WAV;
+  * JPEG / PNG / GIF decode through the JDK's `javax.imageio` (no
+  * external jars). Only genuinely unknown formats fall to a
+  * clearly-marked DETERMINISTIC STUB. Everything around the dispatch —
   * the schema, the `mapPartitions` batching shape (the Scala analogue
   * of a Pandas `mapInPandas` batch UDF: decode cost amortized over
   * `BatchSize` records, never one-row-at-a-time), and the binary
-  * slicing — is shared by both paths; adding a JPEG/PNG codec is one
-  * more dispatch arm, no plumbing change.
+  * slicing — is shared by all paths; a new codec is one more dispatch
+  * arm, no plumbing change.
   */
 object Multimodal {
 
@@ -199,12 +199,38 @@ object Multimodal {
     Some((rate, channels, feats))
   }
 
+  /** Guard against decompression bombs: a hostile header claiming huge
+    * dimensions must not allocate executor-killing pixel buffers.
+    */
+  private val MaxDecodedPixels = 64L * 1024 * 1024
+
+  /** REAL decoder: JPEG / PNG / GIF via the JDK's `javax.imageio`
+    * (module `java.desktop` — no external jars, headless-safe). Pixels
+    * are read as packed sRGB ints, so the statistics contract is
+    * identical to the hand-rolled BMP/PPM parsers. PNG/GIF round-trip
+    * losslessly (closed-form oracles hold exactly — q117); JPEG decode
+    * is codec-deterministic but lossy, so its coverage is spec-level.
+    * None when ImageIO recognizes no format (the caller's stub lane).
+    */
+  private[operators] def decodeImageIo(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodedPixels) return None
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val px = rgb.iterator.map(v => ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff))
+    Some((w, h, pixelStats(px)))
+  }
+
   /** Batched decode: partitions stream through in `BatchSize` groups —
     * the shape a vectorized codec wants — with no driver collect and no
     * shuffle (narrow transformation; partitioning is preserved).
-    * Formats with a pure-JVM parser decode for real; the rest hit the
-    * deterministic stub (malformed real-format payloads also fall back
-    * — the stub is the "undecodable" lane, keeping the pipeline total).
+    * Formats with a real decoder (hand-rolled BMP/PPM/WAV parsers,
+    * ImageIO for JPEG/PNG/GIF) decode for real; genuinely unknown
+    * formats hit the deterministic stub (malformed real-format payloads
+    * also fall back — the stub is the "undecodable" lane, keeping the
+    * pipeline total).
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -219,6 +245,7 @@ object Multimodal {
             case "bmp" => decodeBmp(r.payload)
             case "ppm" => decodePpm(r.payload)
             case "wav" => decodeWav(r.payload)
+            case "jpg" | "jpeg" | "png" | "gif" => decodeImageIo(r.payload)
             case _ => None
           }).toOption.flatten
           val (w, h, f) = real.getOrElse(decodeStub(r.payload))

@@ -5,12 +5,12 @@ import graft.GraftQuery
 import graft.core.Tables
 import graft.operators.Multimodal
 
-/** Multimodal-column plumbing over the fixtures: documents' UTF-8 bytes
-  * stand in for media payloads (no codecs in this container — the decode
-  * stage is a deterministic stub; see operators.Multimodal). The
-  * oracle covers the expression-level binary path (payload length,
-  * content hash, frame count); the typed batched-decode path is
-  * spec-verified.
+/** Multimodal-column queries over the fixtures. Real decode paths are
+  * oracle-checked per format family: PPM (q96) and PNG-via-ImageIO
+  * (q117) for images, WAV PCM (q103) for audio; q47 covers the
+  * expression-level binary path (payload length, content hash, frame
+  * count). JPEG (lossy, no closed-form oracle) and the
+  * unknown-format stub lane are spec-verified (MultimodalSpec).
   */
 object MultimodalQueries {
 
@@ -157,6 +157,76 @@ object MultimodalQueries {
           CAST(list_aggregate(ss, 'max') AS BIGINT) AS max_s,
           CAST(0 AS BIGINT) AS zero_cross
         FROM sm
+      """)),
+
+    // ---- q117: REAL PNG decode through javax.imageio, oracle-checked.
+    //      Each doc_id becomes an 8×4 PNG whose pixel (x, y) at flat
+    //      index i = y·8+x is rgb((id+i)%256, (2id+i)%256, (3id+i)%256)
+    //      — encoded with ImageIO.write on the executors, decoded back
+    //      by Multimodal.decodeImageIo inside the same batched
+    //      mapPartitions pipeline as every other format. PNG is
+    //      lossless, so the integer-exact pixel statistics have a
+    //      closed form DuckDB replicates from generate_series (JPEG's
+    //      lossy path is spec-covered instead — MultimodalSpec). The
+    //      payload byte count is encoder-dependent and deliberately NOT
+    //      in the output contract. ----
+    GraftQuery(
+      "q117_png_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .where(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = 8; val h = 4
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < w * h) {
+              val r = ((id + i) % 256).toInt
+              val g = ((id * 2 + i) % 256).toInt
+              val b = ((id * 3 + i) % 256).toInt
+              img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Multimodal.MediaRecord(id, bos.toByteArray, "png", "")
+          }
+        Multimodal.extractFeatures(media).toDF()
+          .select(
+            col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            element_at(col("features"), 1).cast("long").as("sum_r"),
+            element_at(col("features"), 2).cast("long").as("sum_g"),
+            element_at(col("features"), 3).cast("long").as("sum_b"),
+            element_at(col("features"), 4).cast("long").as("n_px"),
+            element_at(col("features"), 5).cast("long").as("min_rgb"),
+            element_at(col("features"), 6).cast("long").as("max_rgb"))
+      },
+      Some("""
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        ch AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, 31), i -> (doc_id + i) % 256) AS rs,
+            list_transform(generate_series(0, 31), i -> (doc_id * 2 + i) % 256) AS gs,
+            list_transform(generate_series(0, 31), i -> (doc_id * 3 + i) % 256) AS bs
+          FROM ids),
+        l AS (
+          SELECT doc_id, rs, gs, bs,
+            list_transform(generate_series(1, 32), k -> rs[k] + gs[k] + bs[k]) AS ls
+          FROM ch)
+        SELECT doc_id AS media_id,
+          CAST(8 AS BIGINT) AS width,
+          CAST(4 AS BIGINT) AS height,
+          CAST(list_reduce(rs, (a, b) -> a + b) AS BIGINT) AS sum_r,
+          CAST(list_reduce(gs, (a, b) -> a + b) AS BIGINT) AS sum_g,
+          CAST(list_reduce(bs, (a, b) -> a + b) AS BIGINT) AS sum_b,
+          CAST(32 AS BIGINT) AS n_px,
+          CAST(list_aggregate(ls, 'min') AS BIGINT) AS min_rgb,
+          CAST(list_aggregate(ls, 'max') AS BIGINT) AS max_rgb
+        FROM l
       """))
   )
 }
