@@ -10,58 +10,97 @@ import org.apache.spark.sql.functions._
   * then ask "what was this customer's segment AT order time" — the
   * question an overwrite destroys the answer to.
   *
-  * Merge semantics per update row (key, attrs, effective ts):
-  *  - new key → one open row;
-  *  - attrs equal to the key's current row (null-safe) → no-op;
-  *  - attrs differ → current row closed at ts, new open row from ts.
-  * History rows already closed ride through untouched. One update per
-  * key per merge (enforced — multiple same-key updates in one batch
-  * have no defined order; run batches in sequence instead).
+  * Merge semantics per key: the batch's updates are SEQUENCED BY ts
+  * (the real-CDC shape — one batch may carry a whole change chain):
+  *  - each update is compared to the version before it (the key's
+  *    current row for the earliest update, the prior update after
+  *    that); equal attrs (null-safe) → no-op, dropped;
+  *  - each remaining change opens a version valid [its ts, next
+  *    change's ts), the last one open-ended;
+  *  - a key's current row is closed at the first change's ts;
+  *  - a previously-unseen key opens its chain with its first update.
+  * History rows already closed ride through untouched.
+  *
+  * Fail-loud guards ride INSIDE the plan (assert-filter columns), so a
+  * merge is ONE action — no eager validation jobs re-reading the
+  * update batch before the caller's own action:
+  *  - two effective changes for one key at the same timestamp have no
+  *    defined order → error at execution;
+  *  - an effective ts EARLIER than the open row's valid_from would
+  *    write an inverted validity interval → error at execution.
   *
   * Scale shape: one equi-join of updates against the CURRENT slice on
   * the key (broadcast when the update batch is small — the nightly
-  * case), plus unions; closed history never shuffles. Pairs with
-  * `Load.replaceTable`/`replacePartitions` to publish the result.
+  * case) plus per-key windows over the update batch; closed history
+  * never shuffles. Pairs with `Load.replaceTable`/`replacePartitions`
+  * to publish the result.
   */
 object Scd {
 
   /** @param history  existing dimension history (key, attrs…,
     *                 valid_from, valid_to — null valid_to = current)
-    * @param updates  new snapshot rows: (key, attrs…, effective-ts
-    *                 column `ts`)
+    * @param updates  new rows: (key, attrs…, effective-ts column `ts`);
+    *                 multiple updates per key are applied in ts order
     * @param key      business key column
     * @param attrs    tracked attribute columns (same names both sides)
     */
   def merge(
       history: DataFrame, updates: DataFrame, key: String, attrs: Seq[String],
       tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val histCols = (Seq(key) ++ attrs ++ Seq("valid_from", "valid_to")).map(col)
     val current = history.where(col("valid_to").isNull)
     val closedHistory = history.where(col("valid_to").isNotNull)
 
     val u = updates.select((Seq(col(key)) ++ attrs.map(col) :+ col(tsCol).as("_ts")): _*)
-    // fail loudly on multiple updates per key — silent last-wins would
-    // pick an arbitrary version order
-    val dupKeys = u.groupBy(col(key)).count().where(col("count") > 1)
-    require(dupKeys.isEmpty, {
-      val ks = dupKeys.select(col(key)).limit(5).collect().mkString(", ")
-      s"multiple updates for key(s) $ks in one merge batch — apply batches sequentially"
-    })
-
     val cur = current.select(
       (Seq(col(key)) ++ attrs.map(c => col(c).as(s"_cur_$c")) :+
         col("valid_from").as("_cur_from")): _*)
-    val joined = u.join(cur, Seq(key), "left")
-    val isNew = col("_cur_from").isNull
-    val changed = attrs.map(c => !(col(c) <=> col(s"_cur_$c"))).reduce(_ || _)
 
-    // rows to open: new keys + changed keys
-    val opened = joined.where(isNew || changed)
+    val wOrd = Window.partitionBy(col(key)).orderBy(col("_ts"))
+    val isNew = col("_cur_from").isNull
+    // the version each update is compared against: the key's current row
+    // for the earliest update, the prior update in ts order after that.
+    // Comparing to the immediate PREDECESSOR row (kept or dropped) is
+    // equivalent to comparing to the last kept version: a dropped row
+    // equals its own predecessor, so equality chains transitively.
+    def prevAttr(c: String): Column =
+      when(col("_rn") === 1, col(s"_cur_$c")).otherwise(lag(col(c), 1).over(wOrd))
+    val changed = attrs.map(c => !(col(c) <=> prevAttr(c))).reduce(_ || _)
+    // window expressions materialize as columns (filters can't hold them)
+    val joined = u.join(cur, Seq(key), "left")
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_keep", (col("_rn") === 1 && isNew) || changed)
+
+    // Guards as assert-filters: assert_true returns null (row passes)
+    // or throws with the message — evaluated at EXECUTION, keeping the
+    // merge a single action. Only rows that would actually write are
+    // guarded: no-op ties / out-of-order no-ops are harmless.
+    val wTie = Window.partitionBy(col(key), col("_ts"))
+    val eff = joined.where(col("_keep"))
+      .withColumn("_nties", count(lit(1)).over(wTie))
+      .where(assert_true(col("_nties") === 1,
+        concat(lit("multiple effective updates at one timestamp for key "),
+          col(key).cast("string"),
+          lit(" — change order within the batch is undefined"))).isNull)
+      .where(assert_true(isNew || col("_ts") >= col("_cur_from"),
+        concat(lit("update ts "), col("_ts").cast("string"),
+          lit(" precedes the open row's valid_from "),
+          col("_cur_from").cast("string"), lit(" for key "),
+          col(key).cast("string"),
+          lit(" — would write an inverted validity interval"))).isNull)
+
+    // versions to open: each effective change, closed by the NEXT
+    // effective change's ts (null for the last — the open row)
+    val opened = eff
+      .withColumn("_vt", lead(col("_ts"), 1).over(wOrd))
       .select((Seq(col(key)) ++ attrs.map(col) :+ col("_ts").as("valid_from") :+
-        lit(null).cast("timestamp").as("valid_to")): _*)
-    // current rows to close: changed keys only (semi join on that set)
-    val toClose = joined.where(!isNew && changed)
-      .select(col(key).as("_k"), col("_ts").as("_close_ts"))
+        col("_vt").as("valid_to")): _*)
+    // current rows to close: keys with ≥1 effective change, closed at
+    // the chain's first ts
+    val toClose = eff.where(!isNew)
+      .groupBy(col(key)).agg(min(col("_ts")).as("_close_ts"))
+      .select(col(key).as("_k"), col("_close_ts"))
     val closedNow = current.join(toClose, col(key) === col("_k"), "inner")
       .select((Seq(col(key)) ++ attrs.map(col) :+ col("valid_from") :+
         col("_close_ts").as("valid_to")): _*)

@@ -409,7 +409,14 @@ object Relational5 {
           FROM seg0 s JOIN upd u ON u.cust = s.cust AND u.segment <> s.segment
           UNION ALL
           SELECT u.cust, u.segment, u.ts, CAST(NULL AS TIMESTAMP)
-          FROM upd u JOIN seg0 s ON s.cust = u.cust AND u.segment <> s.segment)
+          FROM upd u JOIN seg0 s ON s.cust = u.cust AND u.segment <> s.segment
+          UNION ALL
+          -- keys absent from the initial snapshot open a new row (the
+          -- TPC-H FK o_custkey ⊆ customer makes this branch empty on the
+          -- fixture, but the merge semantics include it)
+          SELECT u.cust, u.segment, u.ts, CAST(NULL AS TIMESTAMP)
+          FROM upd u
+          WHERE NOT EXISTS (SELECT 1 FROM seg0 s WHERE s.cust = u.cust))
         SELECT cust, segment,
           strftime(vf, '%Y-%m-%d') AS valid_from,
           strftime(vt, '%Y-%m-%d') AS valid_to
@@ -482,7 +489,13 @@ object Relational5 {
           FROM seg0 s JOIN upd u ON u.cust = s.cust AND u.segment <> s.segment
           UNION ALL
           SELECT u.cust, u.segment, u.ts, CAST(NULL AS TIMESTAMP)
-          FROM upd u JOIN seg0 s ON s.cust = u.cust AND u.segment <> s.segment)
+          FROM upd u JOIN seg0 s ON s.cust = u.cust AND u.segment <> s.segment
+          UNION ALL
+          -- keys absent from the initial snapshot open a new row (empty
+          -- on the fixture via the o_custkey ⊆ customer FK)
+          SELECT u.cust, u.segment, u.ts, CAST(NULL AS TIMESTAMP)
+          FROM upd u
+          WHERE NOT EXISTS (SELECT 1 FROM seg0 s WHERE s.cust = u.cust))
         SELECT h.segment,
           count(*) AS n_orders,
           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

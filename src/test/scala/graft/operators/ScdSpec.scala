@@ -57,11 +57,55 @@ class ScdSpec extends SparkTestBase {
     assert(segAt("2024-03-15") == Seq("gold"))
   }
 
-  test("multiple updates for one key in a batch are refused") {
-    val bad = Seq((1L, "a", t1), (1L, "b", t1)).toDF("cust", "segment", "ts")
-    val e = intercept[IllegalArgumentException] {
-      Scd.merge(hist0, bad, "cust", Seq("segment"))
-    }
-    assert(e.getMessage.contains("multiple updates"))
+  test("in-batch change chain is sequenced by ts: close + two versions") {
+    val batch = Seq((1L, "platinum", t1), (1L, "gold", t2))
+      .toDF("cust", "segment", "ts")
+    val hist = Scd.merge(hist0, batch, "cust", Seq("segment"))
+      .where($"cust" === 1)
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet
+    // identical to applying the two updates as sequential batches
+    assert(hist == Set(
+      (1L, "gold", t0, Some(t1)),
+      (1L, "platinum", t1, Some(t2)),
+      (1L, "gold", t2, None)))
   }
+
+  test("in-batch no-ops are dropped from the chain; new keys chain too") {
+    // 2L: silver → silver (no-op) → gold: one close, one new version
+    // 9L: new key with its own two-version chain
+    val batch = Seq(
+      (2L, "silver", t1), (2L, "gold", t2),
+      (9L, "bronze", t1), (9L, "bronze", t1), (9L, "iron", t2))
+      .toDF("cust", "segment", "ts")
+    // 9L's duplicate (bronze, t1) is a no-op against its chain
+    // predecessor — dropped, NOT a tie error (only writes are guarded)
+    val out = Scd.merge(hist0, batch, "cust", Seq("segment"))
+      .where($"cust".isin(2L, 9L))
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet
+    assert(out == Set(
+      (2L, "silver", t0, Some(t2)),
+      (2L, "gold", t2, None),
+      (9L, "bronze", t1, Some(t2)),
+      (9L, "iron", t2, None)))
+  }
+
+  test("conflicting same-ts changes for one key fail at execution") {
+    val bad = Seq((1L, "a", t1), (1L, "b", t1)).toDF("cust", "segment", "ts")
+    val merged = Scd.merge(hist0, bad, "cust", Seq("segment")) // lazy: no action yet
+    val e = intercept[Exception] { merged.collect() }
+    assert(exceptionChain(e).exists(_.getMessage != null) &&
+      exceptionChain(e).exists(m =>
+        Option(m.getMessage).exists(_.contains("multiple effective updates"))))
+  }
+
+  test("update ts earlier than the open row's valid_from fails at execution") {
+    val bad = Seq((1L, "platinum", ts("2023-06-01"))).toDF("cust", "segment", "ts")
+    val merged = Scd.merge(hist0, bad, "cust", Seq("segment"))
+    val e = intercept[Exception] { merged.collect() }
+    assert(exceptionChain(e).exists(m =>
+      Option(m.getMessage).exists(_.contains("inverted validity interval"))))
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    e :: Option(e.getCause).map(exceptionChain).getOrElse(Nil)
 }
