@@ -105,6 +105,20 @@ object Load {
       val staging = new Path(destination + "__staging")
       val backupRoot = new Path(destination + "__old")
       val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // A NON-EMPTY backup root means a prior publish failed with an
+      // incomplete rollback — it holds the ONLY copy of those
+      // partitions' old bytes. Deleting it here would destroy them on
+      // the retry. Refuse and make the operator decide (an empty dir —
+      // debris from a crash between mkdirs and swap — is safe to clear).
+      // Checked BEFORE the staging write: a retry against a known-bad
+      // backup state must not pay the full delta write first.
+      if (fs.exists(backupRoot)) {
+        if (fs.listStatus(backupRoot).nonEmpty)
+          throw new IllegalStateException(
+            s"backup dir $backupRoot is non-empty — a prior partition publish " +
+              "failed and was not fully rolled back; recover manually before loading")
+        fs.delete(backupRoot, true)
+      }
       val writer = df.write.mode(SaveMode.Overwrite).format(format)
         .partitionBy(partitionCol)
       (if (format == "csv") writer.option("header", "true") else writer)
@@ -119,18 +133,6 @@ object Load {
       val parts = fs.listStatus(staging)
         .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith(partitionCol + "="))
-      // A NON-EMPTY backup root means a prior publish failed with an
-      // incomplete rollback — it holds the ONLY copy of those
-      // partitions' old bytes. Deleting it here would destroy them on
-      // the retry. Refuse and make the operator decide (an empty dir —
-      // debris from a crash between mkdirs and swap — is safe to clear).
-      if (fs.exists(backupRoot)) {
-        if (fs.listStatus(backupRoot).nonEmpty)
-          throw new IllegalStateException(
-            s"backup dir $backupRoot is non-empty — a prior partition publish " +
-              "failed and was not fully rolled back; recover manually before loading")
-        fs.delete(backupRoot, true)
-      }
       fs.mkdirs(backupRoot)
       if (!fs.exists(dest)) fs.mkdirs(dest)
       val swapped = scala.collection.mutable.ListBuffer[String]()
@@ -267,6 +269,82 @@ object Load {
       LoadReport(rows, table)
     }
     report(result, table)
+  }
+
+  /** K2/K3 over a LIVE JDBC CONNECTION — the closest shape to the
+    * reference's actual sink (`database_util.py:39-57`: one transaction
+    * wrapping TRUNCATE + bulk load, ROLLBACK on failure). Sequence:
+    *
+    *  1. bulk-write `df` to a STAGING table (`<table>__staging`,
+    *     overwritten) — the distributed leg: each partition loads over
+    *     its own connection, and any failure here leaves the
+    *     destination untouched;
+    *  2. in ONE driver-side transaction: empty the destination
+    *     (`DELETE FROM` — transactional in every dialect, where
+    *     TRUNCATE often is not) and `INSERT … SELECT` the staged rows
+    *     across inside the database (no data moves through the
+    *     driver); commit; ROLLBACK on any failure — the destination
+    *     keeps its previous contents, exactly the reference's K5;
+    *  3. best-effort drop of the staging table.
+    *
+    * A destination that doesn't exist yet is created empty from the
+    * staging table's shape before the transaction. Returns K4's
+    * row-count report (the INSERT's update count). Verified end-to-end
+    * against embedded Derby in LoadSpec (commit, failure-rollback,
+    * report); the sequence is dialect-portable — Snowflake/Postgres/
+    * MySQL all run the same statements.
+    */
+  def replaceJdbcTable(
+      spark: SparkSession, df: DataFrame, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties): Try[LoadReport] = {
+    val staging = table + "__staging"
+    val result = Try {
+      df.write.mode(SaveMode.Overwrite).jdbc(url, qq(staging), properties)
+      val conn = java.sql.DriverManager.getConnection(url, properties)
+      try {
+        val meta = conn.getMetaData
+        // Spark's JDBC writer quotes identifiers, so staging was created
+        // case-sensitively; probe the destination the same way.
+        val destExists = {
+          val rs = meta.getTables(null, null, table, null)
+          try rs.next() finally rs.close()
+        }
+        val st = conn.createStatement()
+        try {
+          if (!destExists)
+            st.executeUpdate(
+              s"CREATE TABLE ${qq(table)} AS SELECT * FROM ${qq(staging)} WITH NO DATA")
+          conn.setAutoCommit(false)
+          val rows =
+            try {
+              st.executeUpdate(s"DELETE FROM ${qq(table)}")
+              val n = st.executeUpdate(
+                s"INSERT INTO ${qq(table)} SELECT * FROM ${qq(staging)}")
+              conn.commit()
+              n.toLong
+            } catch {
+              case e: Throwable =>
+                Try(conn.rollback())
+                throw new java.io.IOException(
+                  s"JDBC load into $table failed; transaction rolled back, " +
+                    "previous contents preserved", e)
+            } finally conn.setAutoCommit(true)
+          Try(st.executeUpdate(s"DROP TABLE ${qq(staging)}")) // best-effort cleanup
+          LoadReport(rows, s"$url/$table")
+        } finally st.close()
+      } finally conn.close()
+    }
+    report(result, s"$url/$table")
+  }
+
+  /** Double-quote a JDBC identifier (the SQL-standard quoting Spark's
+    * JDBC writer applies), so handwritten statements hit the same table
+    * the writer created. Embedded quotes are rejected, not escaped.
+    */
+  private def qq(name: String): String = {
+    require(!name.contains("\""), s"table name must not contain double quotes: $name")
+    require(name.nonEmpty, "table name must not be empty")
+    "\"" + name + "\""
   }
 
   /** Dot-separated multi-part name with each part backticked, so the

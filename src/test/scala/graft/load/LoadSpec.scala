@@ -211,4 +211,60 @@ class LoadSpec extends SparkTestBase {
     assert(spark.table(t + "__old").as[Int].collect().toSeq == Seq(42))
     assert(!spark.catalog.tableExists(t))
   }
+
+  // ---- JDBC sink (embedded Derby — a real connection, real
+  //      transaction semantics: the closest testable analogue of the
+  //      reference's Snowflake TRUNCATE + bulk load + ROLLBACK) ----
+
+  private def derbyUrl = "jdbc:derby:memory:loadspec;create=true"
+
+  private def derbyQuery[T](sql: String)(f: java.sql.ResultSet => T): T = {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      try f(rs) finally rs.close()
+    } finally conn.close()
+  }
+
+  private def derbyUpdate(sqls: String*): Unit = {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    try sqls.foreach { s =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s) finally st.close()
+    } finally conn.close()
+  }
+
+  test("replaceJdbcTable truncates and reloads in one transaction; reports rows") {
+    derbyUpdate("""CREATE TABLE "jdbc_t1" ("id" BIGINT, "name" VARCHAR(32))""",
+      """INSERT INTO "jdbc_t1" VALUES (99, 'stale'), (98, 'old')""")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val r = Load.replaceJdbcTable(spark, df, derbyUrl, "jdbc_t1")
+    assert(r.map(_.rows) == Success(3L), s"got $r")
+    val got = derbyQuery("""SELECT "id", "name" FROM "jdbc_t1" ORDER BY "id"""") { rs =>
+      Iterator.continually(rs).takeWhile(_.next()).map(x => (x.getLong(1), x.getString(2))).toList
+    }
+    assert(got == List((1L, "a"), (2L, "b"), (3L, "c")), "stale rows must be gone")
+  }
+
+  test("replaceJdbcTable creates a missing destination from the staged shape") {
+    val df = Seq((7L, "x")).toDF("id", "name")
+    val r = Load.replaceJdbcTable(spark, df, derbyUrl, "jdbc_t_new")
+    assert(r.map(_.rows) == Success(1L), s"got $r")
+    assert(derbyQuery("""SELECT count(*) FROM "jdbc_t_new"""") { rs => rs.next(); rs.getLong(1) } == 1L)
+  }
+
+  test("failed JDBC load rolls back — destination keeps its previous contents") {
+    // destination with an INcompatible column type: the staged bulk
+    // write succeeds, the INSERT…SELECT inside the transaction fails,
+    // and the rollback must leave the original rows in place
+    derbyUpdate("""CREATE TABLE "jdbc_t2" ("id" BIGINT, "name" BIGINT)""",
+      """INSERT INTO "jdbc_t2" VALUES (1, 100), (2, 200)""")
+    val df = Seq((5L, "not-a-number")).toDF("id", "name")
+    val r = Load.replaceJdbcTable(spark, df, derbyUrl, "jdbc_t2")
+    assert(r.isFailure, s"expected failure, got $r")
+    val got = derbyQuery("""SELECT "id", "name" FROM "jdbc_t2" ORDER BY "id"""") { rs =>
+      Iterator.continually(rs).takeWhile(_.next()).map(x => (x.getLong(1), x.getLong(2))).toList
+    }
+    assert(got == List((1L, 100L), (2L, 200L)), "rollback must preserve previous contents")
+  }
 }
