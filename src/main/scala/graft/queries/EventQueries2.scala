@@ -91,12 +91,15 @@ object EventQueries2 {
     // ---- q97: DISTRIBUTED connected components soak — the pointer-
     //      jumping path itself (driver union-find disabled), over a
     //      pseudo-random event-affinity graph (event_id hashed to two
-    //      node ids). Output is the component-structure summary. No
-    //      oracle by design: a transitive-closure CTE over ~100k edges
-    //      is quadratic-explosive in DuckDB (the q57 CTE already costs
-    //      ~90 s on far fewer edges); correctness of the algorithm is
-    //      pinned by q57/q95 (oracle) + ComponentsSpec's 2M-edge soak
-    //      asserting distributed==union-find and O(log d) rounds. ----
+    //      node ids). Output is the component-structure summary
+    //      (reduced assertion: count / max size / node total), which IS
+    //      DuckDB-checkable: the vertex set is only 2 000 nodes, so a
+    //      DEDUPED reachability CTE (UNION, not UNION ALL) stays at
+    //      Σ comp² ≈ a few million pairs — unlike q57's document graph,
+    //      where the closure explodes. The algorithm's full labeling is
+    //      additionally pinned by q57/q95 (exact oracle) +
+    //      ComponentsSpec's 2M-edge soak (distributed == union-find,
+    //      O(log d) rounds). ----
     GraftQuery(
       "q97_components_distributed",
       (s, d) => {
@@ -117,6 +120,24 @@ object EventQueries2 {
             max(col("sz")).as("max_component"),
             sum(col("sz")).as("n_nodes"))
       },
-      None)
+      Some("""
+        WITH RECURSIVE raw AS (
+          SELECT event_id % 2000 AS a, (event_id * 7919) % 2000 AS b
+          FROM events WHERE event_id % 5 = 0),
+        ed AS (
+          SELECT a, b FROM raw WHERE a <> b
+          UNION
+          SELECT b, a FROM raw WHERE a <> b),
+        reach(n, m) AS (
+          SELECT a AS n, a AS m FROM ed
+          UNION
+          SELECT r.n, e.b AS m FROM reach r JOIN ed e ON e.a = r.m),
+        comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+        szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+        SELECT CAST(count(*) AS BIGINT) AS n_components,
+          CAST(max(sz) AS BIGINT) AS max_component,
+          CAST(sum(sz) AS BIGINT) AS n_nodes
+        FROM szs
+      """))
   )
 }
