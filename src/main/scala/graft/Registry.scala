@@ -7,7 +7,7 @@ object Registry {
   def all: Seq[GraftQuery] =
     queries.Relational.queries ++ queries.Relational2.queries ++
       queries.Relational3.queries ++ queries.Relational4.queries ++
-      queries.Relational5.queries ++
+      queries.Relational5.queries ++ queries.Relational6.queries ++
       queries.TpchQueries.queries ++
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
       queries.TextQueries3.queries ++
