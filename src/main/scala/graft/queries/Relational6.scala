@@ -64,6 +64,67 @@ object Relational6 {
           GROUP BY 1, 2)
         SELECT part, CAST(est_n AS BIGINT) AS est_n, CAST(true_n AS BIGINT) AS true_n
         FROM est
+      """)),
+
+    // ---- q119: Bloom-filter membership — build one filter over the
+    //      custkeys with an URGENT 1997 order (3 bit-slice hashes into
+    //      2^16 bits; the filtered set leaves plenty of non-member
+    //      probes at every SF), probe EVERY customer, and cross-tab the
+    //      filter's answer against the exact semi-join truth. No false
+    //      negatives by construction — the (false, true) cell must be
+    //      absent; false positives are data-dependent but the oracle
+    //      computes the IDENTICAL bitset, so even they hash-match.
+    //      This is the broadcast prefilter pattern for 100 TB
+    //      anti-joins: ship the KB-scale filter, not the key set. ----
+    GraftQuery(
+      "q119_bloom_membership",
+      (s, d) => {
+        val k = 3; val b = 16
+        val urgent = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        val flt = urgent
+          .select(hash60(col("o_custkey").cast("string")).as("h"))
+          .agg(Sketches.bloom(col("h"), k, b).as("bf"))
+        val members = urgent.select(col("o_custkey")).distinct()
+        Tables.customer(s, d).select(col("c_custkey"))
+          .crossJoin(broadcast(flt))
+          .withColumn("might", Sketches.bloomMightContain(
+            col("bf"), hash60(col("c_custkey").cast("string")), k, b))
+          .join(members, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("might"), col("o_custkey").isNotNull.as("actual"))
+          .groupBy(col("might"), col("actual"))
+          .agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""
+        WITH urgent AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'),
+        hs AS (
+          SELECT DISTINCT
+            CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM urgent),
+        rows_i AS (SELECT unnest(generate_series(0, 2)) AS i),
+        pos AS (
+          SELECT DISTINCT (hv >> (16 * i)) & 65535 AS p
+          FROM hs CROSS JOIN rows_i),
+        probe AS (
+          SELECT c_custkey,
+            CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM customer),
+        verdict AS (
+          SELECT pr.c_custkey,
+            bool_and(((pr.hv >> (16 * r.i)) & 65535) IN (SELECT p FROM pos)) AS might
+          FROM probe pr CROSS JOIN rows_i r
+          GROUP BY 1),
+        truth AS (SELECT DISTINCT o_custkey FROM urgent)
+        SELECT v.might, t.o_custkey IS NOT NULL AS actual,
+          CAST(count(*) AS BIGINT) AS n_cust
+        FROM verdict v LEFT JOIN truth t ON t.o_custkey = v.c_custkey
+        GROUP BY 1, 2
       """))
   )
 }
