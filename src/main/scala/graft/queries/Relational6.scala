@@ -125,6 +125,78 @@ object Relational6 {
           CAST(count(*) AS BIGINT) AS n_cust
         FROM verdict v LEFT JOIN truth t ON t.o_custkey = v.c_custkey
         GROUP BY 1, 2
+      """)),
+
+    // ---- q120: one BPE training step — count adjacent CHARACTER pairs
+    //      inside words across the corpus and rank the merge
+    //      candidates. This is the inner loop of byte-pair-encoding
+    //      vocabulary training (the real thing, not the q56 tokenizer
+    //      which APPLIES a vocab): each iteration merges the top pair
+    //      and recounts. One explode→substr→groupBy pipeline — a
+    //      map-side-combined count at any scale. Guard length >= 2 on
+    //      both sides (Spark's sequence(1,0) counts DOWN, DuckDB's
+    //      generate_series(1,0) is empty — the guard sidesteps the
+    //      divergence). ----
+    GraftQuery(
+      "q120_bpe_merge_step",
+      (s, d) => {
+        val w = graft.functions.TextFunctions.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(explode(w).as("w"))
+          .where(length(col("w")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(10)
+      },
+      Some("""
+        WITH w AS (
+          SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+          FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+            i -> substr(w, i, 2))) AS pair
+          FROM w WHERE length(w) >= 2)
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 10
+      """)),
+
+    // ---- q121: LOCF gap-fill (last observation carried forward) — the
+    //      time-series repair every feature/metrics pipeline needs:
+    //      per user, the running "last purchase amount" filled across
+    //      non-purchase events. `last(..., ignoreNulls)` over an
+    //      unbounded-preceding frame ≡ DuckDB's
+    //      `last_value(x IGNORE NULLS)`; integer cents keep the fill
+    //      values hash-exact. Tie-safe ordering via (ts, event_id). ----
+    GraftQuery(
+      "q121_locf_fill",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .where(col("user_id") < 40)
+          .withColumn("purchase_cents",
+            when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")))
+          .select(col("event_id"), col("user_id"),
+            coalesce(last(col("purchase_cents"), ignoreNulls = true).over(w), lit(0L))
+              .as("last_purchase_cents"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+          COALESCE(last_value(
+              CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) END
+              IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+            AS last_purchase_cents
+        FROM events WHERE user_id < 40
       """))
   )
 }
