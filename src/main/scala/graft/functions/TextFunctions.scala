@@ -82,6 +82,27 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Unicode NFC normalization (composed form) — canonicalize BEFORE
+    * hashing/fingerprinting, or visually-equal strings with different
+    * codepoint sequences survive dedup. ≡ DuckDB `nfc_normalize`.
+    */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), "NFC"))
+
+  /** Unicode NFD normalization (decomposed form). */
+  def nfd(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), "NFD"))
+
+  /** Accent stripping: decompose, then drop combining marks (\p{Mn}) —
+    * ≡ DuckDB `strip_accents` on Latin text.
+    */
+  def stripAccents(c: Column): Column =
+    regexp_replace(nfd(c), "\\p{Mn}", "")
+
   /** Distinct word n-gram shingles of a token array (1-based
     * `element_at`, same as the oracle's `toks[i]`). Callers must ensure
     * size(toks) >= n (concat-with-null semantics differ across engines).

@@ -197,6 +197,53 @@ object Relational6 {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
             AS last_purchase_cents
         FROM events WHERE user_id < 40
+      """)),
+
+    // ---- q122: unicode normalization — canonicalize text BEFORE
+    //      fingerprint/dedup (composed vs decomposed codepoint
+    //      sequences must hash identically). The fixture corpus is
+    //      ASCII, so the query synthesizes DECOMPOSED Latin words
+    //      (base letter + combining mark, U+0301/U+0308/U+0303) per
+    //      doc_id and runs them through expressions.UnicodeNormalize
+    //      (JDK Normalizer): NFC composes them, NFD+\p{Mn}-strip drops
+    //      the accents. The oracle uses DuckDB's native nfc_normalize/
+    //      strip_accents — agreement proves the op is the STANDARD
+    //      normalization, not a private one. Codepoint lengths before/
+    //      after pin the composition actually happened. ----
+    GraftQuery(
+      "q122_unicode_normalize",
+      (s, d) => {
+        val words = array(
+          lit("café"),      // café decomposed
+          lit("naïve"),     // naïve decomposed
+          lit("Zürich"),    // Zürich decomposed
+          lit("señor"),     // señor decomposed
+          lit("crème"))           // already composed — NFC is identity
+        import graft.functions.TextFunctions.{nfc, stripAccents}
+        Tables.documents(s, d)
+          .where(col("doc_id") < 100)
+          .select(col("doc_id"),
+            element_at(words, (col("doc_id") % 5 + 1).cast("int")).as("raw"))
+          .select(
+            col("doc_id"),
+            nfc(col("raw")).as("nfc"),
+            stripAccents(col("raw")).as("stripped"),
+            length(col("raw")).cast("long").as("n_cp_raw"),
+            length(nfc(col("raw"))).cast("long").as("n_cp_nfc"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+            ['cafe' || chr(769), 'nai' || chr(776) || 've',
+             'Zu' || chr(776) || 'rich', 'sen' || chr(771) || 'or',
+             'cr' || chr(232) || 'me'][CAST(doc_id % 5 + 1 AS INT)] AS raw
+          FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+          nfc_normalize(raw) AS nfc,
+          strip_accents(raw) AS stripped,
+          CAST(length(raw) AS BIGINT) AS n_cp_raw,
+          CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc
+        FROM w
       """))
   )
 }
