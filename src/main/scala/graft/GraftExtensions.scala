@@ -81,8 +81,44 @@ object GraftExtensions {
       {
         case Seq(h, k) => KmvDistinct(h, literalInt("graft_kmv_distinct", "k", k))
         case other => throw new IllegalArgumentException(s"graft_kmv_distinct expects 2 arguments, got ${other.size}")
+      }),
+    ("graft_count_min",
+      info("graft_count_min",
+        "graft_count_min(hash, depth, widthBits) - Count-Min sketch bucket counts over bigint hashes (aggregate)"),
+      {
+        case Seq(h, d, w) => graft.expressions.CountMinAgg(h,
+          literalInt("graft_count_min", "depth", d),
+          literalInt("graft_count_min", "widthBits", w))
+        case other => throw new IllegalArgumentException(s"graft_count_min expects 3 arguments, got ${other.size}")
+      }),
+    ("graft_bloom",
+      info("graft_bloom",
+        "graft_bloom(hash, numHashes, bitsLog2) - Bloom filter bitset words over bigint hashes (aggregate)"),
+      {
+        case Seq(h, k, b) => graft.expressions.BloomAgg(h,
+          literalInt("graft_bloom", "numHashes", k),
+          literalInt("graft_bloom", "bitsLog2", b))
+        case other => throw new IllegalArgumentException(s"graft_bloom expects 3 arguments, got ${other.size}")
+      }),
+    ("graft_unicode_normalize",
+      info("graft_unicode_normalize",
+        "graft_unicode_normalize(s, form) - JDK unicode normalization; form in NFC/NFD/NFKC/NFKD (literal)"),
+      {
+        case Seq(s, f) => graft.expressions.UnicodeNormalize(s, literalString("graft_unicode_normalize", "form", f))
+        case other => throw new IllegalArgumentException(s"graft_unicode_normalize expects 2 arguments, got ${other.size}")
       })
   )
+
+  private def literalString(fn: String, arg: String, e: Expression): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn $arg must be a literal (constant-foldable) string, got a non-constant expression")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn $arg must be a literal string, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
+    }
+  }
 
   private def literalInt(fn: String, arg: String, e: Expression): Int = {
     if (!e.foldable)

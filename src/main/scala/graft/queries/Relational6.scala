@@ -244,6 +244,36 @@ object Relational6 {
           CAST(length(raw) AS BIGINT) AS n_cp_raw,
           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc
         FROM w
+      """)),
+
+    // ---- q123: URL parsing — the web-corpus staple (domain-based
+    //      filtering/sharding, referrer analytics). URLs are
+    //      CONSTRUCTED from fixture columns, so the oracle states the
+    //      expected components directly by construction while the
+    //      Spark side extracts them back with the builtin `parse_url`
+    //      (HOST / PATH / keyed QUERY; absent query → NULL) — the
+    //      hash-match proves the extractor recovers exactly what was
+    //      assembled, nulls included. ----
+    GraftQuery(
+      "q123_parse_url",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit(""))
+            .otherwise(concat(lit("?ref="), col("lang"))))
+        Tables.documents(s, d)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+      },
+      Some("""
+        SELECT doc_id,
+          source || '.example.com' AS host,
+          '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+          CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS ref
+        FROM documents
       """))
   )
 }

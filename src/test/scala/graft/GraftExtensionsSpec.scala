@@ -53,4 +53,32 @@ class GraftExtensionsSpec extends SparkTestBase {
     """).head()
     assert(r.getDouble(0) == 40.0)
   }
+
+  test("graft_count_min and graft_bloom aggregates from SQL") {
+    val sk = spark.sql("""
+      SELECT graft_count_min(CAST(conv(substr(md5(CAST(id % 3 AS STRING)), 1, 15), 16, 10) AS BIGINT), 4, 10) AS sk
+      FROM range(0, 30)
+    """).head().getSeq[Long](0)
+    assert(sk.length == 4 * 1024 && sk.sum == 30 * 4, "every row increments depth buckets")
+    val bf = spark.sql("""
+      SELECT graft_bloom(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT), 3, 10) AS bf
+      FROM range(0, 10)
+    """).head().getSeq[Long](0)
+    assert(bf.length == 1024 / 64 && bf.exists(_ != 0L))
+  }
+
+  test("graft_unicode_normalize from SQL composes decomposed input") {
+    // 'cafe' + U+0301 (combining acute, UTF-8 CC 81): NFC composes to
+    // 4 codepoints; identity on plain ASCII
+    val r = spark.sql("""
+      SELECT length(graft_unicode_normalize(
+               concat('cafe', decode(unhex('CC81'), 'UTF-8')), 'NFC')) AS n,
+             graft_unicode_normalize('plain', 'NFC') AS id
+    """).head()
+    assert(r.getInt(0) == 4 && r.getString(1) == "plain")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_unicode_normalize('x', 'NFX')").head()
+    }
+    assert(e.getMessage.contains("NFC/NFD/NFKC/NFKD") || e.getMessage.contains("form"))
+  }
 }
