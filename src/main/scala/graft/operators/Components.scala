@@ -208,4 +208,33 @@ object Components {
     val losers = if (losersDf.count() <= maxRows) broadcast(losersDf) else losersDf
     corpus.join(losers, corpus(idCol).cast("long") === losers("node"), "left_anti")
   }
+
+  /** Quality-aware near-dup drop: per component keep the member with
+    * the HIGHEST `qualityCol` (ties → lowest id) instead of the min-id
+    * canonical survivor — the production retention policy ("keep the
+    * best copy", not "keep the first crawl"). The loser set is
+    * component-bounded like [[dropNearDuplicates]] and rides the same
+    * gated broadcast anti-join; the survivor election is one per-
+    * component window over the members only (≤ 2·pairs rows), never
+    * the corpus.
+    */
+  def dropNearDuplicatesByQuality(
+      corpus: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      qualityCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val members = labels.join(
+      corpus.select(col(idCol).cast("long").as("node"), col(qualityCol).as("_q")),
+      Seq("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("_q").desc, col("node"))
+    val losersDf = members
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("_rk") > 1)
+      .select(col("node"))
+    val maxRows = graft.core.Joins.maxBroadcastRows(corpus.sparkSession, bytesPerRow = 24)
+    val losers = if (losersDf.count() <= maxRows) broadcast(losersDf) else losersDf
+    corpus.join(losers, corpus(idCol).cast("long") === losers("node"), "left_anti")
+  }
 }

@@ -274,6 +274,48 @@ object Relational6 {
           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS ref
         FROM documents
-      """))
+      """)),
+
+    // ---- q124: deterministic corpus-mixture sampling — the
+    //      data-mixture op of LLM training: each source (language
+    //      here) is downsampled at its own rate by comparing a salted
+    //      portable hash against rate·2^60, so the mixture is
+    //      reproducible run-to-run and engine-to-engine (no rand()),
+    //      rows keep/drop INDEPENDENTLY (no shuffle, no per-source
+    //      windows), and changing one rate never reshuffles another
+    //      source's sample. Thresholds are exact long literals shared
+    //      between both engines. ----
+    GraftQuery(
+      "q124_corpus_mixture",
+      (s, d) => {
+        val rates = Seq("en" -> 0.8, "zh" -> 0.5, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.1)
+        val thresholds = rates.map { case (l, r) => l -> (r * (1L << 60)).toLong }
+        val threshCol = coalesce(
+          element_at(
+            map(thresholds.flatMap { case (l, t) => Seq(lit(l), lit(t)) }: _*),
+            col("lang")),
+          lit(0L))
+        val h = hash60(concat(col("doc_id").cast("string"), lit(":mix")))
+        Tables.documents(s, d)
+          .withColumn("sampled", h < threshCol)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      },
+      Some {
+        val rates = Seq("en" -> 0.8, "zh" -> 0.5, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.1)
+        val cases = rates.map { case (l, r) =>
+          s"WHEN '$l' THEN ${(r * (1L << 60)).toLong}"
+        }.mkString(" ")
+        s"""
+        WITH h AS (
+          SELECT lang,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT) AS hv
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN hv < CASE lang $cases ELSE 0 END THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM h GROUP BY lang
+        """
+      })
   )
 }

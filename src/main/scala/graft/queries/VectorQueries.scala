@@ -292,6 +292,52 @@ object VectorQueries {
         WHERE vec_id NOT IN (SELECT node FROM losers)
       """)),
 
+    // ---- q125: quality-aware near-dup retention — per cluster keep
+    //      the HIGHEST-quality member (label as the quality stand-in;
+    //      ties → lowest id), the production policy "keep the best
+    //      copy", vs q59's min-id canonical survivor. Same component
+    //      machinery, survivor election is a per-component window over
+    //      members only. Oracle: q57's closure CTE + a rank window. ----
+    GraftQuery(
+      "q125_dedup_best_quality",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.4)
+        graft.operators.Components
+          .dropNearDuplicatesByQuality(emb, "vec_id", pairs, "id_a", "id_b", "label")
+          .select(col("vec_id"), col("label"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        nrm2 AS (SELECT vec_id,
+            list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
+          FROM e),
+        prs AS (
+          SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_reduce(list_transform(generate_series(1, len(a.vn)),
+                i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
+            FROM nrm2 a JOIN nrm2 b ON a.vec_id < b.vec_id) t
+          WHERE sim >= 0.4),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, edges.d FROM reach JOIN edges ON edges.s = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        ranked AS (
+          SELECT c.node,
+            row_number() OVER (PARTITION BY c.component
+              ORDER BY m.label DESC, c.node) AS rk
+          FROM comp c JOIN e m ON m.vec_id = c.node),
+        losers AS (SELECT node FROM ranked WHERE rk > 1)
+        SELECT vec_id, label FROM e
+        WHERE vec_id NOT IN (SELECT node FROM losers)
+      """)),
+
     // ---- q94: the APPROXIMATE near-dup kernel — the one that survives
     //      100 TB (bucket equi-join candidates, never O(N²)) — oracle-
     //      checked end to end with the q42 technique: the DuckDB SQL

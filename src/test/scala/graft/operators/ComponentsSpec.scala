@@ -74,4 +74,21 @@ class ComponentsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(groups == Map(5L -> 3L, 20L -> 2L))
   }
+
+  test("dropNearDuplicatesByQuality keeps the best member, ties to lowest id") {
+    val corpus = Seq(
+      (1L, 10), (2L, 50), (3L, 50), // cluster {1,2,3}: best quality 50, tie → 2
+      (4L, 99),                     // untouched
+      (8L, 1), (9L, 7))             // cluster {8,9}: 9 wins outright
+      .toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
+    val kept = Components
+      .dropNearDuplicatesByQuality(corpus, "id", pairs, "a", "b", "quality")
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 9L))
+    // min-id policy on the same graph keeps different survivors
+    val minId = Components.dropNearDuplicates(corpus, "id", pairs, "a", "b")
+      .select($"id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L, 8L))
+  }
 }
