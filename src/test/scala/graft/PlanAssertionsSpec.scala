@@ -84,4 +84,29 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "prefix blocking must keep the pair join an equi hash join")
   }
+
+  test("q112: PQ encode/score kernels are codegen expressions in the plan") {
+    val p = plan("q112_pq_topk")
+    assert(p.contains("graft_pq_encode"), "PqEncode fell out of the plan")
+    assert(p.contains("graft_adc_score"), "AdcScore fell out of the plan")
+    assert(!p.contains("SortMergeJoin"),
+      "coded corpus must score against a broadcast, not a shuffle")
+  }
+
+  test("q118/q119: sketches broadcast to their probes; one aggregation pass each") {
+    val cms = plan("q118_cms_freq")
+    assert(cms.contains("graft_count_min"), "CMS aggregate fell out of the plan")
+    assert(cms.contains("BroadcastExchange") || cms.contains("BroadcastNestedLoopJoin"),
+      "the KB-scale sketch must broadcast to the probe side")
+    val bloom = plan("q119_bloom_membership")
+    assert(bloom.contains("graft_bloom"), "Bloom aggregate fell out of the plan")
+    assert(bloom.contains("BroadcastExchange"),
+      "the filter words must broadcast to the probe side")
+  }
+
+  test("q35: single-pass blocked jaccard — no join in the plan at all") {
+    val p = plan("q35_dedup_ngram_blocked")
+    assert(!p.contains("Join"),
+      "set sizes must ride the explode; a join-back means the staging regression returned")
+  }
 }
