@@ -174,21 +174,24 @@ object EventStreams {
           throw new IllegalStateException(
             s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
               "without restore; recover the backup before resuming the stream")
+        // A micro-batch may carry a key's whole change chain — the merge
+        // sequences it by ts, so every distinct-ts version becomes a
+        // history row (round-5 semantics; previously only the latest
+        // landed). Same-(key, ts) duplicates keep the highest seq — the
+        // at-least-once tie policy a replayed source needs.
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
-        val latest = batch.toDF
+          .partitionBy(col(keyCol), col(tsCol)).orderBy(col(seqCol).desc)
+        val chain = batch.toDF
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
         val history =
           if (fs.exists(dest)) spark.read.parquet(tableDir)
-          else // first batch: open every key as-of its own update ts
-            latest.select((Seq(col(keyCol)) ++ attrCols.map(col) :+
+          else // first batch: merge the chains into an empty dimension
+            chain.select((Seq(col(keyCol)) ++ attrCols.map(col) :+
               col(tsCol).as("valid_from") :+
-              lit(null).cast("timestamp").as("valid_to")): _*)
+              lit(null).cast("timestamp").as("valid_to")): _*).limit(0)
         val merged =
-          if (fs.exists(dest))
-            graft.operators.Scd.merge(history, latest, keyCol, attrCols, tsCol)
-          else history
+          graft.operators.Scd.merge(history, chain, keyCol, attrCols, tsCol)
         graft.load.Load.replaceTable(spark, merged, tableDir).get
         ()
       }
