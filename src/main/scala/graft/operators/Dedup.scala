@@ -90,6 +90,48 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  /** INCREMENTAL MinHash + LSH: near-dup pairs BETWEEN a new batch and
+    * an existing corpus — the production ingest shape. A daily delta
+    * must not re-dedup the whole 100 TB corpus against itself: band
+    * signatures of the (small) batch join band signatures of the
+    * corpus, so the corpus is touched once per ingest and only
+    * band-colliding rows reach the exact-Jaccard verify. At steady
+    * state the corpus-side signatures would be a persisted index table
+    * (computed once at their own ingest) — the signature algebra here
+    * is IDENTICAL to [[minhashLsh]]'s, so precomputed signatures drop
+    * in. Output: (doc_new, doc_old, n_inter, n_union, jaccard) with
+    * jaccard ≥ tau; ids live in separate universes (no i<j
+    * canonicalization across tables).
+    */
+  def minhashLshIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      tau: Double = 0.3): DataFrame = {
+    val k = bands * rowsPerBand
+    val sc = shingleSets(corpus, idCol, textCol, shingleN).localCheckpoint()
+    val sb = shingleSets(batch, idCol, textCol, shingleN).localCheckpoint()
+    def bandedOf(s: DataFrame): DataFrame = {
+      val sig = s.select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+      sig.select(col("doc_id"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band"),
+          concat_ws("", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), col("band") * rowsPerBand + r + 1)): _*).as("bsig"))
+    }
+    val cand = bandedOf(sb).as("x").join(bandedOf(sc).as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .distinct()
+    val withSets = cand
+      .join(sb.select(col("doc_id").as("doc_new"), col("sh").as("sh_a")), Seq("doc_new"))
+      .join(sc.select(col("doc_id").as("doc_old"), col("sh").as("sh_b")), Seq("doc_old"))
+    val (nInter, nUnion) = jaccardParts(col("sh_a"), col("sh_b"))
+    withSets
+      .select(col("doc_new"), col("doc_old"), nInter.as("n_inter"), nUnion.as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .where(col("jaccard") >= tau)
+  }
+
   /** MinHash + LSH near-dup pairs — FAST PATH. Same structure as
     * [[minhashLsh]] (shingle → signature → band → bucket self-join →
     * exact-Jaccard verify ≥ tau) but signatures are k multiply-add

@@ -213,6 +213,45 @@ object TextQueries {
     GraftQuery(
       "q36_dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 5),
-      None)
+      None),
+
+    // ---- q126: INCREMENTAL dedup — a new batch (source src0) against
+    //      the existing corpus (everything else), the daily-ingest
+    //      shape that never re-dedups the corpus against itself. Same
+    //      portable salted-md5 signatures as q34, so the oracle
+    //      replicates the full algorithm including the candidate set;
+    //      the band join is batch×corpus, not a self-join. ----
+    GraftQuery(
+      "q126_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashLshIncremental(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') toks FROM documents),
+        s AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks)-2),
+                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) sh
+              FROM t WHERE len(toks) >= 3),
+        m AS (SELECT doc_id, source, sh, list_transform(generate_series(0, 15),
+                i -> list_min(list_transform(sh, x -> md5(concat(i, '|', x))))) sig
+              FROM s),
+        bands AS (SELECT doc_id, source, b, concat(sig[2*b+1], sig[2*b+2]) bsig
+                  FROM m, unnest(generate_series(0, 7)) AS u(b)),
+        cand AS (SELECT DISTINCT x.doc_id dn, y.doc_id dod
+                 FROM bands x JOIN bands y
+                   ON x.b = y.b AND x.bsig = y.bsig
+                 WHERE x.source = 'src0' AND y.source <> 'src0'),
+        v AS (SELECT dn AS doc_new, dod AS doc_old,
+                len(list_intersect(sa.sh, sb.sh)) n_inter,
+                len(list_distinct(list_concat(sa.sh, sb.sh))) n_union
+              FROM cand JOIN s sa ON sa.doc_id = dn JOIN s sb ON sb.doc_id = dod)
+        SELECT doc_new, doc_old, CAST(n_inter AS BIGINT) AS n_inter,
+          CAST(n_union AS BIGINT) AS n_union,
+          CAST(n_inter AS DOUBLE) / n_union AS jaccard
+        FROM v WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.3
+      """))
   )
 }

@@ -38,6 +38,22 @@ class DedupSpec extends SparkTestBase {
       "distinct docs must not pair")
   }
 
+  test("incremental LSH pairs a batch against the corpus, never corpus-internal") {
+    // corpus contains its own internal dup pair (1, 5) — the incremental
+    // path must NOT report it; only batch→corpus pairs come back
+    val corpus = docs // ids 1-5 (1 & 5 exact dups, 2 near-dup of both)
+    val batch = Seq((101L, base), (102L, distinct1), (103L, "nothing in common here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshIncremental(corpus, batch, "doc_id", "text", tau = 0.3)
+      .select($"doc_new", $"doc_old").as[(Long, Long)].collect().toSet
+    assert(got.contains((101L, 1L)) && got.contains((101L, 5L)) && got.contains((101L, 2L)),
+      s"batch dup of the base doc must pair with all its corpus copies, got $got")
+    assert(got.contains((102L, 3L)), "batch dup of distinct1 must pair with it")
+    assert(!got.exists(_._1 == 103L), "novel batch doc must not pair")
+    assert(got.forall { case (n, o) => n >= 101L && o <= 5L },
+      "pairs must always be batch-to-corpus (no corpus-internal pairs)")
+  }
+
   test("minhash LSH matches brute-force verified pairs on planted data") {
     // brute force: all pairs with exact 3-gram Jaccard >= tau
     import graft.functions.TextFunctions._
