@@ -310,25 +310,91 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Resize plumbing: recompute target dimensions preserving aspect
-    * ratio (exact integer math). ONLY the dimension contract is real —
-    * `features` and `n_bytes` still describe the SOURCE payload, because
-    * producing resized pixels is the decode stub's job; a real codec
-    * implementation would decode-resize-re-extract inside the same
-    * batched pass (and this signature doesn't need to change for that).
+  /** Aspect-preserving target dims: floor-scaled, min 1 — the standard
+    * thumbnailing contract. */
+  private def scaledDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val long = math.max(w, h)
+    if (long <= maxSide) (w, h)
+    else (math.max(1, w * maxSide / long), math.max(1, h * maxSide / long))
+  }
+
+  /** Resize: recompute target dimensions preserving aspect ratio (exact
+    * integer math). Formats without an ImageIO decoder keep the
+    * dimension-only contract (`features`/`n_bytes` describe the SOURCE
+    * payload); see [[resizeDecoded]] for the real-pixels path.
     */
   def resizeFeatures(ds: Dataset[MediaRecord], maxSide: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     require(maxSide > 0, s"maxSide must be positive, got $maxSide")
     extractFeatures(ds).map { f =>
-      val long = math.max(f.width, f.height)
-      if (long <= maxSide) f
-      else {
-        // floor-scaled dims, min 1 — the standard thumbnailing contract
-        val w = math.max(1, f.width * maxSide / long)
-        val h = math.max(1, f.height * maxSide / long)
-        f.copy(width = w, height = h)
+      val (w, h) = scaledDims(f.width, f.height, maxSide)
+      f.copy(width = w, height = h)
+    }
+  }
+
+  /** REAL thumbnail pass for ImageIO-decodable records (JPEG/PNG/GIF):
+    * decode → area-preserving integer downscale → pixel statistics OF
+    * THE RESIZED IMAGE — decode/resize/re-extract inside the same
+    * batched `mapPartitions` pass, no shuffle. The scaler averages the
+    * exact source-pixel box behind each target pixel in integer
+    * arithmetic (deterministic; no Graphics2D filter-chain variance),
+    * and `n_bytes` reports the source payload (nothing is re-encoded).
+    * Undecodable records fall back to [[resizeFeatures]] semantics via
+    * the stub lane.
+    */
+  def resizeDecoded(ds: Dataset[MediaRecord], maxSide: Int): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    ds.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val resized = scala.util.Try(r.format match {
+            case "jpg" | "jpeg" | "png" | "gif" => resizePixels(r.payload, maxSide)
+            case _ => None
+          }).toOption.flatten
+          val (w, h, f) = resized.getOrElse {
+            val (w0, h0, f0) = scala.util.Try(r.format match {
+              case "bmp" => decodeBmp(r.payload)
+              case "ppm" => decodePpm(r.payload)
+              case "wav" => decodeWav(r.payload)
+              case _ => None
+            }).toOption.flatten.getOrElse(decodeStub(r.payload))
+            val (w1, h1) = scaledDims(w0, h0, maxSide)
+            (w1, h1, f0)
+          }
+          MediaFeatures(r.media_id, w, h, r.payload.length, f)
+        }
       }
     }
+  }
+
+  /** Decode + box-average downscale + stats (see [[resizeDecoded]]). */
+  private def resizePixels(p: Array[Byte], maxSide: Int): Option[(Int, Int, Array[Float])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    if (img == null) return None
+    val w0 = img.getWidth
+    val h0 = img.getHeight
+    if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodedPixels) return None
+    val (w, h) = scaledDims(w0, h0, maxSide)
+    val rgb = img.getRGB(0, 0, w0, h0, null, 0, w0)
+    val px = Iterator.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      // exact integer box [x0, x1) × [y0, y1) of source pixels
+      val x0 = x.toLong * w0 / w; val x1 = math.max(x0 + 1, (x + 1).toLong * w0 / w)
+      val y0 = y.toLong * h0 / h; val y1 = math.max(y0 + 1, (y + 1).toLong * h0 / h)
+      var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) {
+          val v = rgb((yy * w0 + xx).toInt)
+          sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+          n += 1; xx += 1
+        }
+        yy += 1
+      }
+      ((sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+    }
+    Some((w, h, pixelStats(px)))
   }
 }

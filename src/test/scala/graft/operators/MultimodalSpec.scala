@@ -243,6 +243,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(rec.path.endsWith("x.bin"))
   }
 
+  test("resizeDecoded: real pixel downscale — dims, count, and means of the RESIZED image") {
+    // 16×8 solid color: any correct area-averaging resize preserves the
+    // exact channel values; pixel count must be of the TARGET image
+    val png = encoded(rgbImage(16, 8)(_ => (100, 150, 200)), "png")
+    val out = Multimodal.resizeDecoded(
+      Seq(MediaRecord(1L, png, "png")).toDS(), maxSide = 4).collect().head
+    assert(out.width == 4 && out.height == 2, s"got ${out.width}x${out.height}")
+    assert(out.features(3) == 8f, "pixel count must be the resized image's")
+    assert(out.features(0) == 100f * 8 && out.features(1) == 150f * 8 &&
+      out.features(2) == 200f * 8, "solid color must survive box averaging exactly")
+    // gradient image: resized stats differ from source stats (proves the
+    // stats are computed AFTER the resize), total brightness ~preserved
+    val grad = encoded(rgbImage(8, 8)(i => (i * 4 , 0, 0)), "png")
+    val full = Multimodal.extractFeatures(
+      Seq(MediaRecord(2L, grad, "png")).toDS()).collect().head
+    val small = Multimodal.resizeDecoded(
+      Seq(MediaRecord(2L, grad, "png")).toDS(), maxSide = 4).collect().head
+    assert(small.width == 4 && small.height == 4 && small.features(3) == 16f)
+    val meanFull = full.features(0) / full.features(3)
+    val meanSmall = small.features(0) / small.features(3)
+    assert(math.abs(meanFull - meanSmall) <= 2, s"mean drifted: $meanFull vs $meanSmall")
+    // small images pass through untouched; non-image formats keep the
+    // dimension-contract fallback (stub features, scaled dims)
+    val tiny = Multimodal.resizeDecoded(
+      Seq(MediaRecord(3L, png, "png")).toDS(), maxSide = 64).collect().head
+    assert(tiny.width == 16 && tiny.height == 8)
+    val other = Multimodal.resizeDecoded(
+      Seq(MediaRecord(4L, "some text".getBytes, "txt")).toDS(), maxSide = 4).collect().head
+    assert(other.features.length == 8 && math.max(other.width, other.height) <= 4)
+  }
+
   test("resizeFeatures preserves aspect ratio, caps the long side, and is idempotent on small media") {
     val ds = Multimodal.typedMedia(spark, Multimodal.withPayload(
       Seq((1L, "x" * 500), (2L, "y" * 300)).toDF("id", "text"), "id", "text", "bin"))
