@@ -106,25 +106,47 @@ object Dedup {
   def minhashLshIncremental(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      tau: Double = 0.3): DataFrame =
+    minhashLshIncrementalIndexed(
+      signatureIndex(corpus, idCol, textCol, shingleN, bands * rowsPerBand)
+        .localCheckpoint(),
+      batch, idCol, textCol, shingleN, bands, rowsPerBand, tau)
+
+  /** Persistable signature index: (doc_id, sh, sig) — everything the
+    * incremental probe needs (band keys derive from `sig`, the exact
+    * verify reads `sh`), so steady-state ingest computes each doc's
+    * signatures ONCE, stores them (e.g. `Load.replaceTable`/append),
+    * and never re-tokenizes the corpus. One narrow pass, no shuffle.
+    */
+  def signatureIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16): DataFrame =
+    shingleSets(df, idCol, textCol, shingleN)
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+
+  /** [[minhashLshIncremental]] against a PREBUILT [[signatureIndex]] —
+    * the steady-state serving path (read the index table, probe, then
+    * append the batch's own signatures for the next ingest).
+    */
+  def minhashLshIncrementalIndexed(
+      index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
       tau: Double = 0.3): DataFrame = {
     val k = bands * rowsPerBand
-    val sc = shingleSets(corpus, idCol, textCol, shingleN).localCheckpoint()
-    val sb = shingleSets(batch, idCol, textCol, shingleN).localCheckpoint()
-    def bandedOf(s: DataFrame): DataFrame = {
-      val sig = s.select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
-      sig.select(col("doc_id"),
+    val sb = signatureIndex(batch, idCol, textCol, shingleN, k).localCheckpoint()
+    def bandedOf(s: DataFrame): DataFrame =
+      s.select(col("doc_id"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
         .select(col("doc_id"), col("band"),
           concat_ws("", (0 until rowsPerBand).map(r =>
             element_at(col("sig"), col("band") * rowsPerBand + r + 1)): _*).as("bsig"))
-    }
-    val cand = bandedOf(sb).as("x").join(bandedOf(sc).as("y"),
+    val cand = bandedOf(sb).as("x").join(bandedOf(index).as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
       .distinct()
     val withSets = cand
       .join(sb.select(col("doc_id").as("doc_new"), col("sh").as("sh_a")), Seq("doc_new"))
-      .join(sc.select(col("doc_id").as("doc_old"), col("sh").as("sh_b")), Seq("doc_old"))
+      .join(index.select(col("doc_id").as("doc_old"), col("sh").as("sh_b")), Seq("doc_old"))
     val (nInter, nUnion) = jaccardParts(col("sh_a"), col("sh_b"))
     withSets
       .select(col("doc_new"), col("doc_old"), nInter.as("n_inter"), nUnion.as("n_union"))
