@@ -100,6 +100,14 @@ object GraftExtensions {
           literalInt("graft_bloom", "bitsLog2", b))
         case other => throw new IllegalArgumentException(s"graft_bloom expects 3 arguments, got ${other.size}")
       }),
+    ("graft_winnow",
+      info("graft_winnow",
+        "graft_winnow(s, k, w) - winnowing rolling-hash fingerprints (distinct per-window minima of k-gram hashes)"),
+      {
+        case Seq(s, k, w) => graft.expressions.RollingWinnow(s,
+          literalInt("graft_winnow", "k", k), literalInt("graft_winnow", "w", w))
+        case other => throw new IllegalArgumentException(s"graft_winnow expects 3 arguments, got ${other.size}")
+      }),
     ("graft_unicode_normalize",
       info("graft_unicode_normalize",
         "graft_unicode_normalize(s, form) - JDK unicode normalization; form in NFC/NFD/NFKC/NFKD (literal)"),

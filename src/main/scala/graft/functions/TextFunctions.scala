@@ -103,6 +103,15 @@ object TextFunctions {
   def stripAccents(c: Column): Column =
     regexp_replace(nfd(c), "\\p{Mn}", "")
 
+  /** Winnowing rolling-hash fingerprints (MOSS): distinct per-window
+    * minima of k-codepoint-gram polynomial hashes — substring-level
+    * copy detection (see expressions.RollingWinnow).
+    */
+  def winnow(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.RollingWinnow(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), k, w))
+
   /** Distinct word n-gram shingles of a token array (1-based
     * `element_at`, same as the oracle's `toks[i]`). Callers must ensure
     * size(toks) >= n (concat-with-null semantics differ across engines).

@@ -252,6 +252,42 @@ object TextQueries {
           CAST(n_union AS BIGINT) AS n_union,
           CAST(n_inter AS DOUBLE) / n_union AS jaccard
         FROM v WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.3
+      """)),
+
+    // ---- q127: winnowing rolling-hash fingerprints (the MOSS
+    //      algorithm) — substring-level copy detection: any shared run
+    //      of ≥ k+w−1 codepoints between two docs shares a fingerprint.
+    //      The hash is a plain (acc·B + codepoint) mod P left fold per
+    //      k-gram ≡ DuckDB's list_reduce (which seeds with the first
+    //      element — identical sequence since 0·B + c = c), windows
+    //      take list_min, output is the distinct value set, so tie
+    //      position is irrelevant and the oracle matches bit-for-bit. ----
+    GraftQuery(
+      "q127_winnow_fingerprints",
+      (s, d) =>
+        Tables.documents(s, d).where(col("doc_id") < 100)
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.winnow(col("text"), k = 5, w = 4))
+              .as("fp")),
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        cp AS (SELECT doc_id,
+            list_transform(generate_series(1, length(text)),
+              i -> unicode(substr(text, i, 1))) AS cs
+          FROM d),
+        hs AS (SELECT doc_id,
+            list_transform(generate_series(1, len(cs) - 4),
+              i -> list_reduce(
+                list_transform(cs[i:i+4], x -> CAST(x AS BIGINT)),
+                (a, b) -> (a * 257 + b) % 1000000007)) AS h
+          FROM cp WHERE len(cs) >= 5),
+        win AS (SELECT doc_id,
+            CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                 ELSE list_transform(generate_series(1, len(h) - 3),
+                   j -> list_min(h[j:j+3])) END AS sel
+          FROM hs)
+        SELECT doc_id, CAST(unnest(list_distinct(sel)) AS BIGINT) AS fp
+        FROM win
       """))
   )
 }
