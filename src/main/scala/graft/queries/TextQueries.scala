@@ -288,6 +288,55 @@ object TextQueries {
           FROM hs)
         SELECT doc_id, CAST(unnest(list_distinct(sel)) AS BIGINT) AS fp
         FROM win
+      """)),
+
+    // ---- q128: substring-copy pairs — docs sharing ≥ 50 winnow
+    //      fingerprints (q127's sketch), i.e. likely shared passages of
+    //      ≥ k+w−1 chars. Pair generation is the q35 group-and-expand
+    //      shape on the fingerprint (one shuffle on fp, i<j pairs
+    //      expanded in-array, count per pair) — never a self-join of
+    //      the corpus. ----
+    GraftQuery(
+      "q128_copy_pairs",
+      (s, d) => {
+        val fps = Tables.documents(s, d).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.winnow(col("text"), k = 5, w = 4))
+              .as("fp"))
+        val grouped = fps.groupBy(col("fp"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .where(size(col("ds")) > 1)
+        val combos = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
+          transform(sequence(i + 1, size(col("ds")) - 1), j =>
+            struct(element_at(col("ds"), i + 1).as("a"), element_at(col("ds"), j + 1).as("b")))))
+        grouped.select(explode(combos).as("p"))
+          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 50)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        cp AS (SELECT doc_id,
+            list_transform(generate_series(1, length(text)),
+              i -> unicode(substr(text, i, 1))) AS cs
+          FROM d),
+        hs AS (SELECT doc_id,
+            list_transform(generate_series(1, len(cs) - 4),
+              i -> list_reduce(
+                list_transform(cs[i:i+4], x -> CAST(x AS BIGINT)),
+                (a, b) -> (a * 257 + b) % 1000000007)) AS h
+          FROM cp WHERE len(cs) >= 5),
+        win AS (SELECT doc_id,
+            CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                 ELSE list_transform(generate_series(1, len(h) - 3),
+                   j -> list_min(h[j:j+3])) END AS sel
+          FROM hs),
+        fps AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM win)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 50
       """))
   )
 }
