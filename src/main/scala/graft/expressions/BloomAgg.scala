@@ -45,6 +45,9 @@ case class BloomAgg(
 
   require(numHashes >= 1 && bitsLog2 >= 6,
     s"need numHashes >= 1 and bitsLog2 >= 6, got $numHashes, $bitsLog2")
+  require(bitsLog2 <= 30,
+    s"bitsLog2 must be <= 30 (2^30 bits = 128 MB filter is already past " +
+      s"any sane budget; larger shifts overflow Int), got $bitsLog2")
   require(numHashes * bitsLog2 <= 60,
     s"numHashes * bitsLog2 must be <= 60 (slices of one 60-bit hash), " +
       s"got $numHashes * $bitsLog2 = ${numHashes * bitsLog2}")

@@ -48,6 +48,9 @@ case class CountMinAgg(
 
   require(depth >= 1 && widthBits >= 1,
     s"depth and widthBits must be positive, got $depth, $widthBits")
+  require(widthBits <= 24,
+    s"widthBits must be <= 24 (2^24 buckets = 128 MB per sketch row is " +
+      s"already past any sane budget; larger shifts overflow Int), got $widthBits")
   require(depth * widthBits <= 60,
     s"depth * widthBits must be <= 60 (slices of one 60-bit hash), " +
       s"got $depth * $widthBits = ${depth * widthBits}")

@@ -18,10 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Cross-engine portability: the hash is the plain left fold
   * `(acc·B + codepoint) mod P` over each gram, recomputed per gram —
   * exactly a SQL `list_reduce`, so DuckDB rebuilds identical
-  * fingerprints (codepoints via `unicode(substr(s,i,1))`). B and P are
-  * sized so the fold never exceeds 2^63 (P ≤ ~2^53 keeps acc·B + c
-  * comfortably in range for B ≤ 1024). Output is a VALUE set, so
-  * in-window tie position is irrelevant.
+  * fingerprints (codepoints via `unicode(substr(s,i,1))`). The
+  * constructor enforces the exact overflow-free bound
+  * (mod−1)·base + maxCodepoint ≤ Long.MaxValue, so the fold can never
+  * wrap (DuckDB would error on wrap — silent divergence is
+  * impossible). Output is a VALUE set, so in-window tie position is
+  * irrelevant.
   *
   * Null input → null; shorter than k codepoints → empty array.
   */
@@ -31,8 +33,12 @@ case class RollingWinnow(
     extends UnaryExpression {
 
   require(k >= 1 && w >= 1, s"k and w must be positive, got $k, $w")
-  require(base > 1 && mod > 1 && mod <= (1L << 53),
-    s"need 1 < base, 1 < mod <= 2^53 (overflow-free fold), got $base, $mod")
+  // direct overflow-free condition on the fold's worst step:
+  // (mod-1)·base + maxCodepoint must stay within Long
+  require(base > 1 && mod > 1 &&
+      (mod - 1) <= (Long.MaxValue - 0x10FFFF) / base,
+    s"(mod-1)*base + maxCodepoint must fit a Long (overflow-free fold), " +
+      s"got base=$base, mod=$mod")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -302,14 +302,17 @@ object Load {
       df.write.mode(SaveMode.Overwrite).jdbc(url, qq(staging), properties)
       val conn = java.sql.DriverManager.getConnection(url, properties)
       try {
-        val meta = conn.getMetaData
-        // Spark's JDBC writer quotes identifiers, so staging was created
-        // case-sensitively; probe the destination the same way.
-        val destExists = {
-          val rs = meta.getTables(null, null, table, null)
-          try rs.next() finally rs.close()
-        }
         val st = conn.createStatement()
+        // Existence probe by zero-row SELECT on the exact quoted name —
+        // NOT metadata.getTables, whose name argument is a LIKE pattern
+        // ('daily_facts' matches 'daily9facts' and would skip the
+        // CREATE) and whose escape string some drivers (Derby) return
+        // empty, making the pattern impossible to neutralize.
+        val destExists =
+          try {
+            val rs = st.executeQuery(s"SELECT 1 FROM ${qq(table)} WHERE 1=0")
+            rs.close(); true
+          } catch { case _: java.sql.SQLException => false }
         try {
           if (!destExists)
             st.executeUpdate(

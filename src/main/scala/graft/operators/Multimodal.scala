@@ -204,6 +204,31 @@ object Multimodal {
     */
   private val MaxDecodedPixels = 64L * 1024 * 1024
 
+  /** Header-checked ImageIO read: dimensions come from the format
+    * READER's header parse (`reader.getWidth/getHeight` — no pixel
+    * decode) and are bounds-checked BEFORE `reader.read` allocates the
+    * raster. Decoding first and checking after would let a few-KB
+    * payload declaring 60000×60000 allocate the executor-killing
+    * buffer the bound exists to prevent. None when no reader claims
+    * the bytes or the claimed dims are hostile.
+    */
+  private def boundedImageRead(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodedPixels) None
+        else Some(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** REAL decoder: JPEG / PNG / GIF via the JDK's `javax.imageio`
     * (module `java.desktop` — no external jars, headless-safe). Pixels
     * are read as packed sRGB ints, so the statistics contract is
@@ -212,16 +237,14 @@ object Multimodal {
     * is codec-deterministic but lossy, so its coverage is spec-level.
     * None when ImageIO recognizes no format (the caller's stub lane).
     */
-  private[operators] def decodeImageIo(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-    if (img == null) return None
-    val w = img.getWidth
-    val h = img.getHeight
-    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodedPixels) return None
-    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-    val px = rgb.iterator.map(v => ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff))
-    Some((w, h, pixelStats(px)))
-  }
+  private[operators] def decodeImageIo(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    boundedImageRead(p).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val px = rgb.iterator.map(v => ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff))
+      (w, h, pixelStats(px))
+    }
 
   /** Batched decode: partitions stream through in `BatchSize` groups —
     * the shape a vectorized codec wants — with no driver collect and no
@@ -232,23 +255,29 @@ object Multimodal {
     * also fall back — the stub is the "undecodable" lane, keeping the
     * pipeline total).
     */
+  /** THE format dispatch — every decode pass (features, resize) routes
+    * through here, so a new codec really is one arm in one place.
+    * Try(...) keeps the promise that malformed real-format payloads
+    * fall back to the stub even if a decoder bug throws — one bad
+    * record must not kill a 100 TB job.
+    */
+  private def decodeReal(format: String, payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    scala.util.Try(format match {
+      case "bmp" => decodeBmp(payload)
+      case "ppm" => decodePpm(payload)
+      case "wav" => decodeWav(payload)
+      case "jpg" | "jpeg" | "png" | "gif" => decodeImageIo(payload)
+      case _ => None
+    }).toOption.flatten
+
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // batch-level setup would init the codec once per batch here
         batch.iterator.map { r =>
-          // Try(...) keeps the promise that malformed real-format payloads
-          // fall back to the stub even if a decoder bug throws — one bad
-          // record must not kill a 100 TB job.
-          val real = scala.util.Try(r.format match {
-            case "bmp" => decodeBmp(r.payload)
-            case "ppm" => decodePpm(r.payload)
-            case "wav" => decodeWav(r.payload)
-            case "jpg" | "jpeg" | "png" | "gif" => decodeImageIo(r.payload)
-            case _ => None
-          }).toOption.flatten
-          val (w, h, f) = real.getOrElse(decodeStub(r.payload))
+          val (w, h, f) = decodeReal(r.format, r.payload)
+            .getOrElse(decodeStub(r.payload))
           MediaFeatures(r.media_id, w, h, r.payload.length, f)
         }
       }
@@ -353,12 +382,9 @@ object Multimodal {
             case _ => None
           }).toOption.flatten
           val (w, h, f) = resized.getOrElse {
-            val (w0, h0, f0) = scala.util.Try(r.format match {
-              case "bmp" => decodeBmp(r.payload)
-              case "ppm" => decodePpm(r.payload)
-              case "wav" => decodeWav(r.payload)
-              case _ => None
-            }).toOption.flatten.getOrElse(decodeStub(r.payload))
+            // fall back to the shared dispatch + dimension-only contract
+            val (w0, h0, f0) = decodeReal(r.format, r.payload)
+              .getOrElse(decodeStub(r.payload))
             val (w1, h1) = scaledDims(w0, h0, maxSide)
             (w1, h1, f0)
           }
@@ -370,11 +396,9 @@ object Multimodal {
 
   /** Decode + box-average downscale + stats (see [[resizeDecoded]]). */
   private def resizePixels(p: Array[Byte], maxSide: Int): Option[(Int, Int, Array[Float])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-    if (img == null) return None
+    val img = boundedImageRead(p).getOrElse(return None)
     val w0 = img.getWidth
     val h0 = img.getHeight
-    if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodedPixels) return None
     val (w, h) = scaledDims(w0, h0, maxSide)
     val rgb = img.getRGB(0, 0, w0, h0, null, 0, w0)
     val px = Iterator.tabulate(w * h) { k =>

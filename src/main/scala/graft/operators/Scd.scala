@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * Fail-loud guards ride INSIDE the plan (assert-filter columns), so a
   * merge is ONE action — no eager validation jobs re-reading the
   * update batch before the caller's own action:
-  *  - two effective changes for one key at the same timestamp have no
-  *    defined order → error at execution;
+  *  - two DIFFERENT attribute values for one key at the same timestamp
+  *    have no defined order → error at execution (exact-duplicate
+  *    rows — at-least-once replays — are deduped first, harmlessly);
   *  - an effective ts EARLIER than the open row's valid_from would
   *    write an inverted validity interval → error at execution.
   *
@@ -52,12 +53,21 @@ object Scd {
     val current = history.where(col("valid_to").isNull)
     val closedHistory = history.where(col("valid_to").isNotNull)
 
-    val u = updates.select((Seq(col(key)) ++ attrs.map(col) :+ col(tsCol).as("_ts")): _*)
+    // Exact duplicate rows (same key, ts, AND attrs — at-least-once
+    // replays) are harmless: dedup them before anything else, so only
+    // genuinely CONFLICTING same-ts updates can trip the tie guard.
+    val u = updates
+      .select((Seq(col(key)) ++ attrs.map(col) :+ col(tsCol).as("_ts")): _*)
+      .dropDuplicates(Seq(key) ++ attrs :+ "_ts")
     val cur = current.select(
       (Seq(col(key)) ++ attrs.map(c => col(c).as(s"_cur_$c")) :+
         col("valid_from").as("_cur_from")): _*)
 
-    val wOrd = Window.partitionBy(col(key)).orderBy(col("_ts"))
+    // Deterministic total order: ts first, attrs as tie-breakers — the
+    // post-dedup rows are distinct, so lag/row_number never depend on
+    // partition-local arrival order even for same-ts conflicts.
+    val wOrd = Window.partitionBy(col(key))
+      .orderBy(col("_ts") +: attrs.map(col): _*)
     val isNew = col("_cur_from").isNull
     // the version each update is compared against: the key's current row
     // for the earliest update, the prior update in ts order after that.
@@ -67,20 +77,27 @@ object Scd {
     def prevAttr(c: String): Column =
       when(col("_rn") === 1, col(s"_cur_$c")).otherwise(lag(col(c), 1).over(wOrd))
     val changed = attrs.map(c => !(col(c) <=> prevAttr(c))).reduce(_ || _)
-    // window expressions materialize as columns (filters can't hold them)
+    // window expressions materialize as columns (filters can't hold
+    // them). _nties counts same-(key, ts) rows BEFORE the no-op filter:
+    // two DISTINCT values at one ts are ambiguous even when one of them
+    // no-ops against the current row — and at least one row of such a
+    // group always survives the filter (two distinct values cannot both
+    // equal their predecessors), so the guard below is guaranteed to
+    // evaluate.
+    val wTie = Window.partitionBy(col(key), col("_ts"))
     val joined = u.join(cur, Seq(key), "left")
       .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_nties", count(lit(1)).over(wTie))
       .withColumn("_keep", (col("_rn") === 1 && isNew) || changed)
 
     // Guards as assert-filters: assert_true returns null (row passes)
     // or throws with the message — evaluated at EXECUTION, keeping the
-    // merge a single action. Only rows that would actually write are
-    // guarded: no-op ties / out-of-order no-ops are harmless.
-    val wTie = Window.partitionBy(col(key), col("_ts"))
+    // merge a single action. Only batches that would actually write
+    // ambiguously are refused: exact-duplicate replays and out-of-order
+    // no-ops are harmless.
     val eff = joined.where(col("_keep"))
-      .withColumn("_nties", count(lit(1)).over(wTie))
       .where(assert_true(col("_nties") === 1,
-        concat(lit("multiple effective updates at one timestamp for key "),
+        concat(lit("conflicting updates at one timestamp for key "),
           col(key).cast("string"),
           lit(" — change order within the batch is undefined"))).isNull)
       .where(assert_true(isNew || col("_ts") >= col("_cur_from"),

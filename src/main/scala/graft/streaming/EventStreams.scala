@@ -150,13 +150,16 @@ object EventStreams {
 
   /** Streaming SCD2 dimension maintenance: each micro-batch of
     * attribute updates merges into a versioned history table
-    * (operators.Scd.merge — change closes the current row, opens a new
-    * version) published atomically per batch via the staged swap. The
-    * same first-batch / swap-debris guards as [[keyedUpsertSink]];
-    * within a batch only the LATEST update per key (by ts, then seq)
-    * merges — Scd.merge refuses ambiguous multi-update batches, and the
-    * stream's contract is "state as of the batch watermark", which is
-    * exactly the latest row.
+    * (operators.Scd.merge) published atomically per batch via the
+    * staged swap. A batch may carry a key's whole change chain — the
+    * merge sequences it by ts and every distinct-ts version lands as
+    * history; same-(key, ts) duplicates keep the highest `seqCol`.
+    * Replay-safe under foreachBatch's at-least-once contract: updates
+    * whose version already exists in the table (same key, valid_from,
+    * attrs) are dropped before the merge, so re-delivery of an
+    * already-published batch is a no-op instead of tripping the
+    * merge's inverted-interval guard. Same first-batch / swap-debris
+    * guards as [[keyedUpsertSink]].
     */
   def scd2Sink(
       updates: DataFrame, keyCol: String, attrCols: Seq[String], tsCol: String,
@@ -190,8 +193,21 @@ object EventStreams {
             chain.select((Seq(col(keyCol)) ++ attrCols.map(col) :+
               col(tsCol).as("valid_from") :+
               lit(null).cast("timestamp").as("valid_to")): _*).limit(0)
+        // Replay guard: a re-delivered batch (publish succeeded, stream
+        // died before the checkpoint commit) arrives against the
+        // ALREADY-merged table — each of its updates matches an existing
+        // version exactly (key, valid_from, attrs) and must be dropped,
+        // or the earlier rows of a chain would read as out-of-order
+        // writes and wedge the stream on the inverted-interval guard.
+        val applied = history.select(
+          (col(keyCol).as("__k") +: col("valid_from").as("__vf") +:
+            attrCols.map(c => col(c).as(s"__a_$c"))): _*)
+        val fresh = chain.join(applied,
+          chain(keyCol) === col("__k") && chain(tsCol) === col("__vf") &&
+            attrCols.map(c => chain(c) <=> col(s"__a_$c")).reduce(_ && _),
+          "left_anti")
         val merged =
-          graft.operators.Scd.merge(history, chain, keyCol, attrCols, tsCol)
+          graft.operators.Scd.merge(history, fresh, keyCol, attrCols, tsCol)
         graft.load.Load.replaceTable(spark, merged, tableDir).get
         ()
       }

@@ -40,9 +40,14 @@ class BloomSpec extends SparkTestBase {
     assert(words(1) == words(7))
   }
 
-  test("numHashes * bitsLog2 must fit one 60-bit hash") {
+  test("numHashes * bitsLog2 must fit one 60-bit hash; bitsLog2 bounded") {
     intercept[IllegalArgumentException] {
       BloomAgg(org.apache.spark.sql.graft.ColumnBridge.expression(lit(1L)), 4, 16)
+    }
+    // bitsLog2 past the cap would wrap the Int word-count shift
+    // (1 << 32 == 1) and index past the buffer — rejected at construction
+    intercept[IllegalArgumentException] {
+      BloomAgg(org.apache.spark.sql.graft.ColumnBridge.expression(lit(1L)), 1, 38)
     }
   }
 }

@@ -50,9 +50,14 @@ class CmsSpec extends SparkTestBase {
     assert(est >= 0)
   }
 
-  test("depth * widthBits must fit one 60-bit hash") {
+  test("depth * widthBits must fit one 60-bit hash; widthBits bounded") {
     intercept[IllegalArgumentException] {
       CountMinAgg(org.apache.spark.sql.graft.ColumnBridge.expression(lit(1L)), 7, 10)
+    }
+    // widthBits past the cap would overflow the Int shift (1 << 31) —
+    // rejected at construction, not a NegativeArraySizeException later
+    intercept[IllegalArgumentException] {
+      CountMinAgg(org.apache.spark.sql.graft.ColumnBridge.expression(lit(1L)), 2, 30)
     }
   }
 }

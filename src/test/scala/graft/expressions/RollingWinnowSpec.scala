@@ -46,6 +46,16 @@ class RollingWinnowSpec extends SparkTestBase {
     assert(got(2L).length == 1)
   }
 
+  test("overflowing base/mod combinations are rejected at construction") {
+    // (mod-1)*base must leave room for a codepoint — a wrap would
+    // silently diverge from the SQL oracle (which errors on overflow)
+    intercept[IllegalArgumentException] {
+      RollingWinnow(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lit("x")),
+        5, 4, base = 1L << 40, mod = 1L << 53)
+    }
+  }
+
   test("same text always fingerprints identically (partitioning-free)") {
     val docs = (1 to 50).map(i => (i.toLong, s"document body number ${i % 5} repeated content"))
     def fps(parts: Int) = docs.toDF("id", "t").repartition(parts)

@@ -253,6 +253,18 @@ class LoadSpec extends SparkTestBase {
     assert(derbyQuery("""SELECT count(*) FROM "jdbc_t_new"""") { rs => rs.next(); rs.getLong(1) } == 1L)
   }
 
+  test("underscores in JDBC table names are not LIKE wildcards for the existence probe") {
+    // 'jdbcXtp' would match the unescaped pattern 'jdbc_tp' and fake
+    // destExists — the load must instead create 'jdbc_tp' and succeed
+    derbyUpdate("""CREATE TABLE "jdbcXtp" ("id" BIGINT)""",
+      """INSERT INTO "jdbcXtp" VALUES (1)""")
+    val r = Load.replaceJdbcTable(spark, Seq((5L, "v")).toDF("id", "name"), derbyUrl, "jdbc_tp")
+    assert(r.map(_.rows) == Success(1L), s"got $r")
+    assert(derbyQuery("""SELECT count(*) FROM "jdbc_tp"""") { rs => rs.next(); rs.getLong(1) } == 1L)
+    // the lookalike table is untouched
+    assert(derbyQuery("""SELECT count(*) FROM "jdbcXtp"""") { rs => rs.next(); rs.getLong(1) } == 1L)
+  }
+
   test("failed JDBC load rolls back — destination keeps its previous contents") {
     // destination with an INcompatible column type: the staged bulk
     // write succeeds, the INSERT…SELECT inside the transaction fails,

@@ -227,10 +227,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).features.length == 8, "stub lane must absorb non-jpeg bytes")
   }
 
-  test("hostile image header claiming huge dims is rejected, not allocated") {
-    // a valid small GIF re-labeled with hostile logical screen size is
-    // hard to craft via ImageIO; instead assert the guard directly on a
-    // real decode path: MaxDecodedPixels bounds the getRGB allocation
+  test("hostile image header claiming huge dims is rejected BEFORE decode allocates") {
+    // hand-crafted PNG: valid signature + IHDR declaring 60000×60000
+    // (3.6e9 px ≈ 14 GB raster) with a correct CRC — the reader parses
+    // the header, the bound rejects it, reader.read is never called
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val ihdrBody = "IHDR".getBytes("US-ASCII") ++ be32(60000) ++ be32(60000) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, std compression
+    val crc = new java.util.zip.CRC32(); crc.update(ihdrBody)
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ ihdrBody ++ be32(crc.getValue.toInt)
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodeImageIo(bomb).isEmpty, "bomb must be rejected")
+    assert((System.nanoTime() - t0) / 1e9 < 5, "rejection must not have decoded anything")
+    // the stub lane absorbs it end-to-end
+    val out = Multimodal.extractFeatures(
+      Seq(MediaRecord(1L, bomb, "png")).toDS()).collect()
+    assert(out.length == 1 && out.head.features.length == 8)
+    // sane images still decode through the header-checked path
     val png = encoded(rgbImage(2, 2)(_ => (1, 2, 3)), "png")
     assert(Multimodal.decodeImageIo(png).nonEmpty)
     assert(Multimodal.decodeImageIo("not an image".getBytes).isEmpty)

@@ -93,9 +93,22 @@ class ScdSpec extends SparkTestBase {
     val bad = Seq((1L, "a", t1), (1L, "b", t1)).toDF("cust", "segment", "ts")
     val merged = Scd.merge(hist0, bad, "cust", Seq("segment")) // lazy: no action yet
     val e = intercept[Exception] { merged.collect() }
-    assert(exceptionChain(e).exists(_.getMessage != null) &&
-      exceptionChain(e).exists(m =>
-        Option(m.getMessage).exists(_.contains("multiple effective updates"))))
+    assert(exceptionChain(e).exists(m =>
+      Option(m.getMessage).exists(_.contains("conflicting updates"))))
+    // the guard must fire regardless of which conflicting value no-ops
+    // against the current row (determinism under any arrival order)
+    val sneaky = Seq((1L, "gold", t1), (1L, "b", t1)).toDF("cust", "segment", "ts")
+    val e2 = intercept[Exception] {
+      Scd.merge(hist0, sneaky, "cust", Seq("segment")).collect()
+    }
+    assert(exceptionChain(e2).exists(m =>
+      Option(m.getMessage).exists(_.contains("conflicting updates"))))
+    // exact-duplicate rows (replays) are NOT conflicts
+    val replay = Seq((1L, "platinum", t1), (1L, "platinum", t1)).toDF("cust", "segment", "ts")
+    val ok = Scd.merge(hist0, replay, "cust", Seq("segment"))
+      .where($"cust" === 1)
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSet
+    assert(ok == Set((1L, "gold", t0, Some(t1)), (1L, "platinum", t1, None)))
   }
 
   test("update ts earlier than the open row's valid_from fails at execution") {
