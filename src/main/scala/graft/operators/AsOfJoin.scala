@@ -23,12 +23,17 @@ object AsOfJoin {
 
   /** Shared union/window scaffolding; direction picks the sort of the
     * side tag (right rows must sort toward the frame), the frame side,
-    * and the picker function.
+    * and the picker function. With a `tolerance`, the matched right
+    * row's TIME is picked through the same window/frame (both pickers
+    * see the same last/first non-null row) and matches farther than
+    * the tolerance null out — pandas `merge_asof(tolerance=...)`
+    * semantics at the same one-shuffle cost.
     */
   private def asOf(
       left: DataFrame, right: DataFrame, on: String,
       leftTime: String, rightTime: String, rightId: String,
-      leftCols: Seq[String], forwardDir: Boolean): DataFrame = {
+      leftCols: Seq[String], forwardDir: Boolean,
+      tolerance: Option[Column] = None): DataFrame = {
     val l = left.select(
       (col(on).as("_key") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).cast(right.schema(rightId).dataType).as("_payload") +:
@@ -40,15 +45,27 @@ object AsOfJoin {
     val sideOrder: Column = if (forwardDir) col("_side").desc else col("_side")
     val base = Window.partitionBy(col("_key"))
       .orderBy(col("_t"), sideOrder, col("_payload"))
-    val (w, pick) =
+    val rightT = when(col("_side") === 0, col("_t"))
+    val (w, pick, pickT) =
       if (forwardDir)
         (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("_payload"), ignoreNulls = true))
+          first(col("_payload"), ignoreNulls = true),
+          first(rightT, ignoreNulls = true))
       else
         (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("_payload"), ignoreNulls = true))
-    l.unionByName(r)
+          last(col("_payload"), ignoreNulls = true),
+          last(rightT, ignoreNulls = true))
+    val raw = l.unionByName(r)
       .withColumn(s"asof_$rightId", pick.over(w))
+    val bounded = tolerance.fold(raw) { tol =>
+      val withinTol =
+        if (forwardDir) col("_mt") <= col("_t") + tol
+        else col("_mt") >= col("_t") - tol
+      raw.withColumn("_mt", pickT.over(w))
+        .withColumn(s"asof_$rightId",
+          when(withinTol, col(s"asof_$rightId")))
+    }
+    bounded
       .where(col("_side") === 1)
       .select((col("_key").as(on) +: col("_t").as(leftTime) +:
         leftCols.map(col) :+ col(s"asof_$rightId")): _*)
@@ -68,6 +85,18 @@ object AsOfJoin {
       leftCols: Seq[String]): DataFrame =
     asOf(left, right, on, leftTime, rightTime, rightId, leftCols, forwardDir = false)
 
+  /** [[backward]] with a match-distance bound: payloads farther back
+    * than `tolerance` (e.g. `expr("INTERVAL 3 DAYS")` for timestamps,
+    * a numeric literal for numeric times) come back null — pandas
+    * `merge_asof(tolerance=...)`.
+    */
+  def backwardWithin(
+      left: DataFrame, right: DataFrame, on: String,
+      leftTime: String, rightTime: String, rightId: String,
+      leftCols: Seq[String], tolerance: Column): DataFrame =
+    asOf(left, right, on, leftTime, rightTime, rightId, leftCols,
+      forwardDir = false, tolerance = Some(tolerance))
+
   /** Forward as-of: for each left row, the EARLIEST right row with
     * rightTime >= leftTime on the same key (null when none follows).
     */
@@ -76,4 +105,12 @@ object AsOfJoin {
       leftTime: String, rightTime: String, rightId: String,
       leftCols: Seq[String]): DataFrame =
     asOf(left, right, on, leftTime, rightTime, rightId, leftCols, forwardDir = true)
+
+  /** [[forward]] with a match-distance bound (see [[backwardWithin]]). */
+  def forwardWithin(
+      left: DataFrame, right: DataFrame, on: String,
+      leftTime: String, rightTime: String, rightId: String,
+      leftCols: Seq[String], tolerance: Column): DataFrame =
+    asOf(left, right, on, leftTime, rightTime, rightId, leftCols,
+      forwardDir = true, tolerance = Some(tolerance))
 }

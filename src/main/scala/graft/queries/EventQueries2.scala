@@ -138,6 +138,46 @@ object EventQueries2 {
           CAST(max(sz) AS BIGINT) AS max_component,
           CAST(sum(sz) AS BIGINT) AS n_nodes
         FROM szs
+      """)),
+
+    // ---- q129: as-of join with TOLERANCE — each purchase's most
+    //      recent prior click by the same user, but only if it happened
+    //      within 2 days (pandas merge_asof(tolerance=...)); staler
+    //      attributions null out. Same one-shuffle union/window plan as
+    //      q46 with the matched TIME picked through the same frame. ----
+    GraftQuery(
+      "q129_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+        val clicks = ev.where(col("event_type") === "click")
+        graft.operators.AsOfJoin.backwardWithin(
+            purchases, clicks, "user_id", "ts", "ts", "event_id",
+            leftCols = Seq("event_id"), tolerance = expr("INTERVAL 2 DAYS"))
+          .select(col("user_id"), col("event_id"),
+            col("asof_event_id").as("recent_click_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, ts, event_id, event_type FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        w AS (
+          SELECT user_id, event_id, event_type, ts,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+              OVER (PARTITION BY user_id
+                    ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                             CASE WHEN event_type = 'click' THEN event_id END
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+            last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id
+                    ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                             CASE WHEN event_type = 'click' THEN event_id END
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+          FROM ev)
+        SELECT user_id, event_id,
+          CASE WHEN last_click_ts >= ts - INTERVAL 2 DAY
+               THEN last_click_id END AS recent_click_id
+        FROM w WHERE event_type = 'purchase'
       """))
   )
 }

@@ -73,4 +73,31 @@ class AsOfJoinSpec extends SparkTestBase {
       .select($"asof_event_id").as[Long].head()
     assert(out == 7L)
   }
+
+  test("tolerance nulls matches farther than the bound, keeps those within it") {
+    import org.apache.spark.sql.functions.expr
+    val l = Seq(
+      (100L, 1L, ts("2024-01-05 10:00:00")), // nearest click 3 days back → too stale
+      (101L, 1L, ts("2024-01-02 11:00:00")), // nearest click 1 hour back → within
+      (102L, 1L, ts("2024-01-02 10:00:00"))  // exact-instant click → distance 0
+    ).toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, 1L, ts("2024-01-02 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backwardWithin(l, r, "user_id", "ts", "ts", "event_id",
+        Seq("event_id"), tolerance = expr("INTERVAL 1 DAY"))
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).isEmpty, "3-day-old match must null out at 1-day tolerance")
+    assert(out(101L).contains(1L) && out(102L).contains(1L))
+    // unbounded backward still matches the stale click (the contrast)
+    val unbounded = AsOfJoin.backward(l, r, "user_id", "ts", "ts", "event_id", Seq("event_id"))
+      .select($"event_id", $"asof_event_id").as[(Long, Option[Long])].collect().toMap
+    assert(unbounded(100L).contains(1L))
+    // forward tolerance mirrors
+    val fwd = AsOfJoin.forwardWithin(
+        Seq((200L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts"),
+        r, "user_id", "ts", "ts", "event_id", Seq("event_id"),
+        tolerance = expr("INTERVAL 12 HOURS"))
+      .select($"asof_event_id").as[Option[Long]].head()
+    assert(fwd.isEmpty, "next-day match must null out at 12h forward tolerance")
+  }
 }
