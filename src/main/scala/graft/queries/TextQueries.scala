@@ -337,6 +337,49 @@ object TextQueries {
         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 50
+      """)),
+
+    // ---- q130: sliding-window document chunking — the context-window
+    //      preprocessing every embedding/RAG pipeline runs: 50-token
+    //      chunks at stride 40 (10-token overlap), windows start every
+    //      `stride` tokens until the start passes n − overlap, the
+    //      final chunk truncating at the document end. Pure
+    //      sequence/slice builtins, one explode — no shuffle until the
+    //      caller aggregates. Chunk content is pinned by md5 of the
+    //      space-joined tokens. ----
+    GraftQuery(
+      "q130_doc_chunks",
+      (s, d) => {
+        val chunkLen = 50; val stride = 40; val overlap = chunkLen - stride
+        val toks = tokens(col("text"))
+        Tables.documents(s, d)
+          .where(tokenCount(col("text")) >= 1)
+          .select(col("doc_id"), toks.as("tk"), size(toks).as("n"))
+          .select(col("doc_id"), col("tk"), col("n"),
+            posexplode(sequence(lit(1), greatest(col("n") - overlap, lit(1)), lit(stride))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            slice(col("tk"), col("col"), lit(chunkLen)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+          FROM documents),
+        st AS (
+          SELECT doc_id, tk, len(tk) AS n,
+            generate_series(1, greatest(len(tk) - 10, 1), 40) AS starts
+          FROM t WHERE len(tk) >= 1),
+        ch AS (
+          SELECT doc_id,
+            CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+            tk[starts[u.i]:least(starts[u.i] + 49, n)] AS chunk
+          FROM st, unnest(generate_series(1, len(starts))) AS u(i))
+        SELECT doc_id, chunk_idx,
+          CAST(len(chunk) AS BIGINT) AS n_tokens,
+          md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM ch
       """))
   )
 }
