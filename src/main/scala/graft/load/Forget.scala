@@ -1,0 +1,52 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.Try
+
+/** Right-to-be-forgotten propagation: drop every row carrying a listed
+  * key from each target table, atomically per table, with an audit
+  * report — the GDPR/CCPA deletion pass a production corpus must run
+  * and prove.
+  *
+  * Scale shape: the key list is usually tiny next to the tables
+  * (thousands of subjects vs billions of rows) — it rides a broadcast
+  * LEFT ANTI join, so each table is rewritten in one pass with no
+  * shuffle of the big side. Each rewrite goes through
+  * [[Load.replaceTable]]'s staged swap: a mid-rewrite failure leaves
+  * that table's previous contents intact. Tables process sequentially
+  * and the pass stops at the first failure; deletion is idempotent, so
+  * rerunning after a partial pass converges (already-clean tables
+  * report dropped = 0).
+  */
+final case class ForgetReport(
+    destination: String, keyColumn: String,
+    rowsBefore: Long, rowsAfter: Long) {
+  def dropped: Long = rowsBefore - rowsAfter
+}
+
+object Forget {
+
+  /** @param keys     one-column frame of subject keys to erase
+    * @param targets  (table directory, key column) pairs to purge
+    * @param format   DataSource format of the targets
+    * @return reports in target order; Failure at the first table whose
+    *         rewrite fails (earlier tables are already purged — rerun
+    *         to converge)
+    */
+  def forgetKeys(
+      spark: SparkSession, keys: DataFrame,
+      targets: Seq[(String, String)], format: String = "parquet"): Try[Seq[ForgetReport]] = Try {
+    require(keys.columns.length == 1,
+      s"keys frame must have exactly one column, got ${keys.columns.mkString(", ")}")
+    val keyList = broadcast(keys.select(col(keys.columns.head).as("__forget_key")).distinct())
+    targets.map { case (dir, keyCol) =>
+      val table = spark.read.format(format).load(dir)
+      val before = table.count()
+      val kept = table.join(keyList, table(keyCol) === col("__forget_key"), "left_anti")
+      val report = Load.replaceTable(spark, kept, dir, format).get
+      ForgetReport(dir, keyCol, before, report.rows)
+    }
+  }
+}
