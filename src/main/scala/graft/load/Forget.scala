@@ -38,15 +38,47 @@ object Forget {
   def forgetKeys(
       spark: SparkSession, keys: DataFrame,
       targets: Seq[(String, String)], format: String = "parquet"): Try[Seq[ForgetReport]] = Try {
-    require(keys.columns.length == 1,
-      s"keys frame must have exactly one column, got ${keys.columns.mkString(", ")}")
-    val keyList = broadcast(keys.select(col(keys.columns.head).as("__forget_key")).distinct())
     targets.map { case (dir, keyCol) =>
       val table = spark.read.format(format).load(dir)
       val before = table.count()
-      val kept = table.join(keyList, table(keyCol) === col("__forget_key"), "left_anti")
+      val kept = table.join(keyBroadcast(keys), table(keyCol) === col("__forget_key"), "left_anti")
       val report = Load.replaceTable(spark, kept, dir, format).get
       ForgetReport(dir, keyCol, before, report.rows)
     }
+  }
+
+  /** Partition-scoped deletion — the form that survives 100 TB: a
+    * whole-table rewrite to erase a few thousand subjects is a
+    * non-starter when the table is 3 000 date partitions. One scan
+    * finds the partitions that actually CONTAIN a listed key (cheap:
+    * the key join prunes map-side against the broadcast list and only
+    * partition values come back); only those partitions are rewritten,
+    * through [[Load.replacePartitions]]' per-partition backup/rollback.
+    * Untouched partitions are never read again, let alone rewritten.
+    */
+  def forgetKeysPartitioned(
+      spark: SparkSession, keys: DataFrame,
+      dir: String, keyCol: String, partitionCol: String,
+      format: String = "parquet"): Try[ForgetReport] = Try {
+    val keyList = keyBroadcast(keys)
+    val table = spark.read.format(format).load(dir)
+    val before = table.count()
+    val affected = table.join(keyList, table(keyCol) === col("__forget_key"), "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) ForgetReport(dir, keyCol, before, before)
+    else {
+      val kept = table
+        .where(col(partitionCol).isin(affected: _*))
+        .join(keyList, table(keyCol) === col("__forget_key"), "left_anti")
+      Load.replacePartitions(spark, kept, dir, partitionCol, format).get
+      val after = spark.read.format(format).load(dir).count()
+      ForgetReport(dir, keyCol, before, after)
+    }
+  }
+
+  private def keyBroadcast(keys: DataFrame): DataFrame = {
+    require(keys.columns.length == 1,
+      s"keys frame must have exactly one column, got ${keys.columns.mkString(", ")}")
+    broadcast(keys.select(col(keys.columns.head).as("__forget_key")).distinct())
   }
 }

@@ -47,6 +47,33 @@ class ForgetSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/t1").count() == 1)
   }
 
+  test("partition-scoped deletion rewrites ONLY partitions containing hits") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_p").toString
+    val dir = s"$root/facts"
+    Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+        (3L, "2024-01-02", "c"), (4L, "2024-01-03", "d"))
+      .toDF("user_id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    val untouched = new java.io.File(s"$dir/day=2024-01-03")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    val r = Forget.forgetKeysPartitioned(spark, Seq(1L).toDF("k"),
+      dir, "user_id", "day")
+    assert(r.isSuccess, s"got $r")
+    assert(r.get.rowsBefore == 4 && r.get.rowsAfter == 3 && r.get.dropped == 1)
+    assert(spark.read.parquet(dir).select("user_id")
+      .as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // the hit-free partition's files were not rewritten
+    val after = new java.io.File(s"$dir/day=2024-01-03")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == untouched, "partition without hits must keep its exact files")
+
+    // no hits anywhere: report says zero dropped, nothing rewritten
+    val r2 = Forget.forgetKeysPartitioned(spark, Seq(99L).toDF("k"),
+      dir, "user_id", "day")
+    assert(r2.isSuccess && r2.get.dropped == 0)
+  }
+
   test("multi-column key frame is rejected loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_forget3").toString
     Seq((1L, "a")).toDF("user_id", "v").write.parquet(s"$root/t")
