@@ -96,10 +96,20 @@ object Load {
     * mid-publish crash can leave some partitions new, some old, none
     * recoverable. The staged swap here keeps the old bytes until every
     * partition is published.)
+    *
+    * `dropPartitions`: destination partition DIRECTORY NAMES
+    * (`col=value`) to REMOVE even though the staged delta has no rows
+    * for them — an empty partition produces no staging directory, so
+    * "this partition is now empty" is inexpressible through `df` alone
+    * (a deletion pass that empties a whole partition needs this or the
+    * old files silently survive). Drops participate in the same
+    * backup/rollback: the old bytes move to the backup root and are
+    * restored on any failure.
     */
   def replacePartitions(
       spark: SparkSession, df: DataFrame, destination: String,
-      partitionCol: String, format: String = "parquet"): Try[LoadReport] = {
+      partitionCol: String, format: String = "parquet",
+      dropPartitions: Seq[String] = Nil): Try[LoadReport] = {
     val result = Try {
       val dest = new Path(destination)
       val staging = new Path(destination + "__staging")
@@ -130,14 +140,21 @@ object Load {
         reader.option("header", "true").option("multiLine", "true").option("escape", "\"")
       else reader)
         .load(staging.toString).count()
-      val parts = fs.listStatus(staging)
+      val staged = fs.listStatus(staging)
         .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith(partitionCol + "="))
+      require(dropPartitions.forall(_.startsWith(partitionCol + "=")),
+        s"dropPartitions entries must be '$partitionCol=<value>' directory names, " +
+          s"got ${dropPartitions.filterNot(_.startsWith(partitionCol + "=")).mkString(", ")}")
+      // a partition both staged and dropped would be contradictory;
+      // staged content wins (the drop list is for EMPTIED partitions)
+      val drops = dropPartitions.filterNot(staged.toSet)
+      val parts = staged ++ drops
       fs.mkdirs(backupRoot)
       if (!fs.exists(dest)) fs.mkdirs(dest)
       val swapped = scala.collection.mutable.ListBuffer[String]()
       try {
-        parts.foreach { p =>
+        staged.foreach { p =>
           val d = new Path(dest, p)
           val b = new Path(backupRoot, p)
           val hadPrev = fs.exists(d)
@@ -146,6 +163,14 @@ object Load {
           if (!fs.rename(new Path(staging, p), d))
             throw new java.io.IOException(s"publish rename of partition $p failed")
           swapped += p
+        }
+        drops.foreach { p =>
+          val d = new Path(dest, p)
+          if (fs.exists(d)) {
+            if (!fs.rename(d, new Path(backupRoot, p)))
+              throw new java.io.IOException(s"drop rename of partition $p failed")
+            swapped += p
+          }
         }
       } catch {
         case e: Throwable =>

@@ -45,7 +45,10 @@ object AsOfJoin {
     val sideOrder: Column = if (forwardDir) col("_side").desc else col("_side")
     val base = Window.partitionBy(col("_key"))
       .orderBy(col("_t"), sideOrder, col("_payload"))
-    val rightT = when(col("_side") === 0, col("_t"))
+    // the payload picker skips null-payload right rows — the time
+    // picker must skip the SAME rows, or a nearer null-id right row's
+    // timestamp would validate a farther payload against the tolerance
+    val rightT = when(col("_side") === 0 && col("_payload").isNotNull, col("_t"))
     val (w, pick, pickT) =
       if (forwardDir)
         (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),

@@ -74,6 +74,46 @@ class ForgetSpec extends SparkTestBase {
     assert(r2.isSuccess && r2.get.dropped == 0)
   }
 
+  test("a partition whose rows are ALL forgotten is removed, not silently kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_e").toString
+    val dir = s"$root/facts"
+    Seq((1L, "2024-01-01", "a"), (1L, "2024-01-02", "b"), (2L, "2024-01-02", "c"))
+      .toDF("user_id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    // day=2024-01-01 contains ONLY user 1 — deleting user 1 empties it
+    val r = Forget.forgetKeysPartitioned(spark, Seq(1L).toDF("k"), dir, "user_id", "day")
+    assert(r.isSuccess, s"got $r")
+    assert(r.get.rowsBefore == 3 && r.get.rowsAfter == 1 && r.get.dropped == 2)
+    assert(spark.read.parquet(dir).select("user_id").as[Long].collect().toSeq == Seq(2L))
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists(),
+      "emptied partition's old files must be gone — silent survival is the GDPR failure mode")
+  }
+
+  test("null partition values are purged null-safely") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_n").toString
+    val dir = s"$root/facts"
+    Seq((1L, Some("2024-01-01"), "a"), (2L, Option.empty[String], "b"),
+        (3L, Option.empty[String], "c"))
+      .toDF("user_id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    val r = Forget.forgetKeysPartitioned(spark, Seq(2L).toDF("k"), dir, "user_id", "day")
+    assert(r.isSuccess, s"got $r")
+    assert(r.get.dropped == 1, s"null-partition row must be dropped: ${r.get}")
+    assert(spark.read.parquet(dir).select("user_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("csv targets read with the writer's own header/quoting options") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_c").toString
+    val dir = s"$root/t"
+    assert(Load.replaceTable(spark,
+      Seq((1L, "keep"), (2L, "drop")).toDF("user_id", "v"), dir, format = "csv").isSuccess)
+    val r = Forget.forgetKeys(spark, Seq(2L).toDF("k"),
+      Seq((dir, "user_id")), format = "csv")
+    assert(r.isSuccess, s"got $r")
+    assert(r.get.head.dropped == 1)
+  }
+
   test("multi-column key frame is rejected loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_forget3").toString
     Seq((1L, "a")).toDF("user_id", "v").write.parquet(s"$root/t")

@@ -100,4 +100,21 @@ class AsOfJoinSpec extends SparkTestBase {
       .select($"asof_event_id").as[Option[Long]].head()
     assert(fwd.isEmpty, "next-day match must null out at 12h forward tolerance")
   }
+
+  test("tolerance measures the distance of the PICKED payload, not a nearer null-id row") {
+    import org.apache.spark.sql.functions.expr
+    // right side: a null-payload row 1h before the probe and the real
+    // payload 4 days before — the picked payload (5) is out of
+    // tolerance even though the null row's time is within it
+    val l = Seq((100L, 1L, ts("2024-01-05 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (Option.empty[Long], 1L, ts("2024-01-05 09:00:00")),
+      (Some(5L), 1L, ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backwardWithin(l, r, "user_id", "ts", "ts", "event_id",
+        Seq("event_id"), tolerance = expr("INTERVAL 1 DAY"))
+      .select($"asof_event_id").as[Option[Long]].head()
+    assert(out.isEmpty,
+      "stale payload must null out even with a nearer null-payload right row")
+  }
 }
