@@ -10,7 +10,7 @@ object Registry {
       queries.Relational5.queries ++ queries.Relational6.queries ++
       queries.TpchQueries.queries ++
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
-      queries.TextQueries3.queries ++
+      queries.TextQueries3.queries ++ queries.TextQueries4.queries ++
       queries.VectorQueries.queries ++ queries.VectorQueries2.queries ++
       queries.EventQueries.queries ++
       queries.EventQueries2.queries ++
