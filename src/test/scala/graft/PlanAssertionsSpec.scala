@@ -109,4 +109,27 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("Join"),
       "set sizes must ride the explode; a join-back means the staging regression returned")
   }
+
+  test("q132: posting-list search is joinless and prunes to doc_id+text") {
+    val p = plan("q132_inverted_index")
+    assert(!p.contains("Join"),
+      "conjunctive match must be the HAVING aggregation, not a self-join per term")
+    assert(!p.contains("n_chars"),
+      "scan must prune to the referenced columns")
+  }
+
+  test("q133: per-lang median/MAD tables broadcast back; no sort-merge join") {
+    val p = plan("q133_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "tiny per-lang stats must broadcast against the doc scan")
+    assert(!p.contains("SortMergeJoin"),
+      "the doc side must not shuffle for the stats joins")
+  }
+
+  test("q131: span dedup is one window over the span hash, no join") {
+    val p = plan("q131_span_dedup")
+    assert(p.contains("Window"), "survivor marking must be a window, not a join-back")
+    assert(!p.contains("Join"),
+      "reassembly must ride the window + groupBy; a join doubles the span shuffle")
+  }
 }
