@@ -244,6 +244,49 @@ object TextQueries4 {
           CAST(sum(CASE WHEN cnt < 3 THEN cnt ELSE 0 END) AS BIGINT) AS risky_docs,
           CAST(min(cnt) AS BIGINT) AS min_group
         FROM g GROUP BY lang
+      """)),
+
+    // ---- q136: reproducible corpus shuffle-sharding — the "global
+    //      shuffle" step of training-data prep, made deterministic so
+    //      two runs (or two engines) produce byte-identical shards:
+    //      shard = 60 bits of md5(seed, doc_id) mod 8, order within a
+    //      shard = the same key. Per-shard md5 over doc_ids IN ORDER
+    //      proves the full permutation, not just membership. Scale
+    //      shape: pure map for assignment (no global sort), one
+    //      groupBy(shard) whose per-shard window is balanced by
+    //      construction (md5 is uniform). ----
+    GraftQuery(
+      "q136_shuffle_shards",
+      (s, d) => {
+        val k = md5(concat(lit("seed42:"), col("doc_id").cast("string")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), k.as("k"))
+          .withColumn("shard",
+            conv(substring(col("k"), 1, 15), 16, 10).cast("long") % 8)
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            md5(concat_ws(",", transform(
+              array_sort(collect_list(struct(col("k"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")))).as("order_md5"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+            md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_chars, k,
+            CAST(concat('0x', substr(k, 1, 15)) AS BIGINT) % 8 AS shard
+          FROM t)
+        SELECT shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          md5(array_to_string(
+            array_agg(CAST(doc_id AS VARCHAR) ORDER BY k, doc_id), ','))
+            AS order_md5
+        FROM s GROUP BY shard
       """))
   )
 }
