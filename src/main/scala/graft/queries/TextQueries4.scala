@@ -287,6 +287,73 @@ object TextQueries4 {
             array_agg(CAST(doc_id AS VARCHAR) ORDER BY k, doc_id), ','))
             AS order_md5
         FROM s GROUP BY shard
+      """)),
+
+    // ---- q137: cross-source contamination matrix — how much content
+    //      each pair of corpus sources SHARES, measured in winnow
+    //      fingerprints (q127's sketch): the train/test-leakage audit
+    //      run before mixing sources into a training corpus. Pair
+    //      generation is the q128 group-and-expand shape on the
+    //      fingerprint — per-fp source sets are bounded by the source
+    //      count, never a corpus self-join. Overlap is reported in ppm
+    //      of the SMALLER side's fingerprint set (integer div — exact
+    //      both engines). ----
+    GraftQuery(
+      "q137_source_overlap",
+      (s, d) => {
+        val fps = Tables.documents(s, d).where(col("doc_id") < 200)
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.winnow(col("text"), k = 5, w = 4))
+              .as("fp"))
+          .distinct()
+        val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fps"))
+        val grouped = fps.groupBy(col("fp"))
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .where(size(col("ss")) > 1)
+        val combos = flatten(transform(sequence(lit(0), size(col("ss")) - 2), i =>
+          transform(sequence(i + 1, size(col("ss")) - 1), j =>
+            struct(element_at(col("ss"), i + 1).as("a"),
+              element_at(col("ss"), j + 1).as("b")))))
+        grouped.select(explode(combos).as("p"))
+          .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("n_fps").as("fps_a"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("n_fps").as("fps_b"))), Seq("src_b"))
+          .withColumn("overlap_ppm",
+            expr("n_shared * 1000000L div least(fps_a, fps_b)"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 200),
+        cp AS (SELECT doc_id, source,
+            list_transform(generate_series(1, length(text)),
+              i -> unicode(substr(text, i, 1))) AS cs
+          FROM d),
+        hs AS (SELECT doc_id, source,
+            list_transform(generate_series(1, len(cs) - 4),
+              i -> list_reduce(
+                list_transform(cs[i:i+4], x -> CAST(x AS BIGINT)),
+                (a, b) -> (a * 257 + b) % 1000000007)) AS h
+          FROM cp WHERE len(cs) >= 5),
+        win AS (SELECT doc_id, source,
+            CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                 ELSE list_transform(generate_series(1, len(h) - 3),
+                   j -> list_min(h[j:j+3])) END AS sel
+          FROM hs),
+        fps0 AS (SELECT source, unnest(list_distinct(sel)) AS fp FROM win),
+        fps AS (SELECT DISTINCT source, fp FROM fps0),
+        sizes AS (SELECT source, count(*) AS n_fps FROM fps GROUP BY source),
+        shared AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+          CAST(sa.n_fps AS BIGINT) AS fps_a,
+          CAST(sb.n_fps AS BIGINT) AS fps_b,
+          CAST(n_shared * 1000000 // least(sa.n_fps, sb.n_fps) AS BIGINT)
+            AS overlap_ppm
+        FROM shared
+        JOIN sizes sa ON src_a = sa.source
+        JOIN sizes sb ON src_b = sb.source
       """))
   )
 }
