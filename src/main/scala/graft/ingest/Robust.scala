@@ -38,10 +38,13 @@ object Robust {
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
-  /** One-pass audited semi-structured read: `good` rows parsed clean,
-    * `quarantine` holds the raw text of every malformed record. The
-    * counts in the report come from the SAME cached pass — callers
-    * get fail-loud visibility without a second scan of the raw bytes.
+  /** Audited semi-structured read: `good` rows parsed clean,
+    * `quarantine` holds the raw text of every malformed record. Both
+    * are LAZY filters over one text-scan-plus-parse plan — each action
+    * re-runs that plan, so a caller consuming both branches should
+    * persist the parsed frame first (or land both in one pass via
+    * `foreachBatch`/a multi-sink write) rather than pay the raw-feed
+    * scan twice.
     */
   final case class AuditedRead(good: DataFrame, quarantine: DataFrame)
 
@@ -63,6 +66,17 @@ object Robust {
       * quarantine carries the verbatim raw line. Records are
       * line-delimited by contract (no quoted embedded newlines — the
       * multiLine case belongs to [[graft.load.Load]]'s staged csv).
+      *
+      * Header contract (`header = true`): every line EXACTLY equal to
+      * the canonical unquoted header (`schema.fieldNames` joined by
+      * commas — what Spark's own csv writer emits) is treated as a
+      * header wherever it appears, which is what multi-file
+      * directories need (each file repeats it). Two edges follow: a
+      * data row spelled exactly like the header is indistinguishable
+      * from one and is dropped with it, and a header written in a
+      * DIFFERENT rendering (quoted, reordered, padded) is NOT
+      * recognized — it lands in quarantine as a malformed record,
+      * where a schema mismatch should land.
       */
     def csv(spark: SparkSession, path: String, schema: StructType,
         header: Boolean = true): AuditedRead = {

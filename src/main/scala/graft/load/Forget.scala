@@ -56,23 +56,36 @@ object Forget {
     * partition values come back); only those partitions are rewritten,
     * through [[Load.replacePartitions]]' per-partition backup/rollback.
     * Affected partitions whose rows are ALL forgotten produce no
-    * staged output, so they are passed as explicit drops — without
-    * that the old files would silently survive (the GDPR failure
-    * mode). A null partition value is matched null-safely and maps to
-    * Hive's default-partition directory. Untouched partitions are
-    * never read again, let alone rewritten; the audit row count is
-    * derived without a post-rewrite full-table scan.
+    * staged output, so every affected partition is ALSO passed as an
+    * explicit drop — staged content wins for the rewritten ones, and
+    * the emptied ones have their old files removed instead of silently
+    * surviving (the GDPR failure mode).
+    *
+    * The table is read with partition-type INFERENCE DISABLED: the
+    * partition column comes back as the raw directory string, so the
+    * membership filter, the staged rewrite, and the drop names all
+    * live in one value domain. With inference on, a value like `01`
+    * reads back as the int `1` and a timestamp re-renders with a
+    * trailing `.0` — the derived drop name then matches no directory
+    * on disk and the old files survive while the audit claims they
+    * were deleted. (Names must use Spark's own path escaping — written
+    * by Spark, they round-trip exactly.) A null partition value is
+    * matched null-safely and maps to Hive's default-partition
+    * directory. Untouched partitions are never read again, let alone
+    * rewritten; the audit row count is derived without a post-rewrite
+    * full-table scan.
     */
   def forgetKeysPartitioned(
       spark: SparkSession, keys: DataFrame,
       dir: String, keyCol: String, partitionCol: String,
       format: String = "parquet"): Try[ForgetReport] = Try {
     val keyList = keyBroadcast(keys)
-    val table = read(spark, dir, format)
+    val table = readRawPartitions(spark, dir, format)
     val before = table.count()
     val affected = table
       .join(keyList, table(keyCol) === col("__forget_key"), "left_semi")
-      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+      .select(col(partitionCol)).distinct().collect()
+      .map(r => Option(r.getString(0)))
     if (affected.isEmpty) ForgetReport(dir, keyCol, before, before)
     else {
       val inAffected = partitionPredicate(col(partitionCol), affected)
@@ -80,12 +93,7 @@ object Forget {
       val kept = table
         .where(inAffected)
         .join(keyList, table(keyCol) === col("__forget_key"), "left_anti")
-      // partitions the deletion EMPTIES leave nothing in staging — name
-      // them explicitly so their old files are removed, not orphaned
-      val keptParts = kept.select(col(partitionCol)).distinct().collect()
-        .map(_.get(0)).map(partitionDirName(partitionCol, _)).toSet
-      val drops = affected.map(partitionDirName(partitionCol, _))
-        .filterNot(keptParts).toSeq
+      val drops = affected.map(partitionDirName(partitionCol, _)).toSeq
       val report = Load.replacePartitions(
         spark, kept, dir, partitionCol, format, dropPartitions = drops).get
       ForgetReport(dir, keyCol, before, before - affectedBefore + report.rows)
@@ -95,33 +103,41 @@ object Forget {
   /** Null-safe membership: `isin(null)` never matches, so a null
     * partition needs its own disjunct.
     */
-  private def partitionPredicate(c: Column, values: Array[Any]): Column = {
-    val (nulls, nonNull) = values.partition(_ == null)
+  private def partitionPredicate(c: Column, values: Array[Option[String]]): Column = {
+    val nonNull = values.flatten
     val base = if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
-    if (nulls.isEmpty) base else base || c.isNull
+    if (values.contains(None)) base || c.isNull else base
   }
 
-  /** Destination directory name for a partition value, as Spark's
-    * writer lays it out (escaped; null → Hive's default partition).
+  /** Destination directory name for a RAW partition-value string, as
+    * Spark's writer lays it out (escaped; null → Hive's default
+    * partition). Only sound because [[readRawPartitions]] yields the
+    * unescaped directory string itself — no type round-trip.
     */
-  private def partitionDirName(partitionCol: String, value: Any): String = {
-    val v =
-      if (value == null) "__HIVE_DEFAULT_PARTITION__"
-      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(value.toString)
+  private def partitionDirName(partitionCol: String, value: Option[String]): String = {
+    val v = value.fold("__HIVE_DEFAULT_PARTITION__")(
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
     s"$partitionCol=$v"
   }
 
-  /** Same read options as Load's own count-back readers — a csv target
-    * written by [[Load.replaceTable]] has headers and quoted newlines.
+  /** Read with partition values kept as raw directory strings. The
+    * inference conf is read at DataFrame CREATION (load() resolves
+    * partitions eagerly), so restoring it right after is safe.
     */
-  private def read(spark: SparkSession, dir: String, format: String): DataFrame = {
-    val r = spark.read.format(format)
-    (if (format == "csv")
-      r.option("header", "true").option("multiLine", "true")
-        .option("escape", "\"").option("inferSchema", "true")
-    else r).load(dir)
+  private def readRawPartitions(spark: SparkSession, dir: String, format: String): DataFrame = {
+    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try read(spark, dir, format)
+    finally spark.conf.set(conf, prev)
   }
+
+  /** Same read options as Load's own count-back readers — a csv target
+    * written by [[Load.replaceTable]] has headers and quoted newlines
+    * (schema unknown here, so csv pays an inference pass).
+    */
+  private def read(spark: SparkSession, dir: String, format: String): DataFrame =
+    Load.reader(spark, format, None).load(dir)
 
   private def keyBroadcast(keys: DataFrame): DataFrame = {
     require(keys.columns.length == 1,

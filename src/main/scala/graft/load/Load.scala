@@ -49,10 +49,7 @@ object Load {
       // Count-back with the WRITER's schema: inference would fail on an
       // empty json stage (no rows to infer from) and default csv parsing
       // (multiLine=false) miscounts values containing embedded newlines.
-      val reader = spark.read.format(format).schema(df.schema)
-      val rows = (if (format == "csv")
-        reader.option("header", "true").option("multiLine", "true").option("escape", "\"")
-      else reader)
+      val rows = reader(spark, format, Some(df.schema))
         .load(staging.toString).count()
       // Swap via backup: the previous table is MOVED aside (not deleted)
       // so a failed staging→dest rename can roll it back — deleting
@@ -129,23 +126,22 @@ object Load {
               "failed and was not fully rolled back; recover manually before loading")
         fs.delete(backupRoot, true)
       }
+      // argument-shape check BEFORE the staging write — a malformed
+      // drop list must fail in milliseconds, not after the delta lands
+      require(dropPartitions.forall(_.startsWith(partitionCol + "=")),
+        s"dropPartitions entries must be '$partitionCol=<value>' directory names, " +
+          s"got ${dropPartitions.filterNot(_.startsWith(partitionCol + "=")).mkString(", ")}")
       val writer = df.write.mode(SaveMode.Overwrite).format(format)
         .partitionBy(partitionCol)
       (if (format == "csv") writer.option("header", "true") else writer)
         .save(staging.toString)
       // count back what was STAGED (the writer's schema — the partition
       // column comes back from the directory names)
-      val reader = spark.read.format(format).schema(df.schema)
-      val rows = (if (format == "csv")
-        reader.option("header", "true").option("multiLine", "true").option("escape", "\"")
-      else reader)
+      val rows = reader(spark, format, Some(df.schema))
         .load(staging.toString).count()
       val staged = fs.listStatus(staging)
         .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith(partitionCol + "="))
-      require(dropPartitions.forall(_.startsWith(partitionCol + "=")),
-        s"dropPartitions entries must be '$partitionCol=<value>' directory names, " +
-          s"got ${dropPartitions.filterNot(_.startsWith(partitionCol + "=")).mkString(", ")}")
       // a partition both staged and dropped would be contradictory;
       // staged content wins (the drop list is for EMPTIED partitions)
       val drops = dropPartitions.filterNot(staged.toSet)
@@ -388,6 +384,25 @@ object Load {
     val parts = name.split('.')
     require(parts.nonEmpty && parts.forall(_.nonEmpty), s"malformed table name: $name")
     parts.map(p => s"`$p`").mkString(".")
+  }
+
+  /** The ONE source of truth for reading back what this module's
+    * writers produce. csv needs the writer-matching option set (header
+    * row, quoted embedded newlines, `"` escape) — duplicating it at
+    * call sites is how a writer-option change silently miscounts a
+    * count-back. With no schema, csv additionally infers types (an
+    * extra pass — callers that know the schema must pass it).
+    */
+  private[load] def reader(
+      spark: SparkSession, format: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.DataFrameReader = {
+    val base = spark.read.format(format)
+    val typed = schema.fold(base)(base.schema)
+    if (format == "csv") {
+      val r = typed.option("header", "true")
+        .option("multiLine", "true").option("escape", "\"")
+      if (schema.isEmpty) r.option("inferSchema", "true") else r
+    } else typed
   }
 
   private def report(result: Try[LoadReport], destination: String): Try[LoadReport] = {

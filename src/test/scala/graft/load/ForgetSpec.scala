@@ -89,6 +89,25 @@ class ForgetSpec extends SparkTestBase {
       "emptied partition's old files must be gone — silent survival is the GDPR failure mode")
   }
 
+  test("partition names survive values that type inference would re-render") {
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_t").toString
+    val dir = s"$root/facts"
+    // '01' would read back as int 1 under partition-type inference —
+    // the derived drop name 'day=1' then matches no directory and the
+    // emptied partition's files silently survive
+    Seq((1L, "01", "a"), (2L, "02", "b"))
+      .toDF("user_id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    assert(new java.io.File(s"$dir/day=01").exists(), "fixture wrote zero-padded dir")
+    val r = Forget.forgetKeysPartitioned(spark, Seq(1L).toDF("k"), dir, "user_id", "day")
+    assert(r.isSuccess, s"got $r")
+    assert(r.get.dropped == 1)
+    assert(!new java.io.File(s"$dir/day=01").exists(),
+      "emptied zero-padded partition must be dropped by its on-disk name")
+    assert(new java.io.File(s"$dir/day=02").exists(), "untouched partition intact")
+    assert(spark.read.parquet(dir).select("user_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("null partition values are purged null-safely") {
     val root = java.nio.file.Files.createTempDirectory("graft_forget_n").toString
     val dir = s"$root/facts"
