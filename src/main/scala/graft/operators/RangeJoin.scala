@@ -44,4 +44,39 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-interval OVERLAP join: inner-join `left` to `right`
+    * where `[left.lLo, left.lHi]` and `[right.rLo, right.rHi]`
+    * intersect (closed ends — touching intervals match). Same binning
+    * idea as [[pointInInterval]], with the exactly-once condition an
+    * interval pair needs: both sides explode to the bins they cover,
+    * candidates meet on the bin equi-key, and a qualifying pair is
+    * emitted ONLY in the bin where the overlap STARTS
+    * (`floor(max(lLo, rLo) / w)`) — every overlapping pair shares that
+    * bin by construction, so no dedup pass and no duplicate output.
+    *
+    * Cost: each side's shuffled rows multiply by `span/binWidth + 1`;
+    * candidates per bin are `left_in_bin × right_in_bin`. Pick
+    * `binWidth` near the typical interval length — much smaller
+    * explodes long intervals into many bins, much larger piles
+    * unrelated intervals into the same candidate set. Intervals must
+    * satisfy lo ≤ hi; both axes are long-valued (epoch seconds/micros,
+    * days, keys).
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "inputs must not carry a '_bin' column (internal working name)")
+    val l = left.withColumn("_bin",
+      explode(sequence(floor(col(lLo) / binWidth), floor(col(lHi) / binWidth))))
+    val r = right.withColumn("_bin",
+      explode(sequence(floor(col(rLo) / binWidth), floor(col(rHi) / binWidth))))
+    l.join(r, Seq("_bin"))
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("_bin") === floor(greatest(col(lLo), col(rLo)) / binWidth))
+      .drop("_bin")
+  }
 }

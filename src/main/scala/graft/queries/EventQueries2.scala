@@ -178,6 +178,72 @@ object EventQueries2 {
           CASE WHEN last_click_ts >= ts - INTERVAL 2 DAY
                THEN last_click_id END AS recent_click_id
         FROM w WHERE event_type = 'purchase'
+      """)),
+
+    // ---- q138: concurrent sessions — which user pairs were active AT
+    //      THE SAME TIME, and for how long. Sessions (30-min gap) become
+    //      [first, last] epoch-micro intervals; the pair search is
+    //      operators.RangeJoin.intervalOverlap — both sides explode to
+    //      1-hour bins, meet on the bin equi-key, and each overlapping
+    //      pair is emitted exactly once in the bin where its overlap
+    //      starts. The naive formulation (the oracle) is a quadratic
+    //      inequality self-join — exactly what cannot run at 100 TB.
+    //      Epoch micros via the same nanos→micros truncation both
+    //      engines apply, so overlap durations are integer-exact. ----
+    GraftQuery(
+      "q138_concurrent_sessions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 1800000000L // 30 min
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        val sess = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+          .withColumn("prev_t", lag(col("t"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+        val a = sess.select(col("user_id").as("user_a"),
+          col("lo").as("a_lo"), col("hi").as("a_hi"))
+        val b = sess.select(col("user_id").as("user_b"),
+          col("lo").as("b_lo"), col("hi").as("b_hi"))
+        graft.operators.RangeJoin
+          .intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 3600000000L)
+          .where(col("user_a") < col("user_b"))
+          .groupBy(col("user_a"), col("user_b"))
+          .agg(count(lit(1)).as("n_concurrent"),
+            sum(least(col("a_hi"), col("b_hi")) -
+              greatest(col("a_lo"), col("b_lo"))).as("overlap_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        w AS (
+          SELECT user_id, t,
+            CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                     > 1800000000
+                 THEN 1 ELSE 0 END AS new_s,
+            event_id
+          FROM e),
+        s2 AS (
+          SELECT user_id, t,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM w),
+        sess AS (
+          SELECT user_id, sid, min(t) AS lo, max(t) AS hi
+          FROM s2 GROUP BY user_id, sid)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+          CAST(count(*) AS BIGINT) AS n_concurrent,
+          CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+            AS overlap_us
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+        GROUP BY 1, 2
       """))
   )
 }

@@ -46,4 +46,46 @@ class RangeJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
   }
+
+  // ---- interval-interval overlap ----
+
+  private val ivA = Seq((0L, -15L, -11L), (1L, -10L, 0L), (2L, 0L, 7L),
+    (3L, 5L, 20L), (4L, 30L, 40L), (5L, 90L, 110L), (6L, -20L, 200L), (7L, 50L, 50L))
+  private val ivB = Seq((10L, -12L, -12L), (11L, -1L, 6L), (12L, 7L, 7L),
+    (13L, 19L, 35L), (14L, 41L, 49L), (15L, 100L, 300L), (16L, 50L, 50L))
+
+  private def naiveOverlap = {
+    val a = ivA.toDF("aid", "alo", "ahi")
+    val b = ivB.toDF("bid", "blo", "bhi")
+    a.join(b, $"alo" <= $"bhi" && $"blo" <= $"ahi").select($"aid", $"bid")
+  }
+
+  test("intervalOverlap matches the naive overlap join for several bin widths") {
+    val a = ivA.toDF("aid", "alo", "ahi").repartition(4)
+    val b = ivB.toDF("bid", "blo", "bhi").repartition(3)
+    for (w <- Seq(1L, 3L, 8L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", w)
+        .select($"aid", $"bid")
+      assertSameRows(got, naiveOverlap)
+    }
+  }
+
+  test("intervalOverlap emits each overlapping pair exactly once across bins") {
+    // both intervals span many bins; their overlap spans several too
+    val a = Seq((1L, 0L, 100L)).toDF("aid", "alo", "ahi")
+    val b = Seq((2L, 50L, 400L)).toDF("bid", "blo", "bhi")
+    assert(RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 7L).count() == 1L)
+    // touching endpoints (closed intervals) still match
+    val c = Seq((3L, 100L, 200L)).toDF("bid", "blo", "bhi")
+    assert(RangeJoin.intervalOverlap(a, c, "alo", "ahi", "blo", "bhi", 7L).count() == 1L)
+  }
+
+  test("intervalOverlap stays an equi hash join") {
+    val a = ivA.toDF("aid", "alo", "ahi")
+    val b = ivB.toDF("bid", "blo", "bhi")
+    val plan = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join in:\n$plan")
+  }
 }
