@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed snapshot diff: classify every key as `added` / `removed` /
+  * `changed` / `unchanged` between two versions of a table — the
+  * regression report for pipeline outputs (did the nightly rebuild
+  * change anything it shouldn't have?) and the change feed for
+  * downstream incremental consumers.
+  *
+  * Scale shape: ONE full outer shuffle join on the key columns; value
+  * comparison rides as a projected fingerprint on each side, so wide
+  * rows shuffle as (key, 32-char hash) after column pruning, not the
+  * full payload. No collect, no window.
+  *
+  * Contract: keys identify at most one row per snapshot (a diff over
+  * duplicate keys is ill-posed); both snapshots must carry the same
+  * columns. Value columns are fingerprinted as strings with an
+  * explicit null sentinel — null and "null-spelled string" never
+  * collide because the sentinel is length-prefixed.
+  */
+object Diff {
+
+  /** Per-key change rows: key columns + `status` + both fingerprints
+    * (`old_fp` / `new_fp`, null on the absent side). Downstream can
+    * `where(status =!= "unchanged")` for a change feed — the filter
+    * lands before anything wide is fetched.
+    */
+  def snapshots(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(old.columns.toSet == neu.columns.toSet,
+      s"snapshot schemas differ: ${old.columns.toSet.diff(neu.columns.toSet).mkString(",")} / " +
+        s"${neu.columns.toSet.diff(old.columns.toSet).mkString(",")}")
+    keys.foreach(k => require(old.columns.contains(k), s"missing key column $k"))
+    val valueCols = old.columns.filterNot(keys.contains).sorted.toSeq
+    val oldF = old.select(keys.map(col) :+ fingerprint(valueCols).as("old_fp"): _*)
+    val neuF = neu.select(keys.map(col) :+ fingerprint(valueCols).as("new_fp"): _*)
+    oldF.join(neuF, keys, "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
+  /** md5 over length-prefixed string renderings: `5:hello` for a
+    * value, `~` for null — unambiguous under concatenation, and
+    * engine-portable as long as the caller's value columns render
+    * identically (ints, strings, dates do; raw doubles may not —
+    * project them to exact types first).
+    */
+  private def fingerprint(valueCols: Seq[String]): Column =
+    if (valueCols.isEmpty) lit("")
+    else md5(concat(valueCols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("~")).otherwise(concat(length(s), lit(":"), s))
+    }: _*))
+}

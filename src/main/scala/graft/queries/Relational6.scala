@@ -316,6 +316,59 @@ object Relational6 {
           CAST(sum(CASE WHEN hv < CASE lang $cases ELSE 0 END THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         FROM h GROUP BY lang
         """
-      })
+      }),
+
+    // ---- q139: snapshot diff — the regression report between two
+    //      versions of a table (operators.Diff.snapshots: one full
+    //      outer shuffle of (key, fingerprint), payloads pruned before
+    //      the exchange). Old = orders before 1997-07; new = orders
+    //      from 1995-01 with urgent orders' status rewritten — so all
+    //      four classifications are populated. The oracle classifies
+    //      by direct column comparison, which must agree with the
+    //      fingerprint route (DiffSpec pins the fingerprint's
+    //      faithfulness: null sentinel, length prefixing). ----
+    GraftQuery(
+      "q139_snapshot_diff",
+      (s, d) => {
+        val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_orderdate").cast("string").as("o_date"))
+        val old = base.where(col("o_date") < "1997-07-01")
+        val neu = base.where(col("o_date") >= "1996-01-01")
+          .withColumn("o_orderstatus",
+            when(col("o_orderpriority") === "1-URGENT", lit("X"))
+              .otherwise(col("o_orderstatus")))
+        graft.operators.Diff.snapshots(old, neu, Seq("o_orderkey"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+            CAST(o_orderdate AS VARCHAR) AS o_date
+          FROM orders),
+        old AS (SELECT * FROM base WHERE o_date < '1997-07-01'),
+        neu AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderpriority = '1-URGENT' THEN 'X'
+                 ELSE o_orderstatus END AS o_orderstatus,
+            o_orderpriority, o_date
+          FROM base WHERE o_date >= '1996-01-01'),
+        j AS (
+          SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+            CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN o.o_custkey = n.o_custkey
+                  AND o.o_orderstatus = n.o_orderstatus
+                  AND o.o_orderpriority = n.o_orderpriority
+                  AND o.o_date = n.o_date THEN 'unchanged'
+                 ELSE 'changed' END AS status
+          FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
+        SELECT status, CAST(count(*) AS BIGINT) AS n,
+          min(k) AS min_key, max(k) AS max_key
+        FROM j GROUP BY status
+      """))
   )
 }
