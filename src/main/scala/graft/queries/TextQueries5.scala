@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-statistics diagnostics (round 5, final batch): inequality of
+  * the length distribution (q140), vocabulary growth (q141), and
+  * two-sample distribution drift (q142). Every statistic is emitted in
+  * integer cross-multiplied form — numerators and denominators, never
+  * a float division — so both engines agree bit-for-bit.
+  */
+object TextQueries5 {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q140: Gini coefficient of document lengths per language —
+    //      "is the token budget spread evenly or hoarded by a few huge
+    //      docs?". With lengths sorted ascending and 1-based ranks:
+    //      G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x); emitted as ppm via
+    //      integer div. One window (rank within lang) + one groupBy. ----
+    GraftQuery(
+      "q140_length_gini",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_x"),
+            sum(col("i") * col("n_chars")).as("sum_ix"))
+          .withColumn("gini_ppm",
+            expr("(2L * sum_ix - (n + 1L) * sum_x) * 1000000L div (n * sum_x)"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT lang, n_chars,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY n_chars, doc_id) AS BIGINT) AS i
+          FROM documents),
+        a AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS sum_x,
+            CAST(sum(i * n_chars) AS BIGINT) AS sum_ix
+          FROM r GROUP BY lang)
+        SELECT lang, n, sum_x, sum_ix,
+          CAST((2 * sum_ix - (n + 1) * sum_x) * 1000000 // (n * sum_x) AS BIGINT)
+            AS gini_ppm
+        FROM a
+      """)),
+
+    // ---- q141: vocabulary growth (Heaps' law) — distinct vocabulary
+    //      after the first k documents, at k = 50, 100, ..., 500. Each
+    //      token contributes at its FIRST document (min doc_id), so the
+    //      curve is one explode→min groupBy, then a tiny broadcast
+    //      checkpoint spine counts tokens whose first doc has arrived —
+    //      never a running count-distinct window. ----
+    GraftQuery(
+      "q141_vocab_growth",
+      (s, d) => {
+        val first = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+        val ks = (1 to 10).map(_ * 50L)
+        val spine = first.sparkSession.createDataFrame(
+          ks.map(Tuple1(_))).toDF("k")
+        first.crossJoin(broadcast(spine))
+          .where(col("first_doc") < col("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("vocab"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents),
+        first AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok),
+        ks AS (SELECT CAST(unnest(generate_series(1, 10)) * 50 AS BIGINT) AS k)
+        SELECT k, CAST(count(*) AS BIGINT) AS vocab
+        FROM first JOIN ks ON first_doc < k
+        GROUP BY k
+      """)),
+
+    // ---- q142: two-sample drift — the Kolmogorov-Smirnov statistic
+    //      between two sources' length distributions, exactly:
+    //      D = max over observed values of |F1(v)·n2 − F2(v)·n1|
+    //      (integer numerator; the true D is ks_num / (n1·n2)). The
+    //      merged-CDF formulation is one union + one window over the
+    //      value axis + one max — no pairwise comparison, no binning
+    //      approximation. The drift gate a corpus mixer runs when a
+    //      source's new drop looks "off". ----
+    GraftQuery(
+      "q142_ks_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .where(col("source").isin("src0", "src1"))
+          .select(col("source"), col("n_chars"))
+        val tagged = docs.select(col("n_chars").as("v"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("c1"),
+          when(col("source") === "src1", 1L).otherwise(0L).as("c2"))
+        val byV = tagged.groupBy(col("v"))
+          .agg(sum(col("c1")).as("d1"), sum(col("c2")).as("d2"))
+        // the window axis is the DISTINCT length values — a bounded
+        // domain after the groupBy, so the unpartitioned CDF window is
+        // a small single-partition pass, not a data-scale sort
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byV
+          .withColumn("f1", sum(col("d1")).over(w))
+          .withColumn("f2", sum(col("d2")).over(w))
+          .withColumn("n1", sum(col("d1")).over(all))
+          .withColumn("n2", sum(col("d2")).over(all))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("ks_num"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT source, n_chars AS v FROM documents
+          WHERE source IN ('src0', 'src1')),
+        byv AS (
+          SELECT v,
+            sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS d1,
+            sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS d2
+          FROM docs GROUP BY v),
+        cdf AS (
+          SELECT v, d1, d2,
+            sum(d1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+            sum(d2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+            sum(d1) OVER () AS n1, sum(d2) OVER () AS n2
+          FROM byv)
+        SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+          CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num
+        FROM cdf
+      """))
+  )
+}
