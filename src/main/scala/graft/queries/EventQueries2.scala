@@ -244,6 +244,65 @@ object EventQueries2 {
         FROM sess a JOIN sess b
           ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
         GROUP BY 1, 2
+      """)),
+
+    // ---- q143: event debounce — per (user, event_type), split the
+    //      stream into BURSTS at gaps > the 10-minute cooldown and keep
+    //      one event per burst (the first). This is the gaps-and-
+    //      islands debounce: declarative, two windows, one shuffle.
+    //      (The other debounce variant — cooldown anchored at the last
+    //      KEPT event — is inherently sequential per key and belongs
+    //      to mapGroupsWithState, not a window.) Telemetry-volume
+    //      reducer; exact in both engines on epoch micros. ----
+    GraftQuery(
+      "q143_event_debounce",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val coolUs = 600000000L // 10 min
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("t"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("prev_t", lag(col("t"), 1).over(w))
+          .withColumn("new_burst",
+            when(col("prev_t").isNull || col("t") - col("prev_t") > coolUs, 1L)
+              .otherwise(0L))
+          .withColumn("burst", sum(col("new_burst"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("event_type"), col("burst"))
+              .orderBy(col("t"), col("event_id"))))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS t FROM events),
+        w AS (
+          SELECT user_id, event_type, event_id, t,
+            CASE WHEN lag(t) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY t, event_id) > 600000000
+                 THEN 1 ELSE 0 END AS new_burst
+          FROM e),
+        b AS (
+          SELECT event_type, t, event_id,
+            sum(new_burst) OVER (PARTITION BY user_id, event_type
+              ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst,
+            user_id
+          FROM w),
+        r AS (
+          SELECT event_type,
+            row_number() OVER (PARTITION BY user_id, event_type, burst
+                               ORDER BY t, event_id) AS rn
+          FROM b)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM r GROUP BY event_type
       """))
   )
 }
