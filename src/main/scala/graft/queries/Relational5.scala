@@ -505,6 +505,46 @@ object Relational5 {
         WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY h.segment
-      """))
+      """)),
+
+    // ---- q144: k-core of the co-order graph (operators.KCore:
+    //      iterative degree peeling, lineage-truncated rounds) — the
+    //      graph-quality filter keeping only parts embedded in a
+    //      densely co-ordered neighborhood. k=80 cascades over ~5 peel
+    //      rounds at the gate SF. The oracle UNROLLS eight peel rounds
+    //      as chained CTEs (the q106 PageRank precedent: a fixed-point
+    //      loop verified by unrolling past its convergence depth — the
+    //      gate fixtures converge in ≤ 5 rounds; Spark iterates to the
+    //      true fixed point, so equality holds iff the unroll is deep
+    //      enough, which the spec pins for the fixtures). ----
+    GraftQuery(
+      "q144_kcore", {
+        (s, d) =>
+          graft.operators.KCore.core(coOrderPairs(s, d), "u", "v", k = 80)
+            .select(col("vertex").as("part"), col("core_degree"))
+      }, {
+        val rounds = (1 to 8).map { i =>
+          val prev = if (i == 1) "r0" else s"r${i - 1}"
+          // MATERIALIZED is load-bearing: each round references the
+          // previous one twice, and un-materialized CTE inlining would
+          // re-evaluate the whole chain 2^8 times
+          s"""r$i AS MATERIALIZED (
+             |  SELECT a.u FROM arcs a
+             |  JOIN $prev x ON a.u = x.u JOIN $prev y ON a.v = y.u
+             |  GROUP BY a.u HAVING count(*) >= 80)""".stripMargin
+        }.mkString(",\n")
+        Some(s"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        arcs AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        r0 AS (SELECT DISTINCT u FROM arcs),
+        $rounds
+        SELECT a.u AS part, CAST(count(*) AS BIGINT) AS core_degree
+        FROM arcs a JOIN r8 x ON a.u = x.u JOIN r8 y ON a.v = y.u
+        GROUP BY a.u
+        """)
+      })
   )
 }
