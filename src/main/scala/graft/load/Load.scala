@@ -386,6 +386,46 @@ object Load {
     parts.map(p => s"`$p`").mkString(".")
   }
 
+  /** Cooperative single-writer lock for a destination. Every sink in
+    * this module assumes ONE writer — two concurrent staged swaps (say
+    * a forget pass racing a compaction) can interleave their
+    * backup/publish renames and break the rollback invariant. Callers
+    * that can race wrap the sink call:
+    * `Load.withLock(spark, dir, "nightly-forget") { Load.replaceTable(...) }`.
+    *
+    * The lock is an atomically-created `<dir>__lock` file (created with
+    * overwrite=false — the create itself is the race arbiter on local
+    * FS and HDFS) holding owner and acquisition time for diagnostics.
+    * Held locks fail the acquirer LOUDLY with the holder's identity; no
+    * auto-expiry (a writer outliving a wall-clock lease would corrupt
+    * exactly what the lock protects — a crashed holder's lock is
+    * removed by an operator, informed by the identity inside). Always
+    * released on body exit, success or failure.
+    */
+  def withLock[T](spark: SparkSession, destination: String, owner: String)(
+      body: => T): Try[T] = Try {
+    val lock = new Path(destination + "__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          val holder = Try {
+            val in = fs.open(lock)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          }.getOrElse("<unreadable>")
+          throw new IllegalStateException(
+            s"destination $destination is locked by: $holder — concurrent " +
+              "writers are not allowed; if the holder crashed, remove " +
+              s"$lock manually", e)
+      }
+    try {
+      out.write(s"$owner @ ${java.time.Instant.now()}".getBytes("UTF-8"))
+      out.close()
+      body
+    } finally fs.delete(lock, false)
+  }
+
   /** The ONE source of truth for reading back what this module's
     * writers produce. csv needs the writer-matching option set (header
     * row, quoted embedded newlines, `"` escape) — duplicating it at

@@ -12,6 +12,25 @@ import scala.util.{Failure, Success}
 class LoadSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("withLock: holds, blocks a second writer loudly, releases on exit and on failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString + "/t"
+    val r = Load.withLock(spark, dir, "writer-1") {
+      // contender inside the critical section fails and names the holder
+      val c = Load.withLock(spark, dir, "writer-2")(fail("must not enter"))
+      assert(c.isFailure)
+      val msg = c.failed.get.getMessage
+      assert(msg.contains("writer-1") && msg.contains("locked"), msg)
+      Load.replaceTable(spark, Seq(1, 2).toDF("v"), dir).get
+    }
+    assert(r.isSuccess && r.get.rows == 2)
+    // released: a new writer acquires immediately
+    assert(Load.withLock(spark, dir, "writer-3")(42).get == 42)
+    // released even when the body throws
+    val boom = Load.withLock(spark, dir, "writer-4")(throw new RuntimeException("x"))
+    assert(boom.isFailure)
+    assert(Load.withLock(spark, dir, "writer-5")(1).isSuccess)
+  }
+
   test("replaceTable overwrites atomically and reports row count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_load").toString + "/t"
     val r1 = Load.replaceTable(spark, Seq(1, 2, 3).toDF("v"), dir)
