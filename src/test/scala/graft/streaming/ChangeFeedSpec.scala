@@ -42,6 +42,27 @@ class ChangeFeedSpec extends SparkTestBase {
       2L -> Map.empty[Long, String]))
   }
 
+  test("end-to-end through a stream: per-micro-batch feed and final table") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.changeFeedSink(
+      ms.toDF().toDF("k", "ts", "seq", "v"),
+      "k", "ts", "seq", s"$root/t", s"$root/c", s"$root/chk")
+    try {
+      ms.addData((1L, 10L, 0L, "a"), (2L, 10L, 0L, "b"))
+      q.processAllAvailable()
+      ms.addData((1L, 20L, 0L, "a2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$root/t").select($"k", $"v").as[(Long, String)]
+      .collect().toMap == Map(1L -> "a2", 2L -> "b"))
+    assert(feed(s"$root/c") == Map(
+      0L -> Map(1L -> "added", 2L -> "added"),
+      1L -> Map(1L -> "changed")))
+  }
+
   test("replay after publish appends nothing; replay after log write skips") {
     val root = tmp()
     val (table, changes) = (s"$root/t", s"$root/c")
