@@ -390,40 +390,53 @@ object Load {
     * this module assumes ONE writer — two concurrent staged swaps (say
     * a forget pass racing a compaction) can interleave their
     * backup/publish renames and break the rollback invariant. Callers
-    * that can race wrap the sink call:
-    * `Load.withLock(spark, dir, "nightly-forget") { Load.replaceTable(...) }`.
+    * that can race wrap the sink call (note the inner `.get` — a
+    * Try-returning body would otherwise nest as Success(Failure(...))):
+    * `Load.withLock(spark, dir, "nightly-forget") { Load.replaceTable(...).get }`.
     *
-    * The lock is an atomically-created `<dir>__lock` file (created with
-    * overwrite=false — the create itself is the race arbiter on local
-    * FS and HDFS) holding owner and acquisition time for diagnostics.
-    * Held locks fail the acquirer LOUDLY with the holder's identity; no
-    * auto-expiry (a writer outliving a wall-clock lease would corrupt
-    * exactly what the lock protects — a crashed holder's lock is
-    * removed by an operator, informed by the identity inside). Always
-    * released on body exit, success or failure.
+    * The lock is an atomically-created `<dir>__lock` file holding owner
+    * and acquisition time for diagnostics. The create must be the race
+    * arbiter: on HDFS-like filesystems `create(overwrite = false)` is;
+    * on the LOCAL filesystem it is NOT (RawLocalFileSystem does a
+    * non-atomic exists-then-open), so file:// locks go through NIO's
+    * `Files.createFile` (O_EXCL — atomic on POSIX). Held locks fail
+    * the acquirer LOUDLY with the holder's identity; no auto-expiry (a
+    * writer outliving a wall-clock lease would corrupt exactly what
+    * the lock protects — a crashed holder's lock is removed by an
+    * operator, informed by the identity inside). Always released on
+    * body exit, success or failure.
     */
   def withLock[T](spark: SparkSession, destination: String, owner: String)(
       body: => T): Try[T] = Try {
     val lock = new Path(destination + "__lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          val holder = Try {
-            val in = fs.open(lock)
-            try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          }.getOrElse("<unreadable>")
-          throw new IllegalStateException(
-            s"destination $destination is locked by: $holder — concurrent " +
-              "writers are not allowed; if the holder crashed, remove " +
-              s"$lock manually", e)
-      }
-    try {
-      out.write(s"$owner @ ${java.time.Instant.now()}".getBytes("UTF-8"))
+    val note = s"$owner @ ${java.time.Instant.now()}".getBytes("UTF-8")
+    def refuse(e: java.io.IOException): Nothing = {
+      val holder = Try {
+        val in = fs.open(lock)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }.getOrElse("<unreadable>")
+      throw new IllegalStateException(
+        s"destination $destination is locked by: $holder — concurrent " +
+          "writers are not allowed; if the holder crashed, remove " +
+          s"$lock manually", e)
+    }
+    val qualified = fs.makeQualified(lock)
+    if ("file" == qualified.toUri.getScheme) {
+      val p = java.nio.file.Paths.get(qualified.toUri.getPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      try java.nio.file.Files.write(
+        java.nio.file.Files.createFile(p), note)
+      catch { case e: java.nio.file.FileAlreadyExistsException => refuse(e) }
+    } else {
+      val out =
+        try fs.create(lock, false)
+        catch { case e: java.io.IOException => refuse(e) }
+      out.write(note)
       out.close()
-      body
-    } finally fs.delete(lock, false)
+    }
+    try body
+    finally fs.delete(lock, false)
   }
 
   /** The ONE source of truth for reading back what this module's

@@ -36,7 +36,17 @@ object Diff {
     val valueCols = old.columns.filterNot(keys.contains).sorted.toSeq
     val oldF = old.select(keys.map(col) :+ fingerprint(valueCols).as("old_fp"): _*)
     val neuF = neu.select(keys.map(col) :+ fingerprint(valueCols).as("new_fp"): _*)
-    oldF.join(neuF, keys, "full_outer")
+    // null-SAFE key equality: a plain equi full-outer never matches a
+    // null key across snapshots, so an identical null-keyed row would
+    // double-classify as removed + added forever (and churn any change
+    // feed built on top). <=> is still a hash-joinable equi predicate.
+    // Explicit aliases: diffing a frame against a derivative of itself
+    // is a self-join Spark otherwise flags as ambiguous.
+    val cond = keys.map(k => col(s"__o.$k") <=> col(s"__n.$k")).reduce(_ && _)
+    oldF.as("__o").join(neuF.as("__n"), cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"__o.$k"), col(s"__n.$k")).as(k)) ++
+          Seq(col("old_fp"), col("new_fp")): _*)
       .withColumn("status",
         when(col("old_fp").isNull, lit("added"))
           .when(col("new_fp").isNull, lit("removed"))

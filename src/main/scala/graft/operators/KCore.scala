@@ -52,14 +52,16 @@ object KCore {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val deg = arcs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val bad = deg.where(col("deg") < k).select(col("u").as("peel"))
+      // materialize the peel set ONCE: it feeds the emptiness probe and
+      // BOTH anti-join sides — un-materialized, self-join dedup clones
+      // the subtree and the degree aggregation would run three times
+      // per round
+      val bad = truncated(
+        arcs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") < k).select(col("u").as("peel"))
+          .localCheckpoint(true))
       if (bad.limit(1).count() == 0) done = true
       else {
-        // drop every arc touching a peeled vertex; the peel set is
-        // referenced twice (src side, dst side) against the SAME
-        // materialized arc set, so the recompute is two cheap
-        // aggregations, not a re-run of prior rounds
         arcs = truncated(arcs
           .join(bad, arcs("u") === bad("peel"), "left_anti")
           .join(bad.select(col("peel").as("peel_v")),

@@ -196,6 +196,9 @@ object EventQueries2 {
         import org.apache.spark.sql.expressions.Window
         val gapUs = 1800000000L // 30 min
         val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        // both overlap-join sides read the sessionization — stage it
+        // once (q104 precedent) or the two window passes + session agg
+        // run twice; the bench frees the checkpoint blocks per query
         val sess = Tables.events(s, d)
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
           .withColumn("prev_t", lag(col("t"), 1).over(w))
@@ -206,6 +209,7 @@ object EventQueries2 {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("sid"))
           .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+          .localCheckpoint()
         val a = sess.select(col("user_id").as("user_a"),
           col("lo").as("a_lo"), col("hi").as("a_hi"))
         val b = sess.select(col("user_id").as("user_b"),

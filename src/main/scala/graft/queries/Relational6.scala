@@ -322,7 +322,7 @@ object Relational6 {
     //      versions of a table (operators.Diff.snapshots: one full
     //      outer shuffle of (key, fingerprint), payloads pruned before
     //      the exchange). Old = orders before 1997-07; new = orders
-    //      from 1995-01 with urgent orders' status rewritten — so all
+    //      from 1996-01 with urgent orders' status rewritten — so all
     //      four classifications are populated. The oracle classifies
     //      by direct column comparison, which must agree with the
     //      fingerprint route (DiffSpec pins the fingerprint's

@@ -33,8 +33,14 @@ object TextQueries5 {
           .agg(count(lit(1)).as("n"),
             sum(col("n_chars")).as("sum_x"),
             sum(col("i") * col("n_chars")).as("sum_ix"))
+          // the ×10^6 numerator is O(n·Σx·10^6) — decimal(38,0), not
+          // long, or it wraps at large corpora (DuckDB's side is
+          // HUGEINT by promotion). The numerator is ≥ 0 (Chebyshev's
+          // sum inequality on ascending x), so truncating div = floor.
           .withColumn("gini_ppm",
-            expr("(2L * sum_ix - (n + 1L) * sum_x) * 1000000L div (n * sum_x)"))
+            expr("""cast(
+              (2 * cast(sum_ix as decimal(38,0)) - (n + 1) * cast(sum_x as decimal(38,0)))
+                * 1000000 div (cast(n as decimal(38,0)) * sum_x) as bigint)"""))
       },
       Some("""
         WITH r AS (

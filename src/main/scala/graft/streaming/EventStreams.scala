@@ -117,36 +117,63 @@ object EventStreams {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        // genuine first-batch = the table path does not exist. Anything
-        // else (corrupt table, failed prior swap leaving __old behind)
-        // must THROW so the batch fails and retries, not silently reset
-        // the accumulated view to this batch's rows.
-        val dest = new org.apache.hadoop.fs.Path(tableDir)
-        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // A missing dest is only a genuine first batch when no swap
-        // debris exists: if a prior replaceTable failed after moving
-        // dest aside AND its restore failed ("previous table left at
-        // __old"), treating this batch as first would silently reset
-        // the accumulated view to this batch's rows — data loss with no
-        // error. Throw so the batch retries/alerts instead.
-        if (!fs.exists(dest) &&
-            fs.exists(new org.apache.hadoop.fs.Path(tableDir + "__old")))
-          throw new IllegalStateException(
-            s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
-              "without restore; recover the backup before resuming the stream")
-        val current = if (fs.exists(dest)) Some(spark.read.parquet(tableDir)) else None
-        val all = current.map(_.unionByName(batch.toDF)).getOrElse(batch.toDF)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
-        val latest = all
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-        graft.load.Load.replaceTable(spark, latest, tableDir).get
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        upsertPublish(batch.toDF, batchId, keyCol, tsCol, seqCol, tableDir,
+          changeDir = None)
       }
       .start()
+
+  /** Shared micro-batch core of [[keyedUpsertSink]] and
+    * [[changeFeedSink]]: guard, merge latest-per-key, optionally land
+    * the change feed, publish via the staged swap.
+    */
+  private def upsertPublish(
+      batch: DataFrame, batchId: Long, keyCol: String, tsCol: String,
+      seqCol: String, tableDir: String, changeDir: Option[String]): Unit = {
+    val spark = batch.sparkSession
+    // genuine first-batch = the table path does not exist. Anything
+    // else (corrupt table, failed prior swap leaving __old behind)
+    // must THROW so the batch fails and retries, not silently reset
+    // the accumulated view to this batch's rows.
+    val dest = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A missing dest is only a genuine first batch when no swap
+    // debris exists: if a prior replaceTable failed after moving
+    // dest aside AND its restore failed ("previous table left at
+    // __old"), treating this batch as first would silently reset
+    // the accumulated view to this batch's rows — data loss with no
+    // error. Throw so the batch retries/alerts instead.
+    if (!fs.exists(dest) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tableDir + "__old")))
+      throw new IllegalStateException(
+        s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
+          "without restore; recover the backup before resuming the stream")
+    val current = if (fs.exists(dest)) Some(spark.read.parquet(tableDir)) else None
+    val all = current.map(_.unionByName(batch)).getOrElse(batch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
+    val latest = all
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    changeDir.foreach { cd =>
+      val changes = graft.operators.Diff
+        .snapshots(current.getOrElse(latest.limit(0)), latest, Seq(keyCol))
+        .where(col("status") =!= "unchanged")
+      val batchPath = new org.apache.hadoop.fs.Path(s"$cd/batch=$batchId")
+      if (!fs.exists(batchPath)) {
+        // parquet writes are not atomic: land in a temp dir, then one
+        // rename — a crash mid-write leaves only temp debris, never a
+        // partial batch dir that the existence check would trust
+        val tmpPath = new org.apache.hadoop.fs.Path(s"$cd/__tmp_batch=$batchId")
+        if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+        changes.write.parquet(tmpPath.toString)
+        if (!fs.exists(batchPath) && !fs.rename(tmpPath, batchPath))
+          throw new java.io.IOException(s"publish rename of change log $batchPath failed")
+      }
+    }
+    graft.load.Load.replaceTable(spark, latest, tableDir).get
+    ()
+  }
 
   /** Streaming CDC-OUT: maintain a latest-per-key table like
     * [[keyedUpsertSink]] AND emit a per-batch CHANGE FEED — the rows
@@ -160,12 +187,19 @@ object EventStreams {
     * contract, by construction rather than by transaction:
     *   - the diff is computed against the PUBLISHED table, so a batch
     *     replayed after its publish diffs as all-unchanged (no rows);
-    *   - each batch writes to its own deterministic `batch=N`
-    *     directory, and an existing directory is SKIPPED — a replay
-    *     after the log write but before the publish recomputes the
+    *   - each batch lands in its own deterministic `batch=N` directory
+    *     via write-to-temp + atomic RENAME (a bare parquet write is not
+    *     atomic — a crash mid-write would leave a partial directory
+    *     that a bare existence check would mistake for a complete log
+    *     entry), and an existing directory is SKIPPED — a replay after
+    *     the log landed but before the publish recomputes the
     *     identical diff and skips it.
     * Log write precedes the publish: a crash between the two replays
-    * into the skip path, never into loss or duplication.
+    * into the skip path, never into loss or duplication. The change
+    * directory's batch numbering belongs to ONE checkpoint lineage —
+    * restarting a stream with a fresh checkpoint against an old
+    * changeDir restarts batch ids at 0 and stale dirs would mask new
+    * diffs; pair a new checkpoint with a new changeDir.
     */
   def changeFeedSink(
       events: DataFrame, keyCol: String, tsCol: String, seqCol: String,
@@ -183,31 +217,8 @@ object EventStreams {
     * replay-idempotence contract is directly testable. */
   private[streaming] def changeFeedBatch(
       batch: DataFrame, batchId: Long, keyCol: String, tsCol: String,
-      seqCol: String, tableDir: String, changeDir: String): Unit = {
-    val spark = batch.sparkSession
-    val dest = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dest) &&
-        fs.exists(new org.apache.hadoop.fs.Path(tableDir + "__old")))
-      throw new IllegalStateException(
-        s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
-          "without restore; recover the backup before resuming the stream")
-    val current = if (fs.exists(dest)) Some(spark.read.parquet(tableDir)) else None
-    val all = current.map(_.unionByName(batch)).getOrElse(batch)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
-    val latest = all
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-    val changes = graft.operators.Diff
-      .snapshots(current.getOrElse(latest.limit(0)), latest, Seq(keyCol))
-      .where(col("status") =!= "unchanged")
-    val batchPath = new org.apache.hadoop.fs.Path(s"$changeDir/batch=$batchId")
-    if (!fs.exists(batchPath))
-      changes.write.parquet(batchPath.toString)
-    graft.load.Load.replaceTable(spark, latest, tableDir).get
-    ()
-  }
+      seqCol: String, tableDir: String, changeDir: String): Unit =
+    upsertPublish(batch, batchId, keyCol, tsCol, seqCol, tableDir, Some(changeDir))
 
   /** Streaming SCD2 dimension maintenance: each micro-batch of
     * attribute updates merges into a versioned history table

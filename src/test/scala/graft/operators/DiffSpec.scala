@@ -23,6 +23,18 @@ class DiffSpec extends SparkTestBase {
       3L -> "changed", 4L -> "changed", 5L -> "added"))
   }
 
+  test("null keys match null-safely — identical null-keyed rows are unchanged") {
+    val a = Seq((Option.empty[java.lang.Long], "x"), (Some(1L: java.lang.Long), "y"))
+      .toDF("k", "v")
+    val d = Diff.snapshots(a, a, Seq("k"))
+    assert(d.select($"status").as[String].collect().toSeq == Seq("unchanged", "unchanged"),
+      "a null key must not double-classify as removed+added")
+    val b = Seq((Option.empty[java.lang.Long], "CHANGED"), (Some(1L: java.lang.Long), "y"))
+      .toDF("k", "v")
+    val d2 = Diff.snapshots(a, b, Seq("k"))
+    assert(d2.where($"k".isNull).select($"status").head.getString(0) == "changed")
+  }
+
   test("null never collides with a value spelling the sentinel") {
     val a = Seq((1L, Option.empty[String])).toDF("k", "s")
     val b = Seq((1L, Some("~"))).toDF("k", "s")
