@@ -132,4 +132,19 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("Join"),
       "reassembly must ride the window + groupBy; a join doubles the span shuffle")
   }
+
+  test("q138/q144: iterative and binned graph/interval kernels stay equi joins") {
+    val p138 = plan("q138_concurrent_sessions")
+    assert(!p138.contains("CartesianProduct") && !p138.contains("BroadcastNestedLoopJoin"),
+      "overlap pairs must meet on the bin equi-key, not a quadratic join")
+    val p144 = plan("q144_kcore")
+    assert(!p144.contains("CartesianProduct") && !p144.contains("BroadcastNestedLoopJoin"),
+      "k-core output degree count must stay an aggregation over the surviving arcs")
+  }
+
+  test("q137: source-overlap pair expansion is the group-and-expand shape, no corpus self-join") {
+    val p = plan("q137_source_overlap")
+    assert(!p.contains("SortMergeJoin"),
+      "fingerprint pairs must expand in-array after a groupBy; the only joins are broadcast size lookups")
+  }
 }
