@@ -48,6 +48,25 @@ object Forget {
     }
   }
 
+  /** Catalog-table variant of [[forgetKeys]] — the deletion pass
+    * against warehouse tables (the reference's actual sink surface,
+    * `database_util.py`), through [[Load.replaceCatalogTable]]'s
+    * staged rename swap. Same contract: sequential, stop at first
+    * failure, idempotent rerun.
+    */
+  def forgetKeysCatalog(
+      spark: SparkSession, keys: DataFrame,
+      targets: Seq[(String, String)]): Try[Seq[ForgetReport]] = Try {
+    val keyList = keyBroadcast(keys)
+    targets.map { case (table, keyCol) =>
+      val t = spark.table(table)
+      val before = t.count()
+      val kept = t.join(keyList, t(keyCol) === col("__forget_key"), "left_anti")
+      val report = Load.replaceCatalogTable(spark, kept, table).get
+      ForgetReport(table, keyCol, before, report.rows)
+    }
+  }
+
   /** Partition-scoped deletion — the form that survives 100 TB: a
     * whole-table rewrite to erase a few thousand subjects is a
     * non-starter when the table is 3 000 date partitions. One scan

@@ -307,6 +307,77 @@ object EventQueries2 {
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM r GROUP BY event_type
+      """)),
+
+    // ---- q145: SESSION-scoped funnel — q91's ordered view→click→
+    //      purchase conversion, but the sequence must complete INSIDE
+    //      one session (30-min gap), the product-analytics definition
+    //      of an in-visit conversion. Stage entries chain as window
+    //      minima over the session partition (first view; first click
+    //      at-or-after it; first purchase at-or-after that) — three
+    //      window stages over one session shuffle, no joins. ----
+    GraftQuery(
+      "q145_session_funnel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 1800000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        val sw = Window.partitionBy(col("user_id"), col("sid"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("prev_t", lag(col("t"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("v1",
+            min(when(col("event_type") === "view", col("t"))).over(sw))
+          .withColumn("c1",
+            min(when(col("event_type") === "click" && col("t") >= col("v1"),
+              col("t"))).over(sw))
+          .withColumn("p1",
+            min(when(col("event_type") === "purchase" && col("t") >= col("c1"),
+              col("t"))).over(sw))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(max(col("p1")).isNotNull.as("converted"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("n_converting"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        g AS (
+          SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                            IS NULL
+                       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                            > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+          FROM e),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g),
+        v AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+            OVER (PARTITION BY user_id, sid) AS v1
+          FROM s),
+        c AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND t >= v1 THEN t END)
+            OVER (PARTITION BY user_id, sid) AS c1
+          FROM v),
+        p AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= c1 THEN t END)
+            OVER (PARTITION BY user_id, sid) AS p1
+          FROM c),
+        sess AS (
+          SELECT user_id, sid, max(p1) IS NOT NULL AS converted
+          FROM p GROUP BY user_id, sid)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converting
+        FROM sess GROUP BY user_id
       """))
   )
 }

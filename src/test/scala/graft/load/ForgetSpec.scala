@@ -133,6 +133,21 @@ class ForgetSpec extends SparkTestBase {
     assert(r.get.head.dropped == 1)
   }
 
+  test("catalog tables purge through the staged rename swap") {
+    val t = "forget_cat_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "v")
+      .write.saveAsTable(t)
+    val r = Forget.forgetKeysCatalog(spark, Seq(1L, 3L).toDF("k"), Seq((t, "user_id")))
+    assert(r.isSuccess, s"got $r")
+    assert(r.get.head.dropped == 2)
+    assert(spark.table(t).select("user_id").as[Long].collect().toSeq == Seq(2L))
+    // idempotent rerun
+    val r2 = Forget.forgetKeysCatalog(spark, Seq(1L, 3L).toDF("k"), Seq((t, "user_id")))
+    assert(r2.isSuccess && r2.get.head.dropped == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("multi-column key frame is rejected loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_forget3").toString
     Seq((1L, "a")).toDF("user_id", "v").write.parquet(s"$root/t")
