@@ -144,6 +144,108 @@ object TextQueries5 {
         SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
           CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num
         FROM cdf
+      """)),
+
+    // ---- q146: quality-decile corpus mixing — rank documents within
+    //      each source by an integer quality score (distinct-token
+    //      count), then apply a per-grade retention rule: premium
+    //      sources (src0/src1) keep their top five deciles, everything
+    //      else keeps two. ntile over a TOTAL order (score desc,
+    //      doc_id) is deterministic and identical in both engines —
+    //      this is the quality-stratified refinement of q124's
+    //      rate-based mixture. ----
+    GraftQuery(
+      "q146_quality_mixture",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(array_distinct(tokens(col("text")))).cast("long").as("score"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .withColumn("keep", col("decile") <=
+            when(col("source").isin("src0", "src1"), 5).otherwise(2))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            max(when(col("keep"), col("score"))).as("best_kept"),
+            min(when(col("keep"), col("score"))).as("worst_kept"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT source, doc_id,
+            CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS BIGINT)
+              AS score
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, score,
+            CAST(ntile(10) OVER (PARTITION BY source
+              ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+          FROM q),
+        k AS (
+          SELECT source, score,
+            decile <= CASE WHEN source IN ('src0', 'src1') THEN 5 ELSE 2 END AS keep
+          FROM r)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          max(CASE WHEN keep THEN score END) AS best_kept,
+          min(CASE WHEN keep THEN score END) AS worst_kept
+        FROM k GROUP BY source
+      """)),
+
+    // ---- q147: golden-record survivorship — collapse each duplicate
+    //      cluster into ONE merged record with per-FIELD survivorship
+    //      rules: earliest doc_id as the surviving identity, the
+    //      longest text's length, and the cluster's modal language
+    //      (ties broken lexicographically). Clustering key is a
+    //      10-token prefix block (the title-blocking step of entity
+    //      resolution — the fixture has no byte-identical texts, but
+    //      shared openings; in production the key comes from the dedup
+    //      family upstream). The MDM merge step that follows dedup;
+    //      every rule is deterministic, so the merged records
+    //      hash-match. Two shuffles: block groupBy, modal lang
+    //      ranking. ----
+    GraftQuery(
+      "q147_golden_record",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(md5(concat_ws(" ",
+              slice(tokens(col("text")), 1, 10))).as("fp"),
+            col("doc_id"), col("lang"), col("n_chars"))
+        val langRank = Window.partitionBy(col("fp"))
+          .orderBy(col("n_lang").desc, col("lang"))
+        val modalLang = docs.groupBy(col("fp"), col("lang"))
+          .agg(count(lit(1)).as("n_lang"))
+          .withColumn("r", row_number().over(langRank))
+          .where(col("r") === 1)
+          .select(col("fp"), col("lang").as("modal_lang"))
+        docs.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("doc_id")).as("survivor_id"),
+            max(col("n_chars")).as("longest_chars"))
+          .join(modalLang, Seq("fp"))
+          .where(col("n_members") > 1)
+          .drop("fp")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT md5(array_to_string(
+              (regexp_extract_all(lower(text), '\S+'))[1:10], ' ')) AS fp,
+            doc_id, lang, n_chars
+          FROM documents),
+        ml AS (
+          SELECT fp, lang AS modal_lang,
+            row_number() OVER (PARTITION BY fp
+              ORDER BY count(*) DESC, lang) AS r
+          FROM docs GROUP BY fp, lang),
+        g AS (
+          SELECT fp, CAST(count(*) AS BIGINT) AS n_members,
+            min(doc_id) AS survivor_id,
+            max(n_chars) AS longest_chars
+          FROM docs GROUP BY fp)
+        SELECT g.n_members, g.survivor_id, g.longest_chars, ml.modal_lang
+        FROM g JOIN ml ON g.fp = ml.fp AND ml.r = 1
+        WHERE g.n_members > 1
       """))
   )
 }
