@@ -193,22 +193,13 @@ object EventQueries2 {
     GraftQuery(
       "q138_concurrent_sessions",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val gapUs = 1800000000L // 30 min
-        val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
         // both overlap-join sides read the sessionization — stage it
         // once (q104 precedent) or the two window passes + session agg
         // run twice; the bench frees the checkpoint blocks per query
-        val sess = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
-          .withColumn("prev_t", lag(col("t"), 1).over(w))
-          .withColumn("new_s",
-            when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L)
-              .otherwise(0L))
-          .withColumn("sid", sum(col("new_s"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("sid"))
-          .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+        val sess = graft.operators.Sessionize.intervals(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t")),
+          "user_id", "t", "event_id", gap = 1800000000L)
           .localCheckpoint()
         val a = sess.select(col("user_id").as("user_a"),
           col("lo").as("a_lo"), col("hi").as("a_hi"))
@@ -262,20 +253,16 @@ object EventQueries2 {
       "q143_event_debounce",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val coolUs = 600000000L // 10 min
-        val w = Window.partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("t"), col("event_id"))
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_type"), col("event_id"),
-            unix_micros(col("ts")).as("t"))
-          .withColumn("prev_t", lag(col("t"), 1).over(w))
-          .withColumn("new_burst",
-            when(col("prev_t").isNull || col("t") - col("prev_t") > coolUs, 1L)
-              .otherwise(0L))
-          .withColumn("burst", sum(col("new_burst"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // debounce key = (user, type): fold both into the session key
+        val marked = graft.operators.Sessionize.markByGap(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("t"))
+            .withColumn("k", concat_ws("|", col("user_id"), col("event_type"))),
+          "k", "t", "event_id", gap = 600000000L) // 10-min cooldown
+        marked
           .withColumn("rn", row_number().over(
-            Window.partitionBy(col("user_id"), col("event_type"), col("burst"))
+            Window.partitionBy(col("k"), col("sid"))
               .orderBy(col("t"), col("event_id"))))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_total"),
@@ -320,18 +307,12 @@ object EventQueries2 {
       "q145_session_funnel",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val gapUs = 1800000000L
-        val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
         val sw = Window.partitionBy(col("user_id"), col("sid"))
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("t"))
-          .withColumn("prev_t", lag(col("t"), 1).over(w))
-          .withColumn("new_s",
-            when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L)
-              .otherwise(0L))
-          .withColumn("sid", sum(col("new_s"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        graft.operators.Sessionize.markByGap(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("t")),
+          "user_id", "t", "event_id", gap = 1800000000L)
           .withColumn("v1",
             min(when(col("event_type") === "view", col("t"))).over(sw))
           .withColumn("c1",
