@@ -38,7 +38,15 @@ object IncrementalAgg {
       agg: DataFrame => DataFrame): Try[LoadReport] = Try {
     require(delta.columns.contains(partitionCol),
       s"delta must carry the partition column $partitionCol")
-    val touched = delta.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    // collect BOTH the typed value (for the membership filter) and its
+    // string cast — escapePathName(cast-to-string) is exactly how the
+    // parquet writer renders partition directory names, so drop names
+    // derived from it match the destination byte-for-byte (deriving
+    // them from value.toString does not: '01' vs 1, timestamp '.0')
+    val touchedRows = delta
+      .select(col(partitionCol).as("v"), col(partitionCol).cast("string").as("s"))
+      .distinct().collect()
+    val touched = touchedRows.map(_.get(0))
     if (touched.isEmpty) LoadReport(0L, aggDir)
     else {
       val (nulls, nonNull) = touched.partition(_ == null)
@@ -50,7 +58,30 @@ object IncrementalAgg {
       val refreshed = agg(raw.where(member))
       require(refreshed.columns.contains(partitionCol),
         s"agg must preserve the partition column $partitionCol")
-      Load.replacePartitions(spark, refreshed, aggDir, partitionCol).get
+      // a partition-REMAPPING agg (day→week) would silently publish
+      // partial aggregates over out-of-scope partitions; fail loudly
+      // when the recomputed output leaves the touched set
+      val touchedStrs = touchedRows.map(r => Option(r.getString(1))).toSet
+      val outside = refreshed
+        .select(col(partitionCol).cast("string")).distinct().collect()
+        .map(r => Option(r.getString(0))).filterNot(touchedStrs)
+      require(outside.isEmpty,
+        s"agg emitted partitions outside the delta's touched set " +
+          s"(${outside.flatten.mkString(", ")}) — it must be partition-local")
+      // every touched partition rides the drop list: replacePartitions
+      // keeps the ones with staged content, and a touched partition
+      // whose recomputed aggregate is EMPTY has its stale files removed
+      // instead of silently surviving (same staged-wins contract as the
+      // forget pass)
+      val drops = touchedRows.map(r => dirName(partitionCol, Option(r.getString(1))))
+      Load.replacePartitions(spark, refreshed, aggDir, partitionCol,
+        dropPartitions = drops.toSeq).get
     }
+  }
+
+  private def dirName(partitionCol: String, castStr: Option[String]): String = {
+    val v = castStr.fold("__HIVE_DEFAULT_PARTITION__")(
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
+    s"$partitionCol=$v"
   }
 }

@@ -18,17 +18,22 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Append a `sid` column (1-based, per key, in (tsCol, tieCol)
-    * order). `newSession(cur, prev)` decides a break; the first event
-    * of a key always opens session 1 (prev is null there, the
-    * predicate is not consulted). The two working columns are internal
-    * — the output carries the input columns + `sid`.
+    * order). Keys may be MULTI-column — pass them as columns, never
+    * string-folded (a separator-concat key silently merges
+    * (null, "3|x") with (3, "x")). `newSession(cur, prev)` decides a
+    * break; the first event of a key always opens session 1 (prev is
+    * null there, the predicate is not consulted). The output carries
+    * the input columns + `sid`; the two internal working names are
+    * refused on input like `sid` is, not silently clobbered.
     */
   def mark(
-      df: DataFrame, keyCol: String, tsCol: String, tieCol: String)(
+      df: DataFrame, keyCols: Seq[String], tsCol: String, tieCol: String)(
       newSession: (Column, Column) => Column): DataFrame = {
-    require(!df.columns.contains("sid"),
-      "input must not carry a 'sid' column (output name)")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    require(keyCols.nonEmpty, "at least one key column required")
+    Seq("sid", "__prev", "__new").foreach(r =>
+      require(!df.columns.contains(r),
+        s"input must not carry a '$r' column (reserved by Sessionize)"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieCol))
     df
       .withColumn("__prev", lag(col(tsCol), 1).over(w))
       .withColumn("__new",
@@ -41,16 +46,16 @@ object Sessionize {
 
   /** Numeric-axis convenience: break when `cur - prev > gap`. */
   def markByGap(
-      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      df: DataFrame, keyCols: Seq[String], tsCol: String, tieCol: String,
       gap: Long): DataFrame =
-    mark(df, keyCol, tsCol, tieCol)((cur, prev) => cur - prev > gap)
+    mark(df, keyCols, tsCol, tieCol)((cur, prev) => cur - prev > gap)
 
-  /** Per-session intervals: (key, sid, lo, hi) — min/max of the time
-    * axis inside each session (the q138 shape). */
+  /** Per-session intervals: (keys..., sid, lo, hi) — min/max of the
+    * time axis inside each session (the q138 shape). */
   def intervals(
-      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      df: DataFrame, keyCols: Seq[String], tsCol: String, tieCol: String,
       gap: Long): DataFrame =
-    markByGap(df, keyCol, tsCol, tieCol, gap)
-      .groupBy(col(keyCol), col("sid"))
+    markByGap(df, keyCols, tsCol, tieCol, gap)
+      .groupBy((keyCols :+ "sid").map(col): _*)
       .agg(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi"))
 }

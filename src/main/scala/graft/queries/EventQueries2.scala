@@ -199,7 +199,7 @@ object EventQueries2 {
         val sess = graft.operators.Sessionize.intervals(
           Tables.events(s, d)
             .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t")),
-          "user_id", "t", "event_id", gap = 1800000000L)
+          Seq("user_id"), "t", "event_id", gap = 1800000000L)
           .localCheckpoint()
         val a = sess.select(col("user_id").as("user_a"),
           col("lo").as("a_lo"), col("hi").as("a_hi"))
@@ -253,16 +253,15 @@ object EventQueries2 {
       "q143_event_debounce",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // debounce key = (user, type): fold both into the session key
         val marked = graft.operators.Sessionize.markByGap(
           Tables.events(s, d)
             .select(col("user_id"), col("event_type"), col("event_id"),
-              unix_micros(col("ts")).as("t"))
-            .withColumn("k", concat_ws("|", col("user_id"), col("event_type"))),
-          "k", "t", "event_id", gap = 600000000L) // 10-min cooldown
+              unix_micros(col("ts")).as("t")),
+          Seq("user_id", "event_type"), "t", "event_id",
+          gap = 600000000L) // 10-min cooldown
         marked
           .withColumn("rn", row_number().over(
-            Window.partitionBy(col("k"), col("sid"))
+            Window.partitionBy(col("user_id"), col("event_type"), col("sid"))
               .orderBy(col("t"), col("event_id"))))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_total"),
@@ -312,7 +311,7 @@ object EventQueries2 {
           Tables.events(s, d)
             .select(col("user_id"), col("event_id"), col("event_type"),
               unix_micros(col("ts")).as("t")),
-          "user_id", "t", "event_id", gap = 1800000000L)
+          Seq("user_id"), "t", "event_id", gap = 1800000000L)
           .withColumn("v1",
             min(when(col("event_type") === "view", col("t"))).over(sw))
           .withColumn("c1",

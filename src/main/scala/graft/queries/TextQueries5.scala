@@ -161,7 +161,7 @@ object TextQueries5 {
           .orderBy(col("score").desc, col("doc_id"))
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
-            size(array_distinct(tokens(col("text")))).cast("long").as("score"))
+            graft.functions.TextFunctions.distinctTokenCount(col("text")).as("score"))
           .withColumn("decile", ntile(10).over(w).cast("long"))
           .withColumn("keep", col("decile") <=
             when(col("source").isin("src0", "src1"), 5).otherwise(2))
@@ -208,10 +208,14 @@ object TextQueries5 {
     GraftQuery(
       "q147_golden_record",
       (s, d) => {
+        // the tokenize+md5 blocking key feeds BOTH the modal-lang
+        // ranking and the cluster groupBy — stage it once (q138
+        // precedent) or the per-row text kernel runs twice
         val docs = Tables.documents(s, d)
           .select(md5(concat_ws(" ",
               slice(tokens(col("text")), 1, 10))).as("fp"),
             col("doc_id"), col("lang"), col("n_chars"))
+          .localCheckpoint()
         val langRank = Window.partitionBy(col("fp"))
           .orderBy(col("n_lang").desc, col("lang"))
         val modalLang = docs.groupBy(col("fp"), col("lang"))

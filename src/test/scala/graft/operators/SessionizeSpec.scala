@@ -14,7 +14,7 @@ class SessionizeSpec extends SparkTestBase {
 
   test("markByGap numbers sessions per key; ties break on the tie column") {
     val got = Sessionize.markByGap(
-      events.toDF("u", "t", "eid"), "u", "t", "eid", gap = 100L)
+      events.toDF("u", "t", "eid"), Seq("u"), "t", "eid", gap = 100L)
       .select($"u", $"eid", $"sid").as[(Long, Long, Long)]
       .collect().map { case (u, e, s) => (u, e) -> s }.toMap
     assert(got == Map((1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
@@ -23,7 +23,7 @@ class SessionizeSpec extends SparkTestBase {
 
   test("intervals reports per-session min/max") {
     val got = Sessionize.intervals(
-      events.toDF("u", "t", "eid"), "u", "t", "eid", gap = 100L)
+      events.toDF("u", "t", "eid"), Seq("u"), "t", "eid", gap = 100L)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 10L, 30L), (1L, 2L, 200L, 250L), (2L, 1L, 10L, 90L)))
   }
@@ -33,7 +33,7 @@ class SessionizeSpec extends SparkTestBase {
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2L),
       (1L, java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), 3L))
       .toDF("u", "ts", "eid")
-    val got = Sessionize.mark(df, "u", "ts", "eid")(
+    val got = Sessionize.mark(df, Seq("u"), "ts", "eid")(
       (cur, prev) => cur > prev + expr("INTERVAL 30 MINUTES"))
       .select($"eid", $"sid").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
@@ -42,6 +42,6 @@ class SessionizeSpec extends SparkTestBase {
   test("refuses an input that already carries sid") {
     val df = Seq((1L, 1L, 1L)).toDF("u", "t", "sid")
     intercept[IllegalArgumentException](
-      Sessionize.markByGap(df, "u", "t", "sid", 1L))
+      Sessionize.markByGap(df, Seq("u"), "t", "sid", 1L))
   }
 }
