@@ -156,9 +156,15 @@ object EventStreams {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     changeDir.foreach { cd =>
+      // the feed must be APPLYABLE downstream: attach the new row's
+      // payload to each added/changed key (fingerprints alone cannot
+      // reconstruct state). Upsert semantics → no removed rows, so
+      // every change row has a payload in `latest`.
       val changes = graft.operators.Diff
         .snapshots(current.getOrElse(latest.limit(0)), latest, Seq(keyCol))
         .where(col("status") =!= "unchanged")
+        .select(col(keyCol), col("status"))
+        .join(latest, Seq(keyCol))
       val batchPath = new org.apache.hadoop.fs.Path(s"$cd/batch=$batchId")
       if (!fs.exists(batchPath)) {
         // parquet writes are not atomic: land in a temp dir, then one
@@ -179,9 +185,10 @@ object EventStreams {
     * [[keyedUpsertSink]] AND emit a per-batch CHANGE FEED — the rows
     * whose state the batch actually altered ([[graft.operators.Diff]]
     * against the currently published table: `added` / `changed`;
-    * `removed` cannot occur under upsert semantics). Downstream
-    * incremental consumers read `changeDir/batch=N/` instead of
-    * re-diffing the full table.
+    * `removed` cannot occur under upsert semantics), each carrying
+    * `status` plus the NEW row's full payload so a downstream consumer
+    * can apply the feed without reading the table. Incremental
+    * consumers read `changeDir/batch=N/` instead of re-diffing.
     *
     * Exactly-once change log under foreachBatch's at-least-once
     * contract, by construction rather than by transaction:

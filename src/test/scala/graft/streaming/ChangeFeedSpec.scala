@@ -40,6 +40,17 @@ class ChangeFeedSpec extends SparkTestBase {
       0L -> Map(1L -> "added", 2L -> "added"),
       1L -> Map(1L -> "changed", 3L -> "added"),
       2L -> Map.empty[Long, String]))
+    // the feed is APPLYABLE: folding the batches in order (latest write
+    // per key wins) reconstructs the table without ever reading it
+    val applied = (0L to 2L).flatMap { id =>
+      val d = new java.io.File(s"$changes/batch=$id")
+      if (d.exists())
+        spark.read.parquet(d.toString).select($"k", $"v")
+          .as[(Long, String)].collect().map { case (k, v) => (id, k, v) }
+      else Seq.empty
+    }.groupBy(_._2).map { case (k, rows) => k -> rows.maxBy(_._1)._3 }
+    assert(applied == Map(1L -> "a2", 2L -> "b", 3L -> "c"),
+      "feed rows must carry the new payload, not just fingerprints")
   }
 
   test("end-to-end through a stream: per-micro-batch feed and final table") {
