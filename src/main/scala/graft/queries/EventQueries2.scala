@@ -358,6 +358,44 @@ object EventQueries2 {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converting
         FROM sess GROUP BY user_id
+      """)),
+
+    // ---- q148: rolling 7-day active users (WAU per day) — COUNT
+    //      DISTINCT over a sliding window, which no engine's window
+    //      frame supports natively. The scalable formulation: each
+    //      (user, active-day) pair EXPLODES into the 7 report days it
+    //      contributes to, then one groupBy(day) count-distinct — a
+    //      bounded 7× row expansion instead of a per-day self-join or
+    //      a collect_set window whose state is the user set. Report
+    //      days clipped to the observed range so edge days (partial
+    //      windows) are still exact. ----
+    GraftQuery(
+      "q148_rolling_wau",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        days.crossJoin(broadcast(bounds))
+          .select(col("user_id"), explode(sequence(
+            greatest(col("day"), col("lo")),
+            least(date_add(col("day"), 6), col("hi")))).as("report_day"))
+          .groupBy(col("report_day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .select(col("report_day").cast("string").as("report_day"), col("wau"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        b AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+        x AS (
+          SELECT user_id,
+            unnest(generate_series(greatest(day, lo), least(day + 6, hi),
+              INTERVAL 1 DAY)) AS report_day
+          FROM days CROSS JOIN b)
+        SELECT CAST(CAST(report_day AS DATE) AS VARCHAR) AS report_day,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM x GROUP BY 1
       """))
   )
 }

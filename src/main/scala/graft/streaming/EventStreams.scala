@@ -181,6 +181,25 @@ object EventStreams {
     ()
   }
 
+  /** Forget-list enforcement at INGESTION — the streaming face of
+    * [[graft.load.Forget]]: after a right-to-be-forgotten pass purges
+    * history, erased subjects must not RE-ENTER through live streams.
+    * Broadcast anti-join of each micro-batch against the (small)
+    * blocklist: the stream side never shuffles, and the blocklist
+    * frame is re-evaluated per micro-batch, so pointing it at the
+    * forget-keys table picks up new erasure requests without a
+    * restart.
+    */
+  def withoutBlocklisted(
+      stream: DataFrame, blocklist: DataFrame, keyCol: String): DataFrame = {
+    require(blocklist.columns.length == 1,
+      s"blocklist must have exactly one column, got ${blocklist.columns.mkString(", ")}")
+    stream.join(
+      broadcast(blocklist
+        .select(col(blocklist.columns.head).as("__block_key")).distinct()),
+      stream(keyCol) === col("__block_key"), "left_anti")
+  }
+
   /** Streaming CDC-OUT: maintain a latest-per-key table like
     * [[keyedUpsertSink]] AND emit a per-batch CHANGE FEED — the rows
     * whose state the batch actually altered ([[graft.operators.Diff]]
