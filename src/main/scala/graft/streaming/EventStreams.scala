@@ -160,11 +160,15 @@ object EventStreams {
       // payload to each added/changed key (fingerprints alone cannot
       // reconstruct state). Upsert semantics → no removed rows, so
       // every change row has a payload in `latest`.
-      val changes = graft.operators.Diff
+      // null-safe payload attach: Diff classifies null keys correctly,
+      // so the join back must not silently drop them
+      val changed = graft.operators.Diff
         .snapshots(current.getOrElse(latest.limit(0)), latest, Seq(keyCol))
         .where(col("status") =!= "unchanged")
-        .select(col(keyCol), col("status"))
-        .join(latest, Seq(keyCol))
+        .select(col(keyCol).as("__ck"), col("status"))
+      val changes = latest
+        .join(changed, latest(keyCol) <=> col("__ck"), "inner")
+        .drop("__ck")
       val batchPath = new org.apache.hadoop.fs.Path(s"$cd/batch=$batchId")
       if (!fs.exists(batchPath)) {
         // parquet writes are not atomic: land in a temp dir, then one

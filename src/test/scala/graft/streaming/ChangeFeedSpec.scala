@@ -74,6 +74,22 @@ class ChangeFeedSpec extends SparkTestBase {
       1L -> Map(1L -> "changed")))
   }
 
+  test("null-keyed rows flow through the feed with their payload") {
+    val root = tmp()
+    val (table, changes) = (s"$root/t", s"$root/c")
+    def run(id: Long, rows: Seq[(Option[Long], Long, Long, String)]): Unit =
+      EventStreams.changeFeedBatch(rows.toDF("k", "ts", "seq", "v"),
+        id, "k", "ts", "seq", table, changes)
+    run(0, Seq((Some(1L), 10L, 0L, "a"), (None, 10L, 0L, "n")))
+    run(1, Seq((None, 20L, 0L, "n2")))
+    val b1 = spark.read.parquet(s"$changes/batch=1")
+      .select($"k".isNull.as("nullk"), $"status", $"v")
+      .as[(Boolean, String, String)].collect().toSet
+    assert(b1 == Set((true, "changed", "n2")),
+      "a null-keyed change must land in the feed with its payload")
+    assert(spark.read.parquet(table).count() == 2)
+  }
+
   test("replay after publish appends nothing; replay after log write skips") {
     val root = tmp()
     val (table, changes) = (s"$root/t", s"$root/c")
