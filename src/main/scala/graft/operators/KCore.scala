@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** k-core decomposition (fixed k): the maximal subgraph in which every
@@ -10,14 +11,37 @@ import org.apache.spark.sql.functions._
   * entity" selection — and, like PageRank/Components, a loop the
   * declarative layer cannot express in one plan.
   *
-  * Scale shape per round: one groupBy(src) degree count over the
-  * surviving arc set + two anti joins against the peeled set, with
-  * lineage TRUNCATED each round (the [[Components]] precedent:
-  * localCheckpoint materializes the round; rebuilding from the RDD
-  * resets the inherited stats that otherwise grow geometrically
-  * through self-joins). Rounds are bounded by the peeling depth —
-  * O(longest degeneracy chain), typically < 10 on real graphs — not by
-  * graph size; each round's shuffle shrinks with the surviving set.
+  * Scale shape — delta peeling over a u-hash arc layout built ONCE:
+  *
+  *  - Prep is a single shuffle: both directed arcs explode from each
+  *    input pair, repartition on `u`, then dedup — HashPartitioning(u)
+  *    satisfies the (u,v)-clustered distribution dropDuplicates needs
+  *    (u ⊆ (u,v)), so the dedup aggregate runs exchange-free in the
+  *    layout every later step reuses (the PageRank large-|V|
+  *    precedent). No collect_set adjacency arrays, so a celebrity
+  *    vertex cannot overflow an executor.
+  *  - The loop maintains a (vertex, deg) table by SUBTRACTING each
+  *    round's losses instead of rewriting the arc set: the arc table is
+  *    scanned map-side against the broadcast peel set (semi-join on v,
+  *    partitioning preserved), the per-u loss aggregates without an
+  *    exchange, and the |V|-sized degree table absorbs it. Per round
+  *    the only work is one exchange-free pass over the checkpointed
+  *    arcs plus |V|-sized bookkeeping — no |E|-sized checkpoint, no
+  *    anti-join rewrite (the round-4→5 formulation paid both, 18 s at
+  *    sf0.1; this one ~5 s).
+  *  - Arcs incident to a peeled vertex are never physically removed;
+  *    correctness holds because peel sets are disjoint: an arc
+  *    (u, v ∈ peel_i) was still live this round iff u is still in the
+  *    degree table, which is exactly the frame the loss joins into.
+  *  - Termination: the final degree table IS the answer (degree inside
+  *    the core, maintained exactly by induction) — no final arc pass.
+  *  - Peel sets ride broadcasts under the same executor-sized gate as
+  *    PageRank's rank table; above it the round falls back to shuffle
+  *    joins (correct, layout-suboptimal, never hit by bounded peels).
+  *  - Every round releases the previous round's localCheckpoint blocks
+  *    once the next has materialized, and the |E|-sized arc blocks are
+  *    released before returning — a long-lived driver keeps the small
+  *    answer, not rounds × |E|.
   *
   * Cites the peeling algorithm of Matula-Beck (1983) as described in
   * public literature; no reference-engine counterpart (the reference
@@ -25,6 +49,65 @@ import org.apache.spark.sql.functions._
   * LLM-pipeline additions).
   */
 object KCore {
+
+  /** Peel sets ride broadcasts while they stay executor-sized (same
+    * budget as PageRank's rank-table gate: 4M longs ≈ 32 MB before
+    * hash-relation overhead). Above it the round shuffles instead.
+    */
+  private val BroadcastMaxPeel = 4L * 1000 * 1000
+
+  /** Small-graph gate for the exact driver-side cascade (the
+    * [[Components]] union-find precedent, same 4M budget): under it the
+    * whole peel runs as one collect + linear-time bucket cascade — a
+    * synchronous distributed loop pays ~4 job launches per round for a
+    * graph that fits in a few tens of MB. Above it the delta-peel loop
+    * below takes over.
+    */
+  private val DriverMaxArcs = 4L * 1000 * 1000
+
+  /** Textbook cascade over directed arc pairs (both directions
+    * present): seed every vertex under k, then each removal decrements
+    * its live neighbors, enqueuing exactly when one crosses k.
+    * O(|E| + |V|), single pass per arc.
+    */
+  private def driverPeel(arcs: Array[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    arcs.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, new mutable.ArrayBuffer[Long]()) += v
+    }
+    val deg = mutable.HashMap.empty[Long, Int]
+    adj.foreach { case (u, vs) => deg(u) = vs.length }
+    val removed = mutable.HashSet.empty[Long]
+    val queue = mutable.ArrayDeque.empty[Long]
+    deg.foreach { case (u, d) => if (d < k) queue += u }
+    while (queue.nonEmpty) {
+      val u = queue.removeHead()
+      if (removed.add(u)) {
+        adj(u).foreach { v =>
+          if (!removed.contains(v)) {
+            val d = deg(v) - 1
+            deg(v) = d
+            if (d == k - 1) queue += v // crosses the bar exactly once
+          }
+        }
+      }
+    }
+    deg.iterator.collect {
+      case (u, d) if !removed.contains(u) => (u, d.toLong)
+    }.toSeq
+  }
+
+  /** Free a localCheckpoint's storage blocks. Dataset.unpersist only
+    * covers CacheManager entries; the checkpoint's data lives in the
+    * RDD the LogicalRDD wraps, so unpersist THAT. After this the frame
+    * is unrecomputable (lineage was truncated) — callers only release
+    * frames no longer referenced by any live plan.
+    */
+  private def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    case _            => ()
+  }
 
   /** Vertices of the k-core of the undirected graph given as `pairs`
     * (any orientation, duplicates fine — canonicalized and deduped
@@ -34,44 +117,72 @@ object KCore {
     */
   def core(
       pairs: DataFrame, aCol: String, bCol: String, k: Int,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, driverMaxArcs: Long = DriverMaxArcs): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val e0 = pairs
+    // both directions explode in ONE pass over the input (a union of
+    // the pair pipeline with its swap would evaluate it twice), then
+    // the single prep shuffle lands the u-hash layout and the
+    // exchange-free dedup
+    val arcs = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint(true)
 
-    def truncated(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    // Small-graph fast path: the count is one cheap job over the
+    // checkpointed blocks, and under the gate the exact cascade runs in
+    // linear time on the driver instead of paying per-round job
+    // launches (measured: the distributed loop below costs ~3 s at the
+    // sf0.1 gate fixture; the collect + cascade ~1 s).
+    if (arcs.count() <= driverMaxArcs) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labeled = driverPeel(arcs.as[(Long, Long)].collect(), k)
+      release(arcs)
+      return spark.createDataset(labeled).toDF("vertex", "core_degree")
+    }
 
-    var arcs = truncated(
-      e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint(true))
+    // initial degrees: exchange-free in the arc layout
+    var deg = arcs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      // materialize the peel set ONCE: it feeds the emptiness probe and
-      // BOTH anti-join sides — un-materialized, self-join dedup clones
-      // the subtree and the degree aggregation would run three times
-      // per round
-      val bad = truncated(
-        arcs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .where(col("deg") < k).select(col("u").as("peel"))
-          .localCheckpoint(true))
-      if (bad.limit(1).count() == 0) done = true
+      val peel = deg.where(col("deg") < k).select(col("u").as("peel"))
+        .localCheckpoint(true)
+      val peelCount = peel.count()
+      if (peelCount == 0) { done = true; release(peel) }
       else {
-        arcs = truncated(arcs
-          .join(bad, arcs("u") === bad("peel"), "left_anti")
-          .join(bad.select(col("peel").as("peel_v")),
-            arcs("v") === col("peel_v"), "left_anti")
-          .localCheckpoint(true))
+        val small = peelCount <= BroadcastMaxPeel
+        def side(df: DataFrame): DataFrame =
+          if (small) broadcast(df) else df.hint("shuffle_hash")
+        // per-u loss to this round's peel: map-side semi-join keeps the
+        // arc layout, so the aggregation needs no exchange
+        val loss = arcs
+          .join(side(peel.select(col("peel").as("peel_v"))),
+            arcs("v") === col("peel_v"), "left_semi")
+          .groupBy(col("u")).agg(count(lit(1)).as("loss"))
+        val next = deg
+          .join(side(peel), deg("u") === peel("peel"), "left_anti")
+          .join(loss, Seq("u"), "left")
+          .select(col("u"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
+          .localCheckpoint(true)
+        release(deg)
+        release(peel)
+        deg = next
         iter += 1
       }
     }
     require(done, s"k-core peeling did not converge in $maxIter rounds")
-    arcs.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
-      .select(col("u").as("vertex"), col("core_degree"))
+    // the maintained table is already the core degrees; free the
+    // |E|-sized arc blocks before handing the small answer back
+    release(arcs)
+    deg.select(col("u").as("vertex"), col("deg").as("core_degree"))
   }
 }

@@ -20,9 +20,17 @@ class KCoreSpec extends SparkTestBase {
     es.groupBy(_._1).map { case (v, xs) => v -> xs.size }
   }
 
-  private def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] =
-    KCore.core(edges.toDF("a", "b"), "a", "b", k)
+  // driverMaxArcs = 0 forces the distributed delta-peel loop; every
+  // case below runs through BOTH paths so the gate can never hide a
+  // divergence between the driver cascade and the degree-table loop
+  private def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val driver = KCore.core(edges.toDF("a", "b"), "a", "b", k)
       .as[(Long, Long)].collect().map { case (v, d) => v -> d.toInt }.toMap
+    val dist = KCore.core(edges.toDF("a", "b"), "a", "b", k, driverMaxArcs = 0)
+      .as[(Long, Long)].collect().map { case (v, d) => v -> d.toInt }.toMap
+    assert(driver == dist, "driver cascade and distributed delta-peel diverge")
+    driver
+  }
 
   test("clique survives, pendant chain peels away") {
     // K4 on 1-4, chain 4-5-6 hanging off it
