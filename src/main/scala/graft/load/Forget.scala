@@ -119,6 +119,33 @@ object Forget {
     }
   }
 
+  /** Erasure over a [[graft.streaming.EventStreams.keyedUpsertSink]] /
+    * changeFeedSink table, safe to run against a LIVE stream: the
+    * store is hash-bucketed on its key (`__kp` partitions), so this is
+    * [[forgetKeysPartitioned]] pointed at the bucket column — only
+    * buckets containing listed keys are rewritten, emptied buckets are
+    * dropped — wrapped in the table's single-writer lock, the same
+    * lock every micro-batch publish takes. The pass and the stream
+    * therefore SERIALIZE: a batch that fires mid-pass fails its lock
+    * acquire, the sink's at-least-once contract retries it, and the
+    * retry merges against the purged table. Erased subjects must also
+    * feed [[graft.streaming.EventStreams.withoutBlocklisted]] upstream
+    * or live events re-insert them (spec proves the pairing).
+    *
+    * Note: the change FEED is an immutable log and is not rewritten
+    * here — erase feed history separately (per-batch dirs are plain
+    * parquet under `changeDir/batch=N`) if the deployment's retention
+    * rules require it.
+    */
+  def forgetKeysUpsert(
+      spark: SparkSession, keys: DataFrame, tableDir: String,
+      keyCol: String): Try[ForgetReport] =
+    Load.withLock(spark, tableDir, "forget pass") {
+      forgetKeysPartitioned(
+        spark, keys, tableDir, keyCol,
+        graft.streaming.EventStreams.BucketCol).get
+    }
+
   /** Null-safe membership: `isin(null)` never matches, so a null
     * partition needs its own disjunct.
     */

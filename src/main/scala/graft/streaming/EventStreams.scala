@@ -99,38 +99,80 @@ object EventStreams {
 
   /** Stream → keyed materialized view via foreachBatch: every
     * micro-batch folds into a parquet table keeping the LATEST row per
-    * key (event-time desc, tiebreak column desc), written through the
-    * staged atomic replace sink so readers never observe a partial
-    * table. This is the production upsert-sink pattern for engines
-    * without a native MERGE sink: the batch function is transactional
-    * per micro-batch (a throw fails the batch and the checkpoint
-    * retries it), and the read-merge-swap is safe because the staged
-    * write materializes from the OLD table before the swap.
+    * key (event-time desc, tiebreak column desc). This is the
+    * production upsert-sink pattern for engines without a native MERGE
+    * sink: the batch function is transactional per micro-batch (a
+    * throw fails the batch and the checkpoint retries it).
     *
-    * At warehouse scale the inner merge would be a MERGE INTO against a
-    * table format; the dataflow (micro-batch ⋈ current state → latest
-    * per key → atomic publish) is identical.
+    * Scale shape — the table is laid out in `buckets` hash partitions
+    * of the key (`__kp = pmod(xxhash64(key), buckets)`), so a
+    * micro-batch reads and rewrites ONLY the buckets its keys land in:
+    * per-batch I/O is O(touched buckets), not O(table) — the MERGE
+    * INTO dataflow expressed through [[graft.load.Load.replacePartitions]]'
+    * per-partition staged swap. Buckets untouched by a batch keep
+    * byte-identical files (spec-proven). Size `buckets` so one bucket
+    * ≈ a few hundred MB at steady state; the count is pinned in a
+    * `<dir>__buckets` sidecar at first publish and a restart with a
+    * different value fails loudly — a mismatched modulus would prune
+    * the WRONG partitions and resurrect stale rows. Readers see `__kp`
+    * as an ordinary partition column (select their own columns as
+    * usual). Publishes serialize through [[graft.load.Load.withLock]],
+    * so a maintenance pass (forget, compaction) can safely run against
+    * a LIVE table by taking the same lock.
     */
   def keyedUpsertSink(
       events: DataFrame, keyCol: String, tsCol: String, seqCol: String,
-      tableDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      tableDir: String, checkpointDir: String,
+      buckets: Int = DefaultUpsertBuckets): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         upsertPublish(batch.toDF, batchId, keyCol, tsCol, seqCol, tableDir,
-          changeDir = None)
+          changeDir = None, buckets = buckets)
       }
       .start()
 
+  /** Default key-hash bucket count for [[keyedUpsertSink]] /
+    * [[changeFeedSink]] tables. 64 keeps a small table's directory
+    * listing trivial while already giving a 64× I/O cut for a batch
+    * touching one bucket; a 100 TB table wants enough buckets that one
+    * holds a few hundred MB.
+    */
+  val DefaultUpsertBuckets = 64
+
+  /** Internal partition column of the upsert store (visible to
+    * [[graft.load.Forget.forgetKeysUpsert]], which prunes on it). */
+  private[graft] val BucketCol = "__kp"
+
+  private def bucketOf(keyCol: String, buckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
+
+  /** Bucket a single key value lands in under the store's layout —
+    * for tests and operational debugging ("which directory holds key
+    * X?"). Evaluates the same expression the sink uses, so it cannot
+    * drift from the layout. xxhash64 is TYPE-sensitive: pass the key
+    * with the exact runtime type of the key column.
+    */
+  private[graft] def bucketOfKey(
+      spark: org.apache.spark.sql.SparkSession, key: Any, buckets: Int): Int =
+    spark.range(1)
+      .select(pmod(xxhash64(lit(key)), lit(buckets.toLong)).cast("int"))
+      .head.getInt(0)
+
   /** Shared micro-batch core of [[keyedUpsertSink]] and
-    * [[changeFeedSink]]: guard, merge latest-per-key, optionally land
-    * the change feed, publish via the staged swap.
+    * [[changeFeedSink]]: guard, merge latest-per-key over the touched
+    * buckets only, optionally land the change feed, publish the
+    * touched buckets via the partition-level staged swap.
     */
   private def upsertPublish(
       batch: DataFrame, batchId: Long, keyCol: String, tsCol: String,
-      seqCol: String, tableDir: String, changeDir: Option[String]): Unit = {
+      seqCol: String, tableDir: String, changeDir: Option[String],
+      buckets: Int): Unit = {
     val spark = batch.sparkSession
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(!batch.columns.contains(BucketCol) && !batch.columns.contains("__rn"),
+      s"batch must not carry reserved columns $BucketCol/__rn")
     // genuine first-batch = the table path does not exist. Anything
     // else (corrupt table, failed prior swap leaving __old behind)
     // must THROW so the batch fails and retries, not silently reset
@@ -138,50 +180,85 @@ object EventStreams {
     val dest = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // A missing dest is only a genuine first batch when no swap
-    // debris exists: if a prior replaceTable failed after moving
-    // dest aside AND its restore failed ("previous table left at
-    // __old"), treating this batch as first would silently reset
-    // the accumulated view to this batch's rows — data loss with no
-    // error. Throw so the batch retries/alerts instead.
+    // debris exists: if a prior publish failed after moving partitions
+    // aside AND its restore failed, treating this batch as first would
+    // silently reset the accumulated view to this batch's rows — data
+    // loss with no error. Throw so the batch retries/alerts instead.
     if (!fs.exists(dest) &&
         fs.exists(new org.apache.hadoop.fs.Path(tableDir + "__old")))
       throw new IllegalStateException(
         s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
           "without restore; recover the backup before resuming the stream")
-    val current = if (fs.exists(dest)) Some(spark.read.parquet(tableDir)) else None
-    val all = current.map(_.unionByName(batch)).getOrElse(batch)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
-    val latest = all
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-    changeDir.foreach { cd =>
-      // the feed must be APPLYABLE downstream: attach the new row's
-      // payload to each added/changed key (fingerprints alone cannot
-      // reconstruct state). Upsert semantics → no removed rows, so
-      // every change row has a payload in `latest`.
-      // null-safe payload attach: Diff classifies null keys correctly,
-      // so the join back must not silently drop them
-      val changed = graft.operators.Diff
-        .snapshots(current.getOrElse(latest.limit(0)), latest, Seq(keyCol))
-        .where(col("status") =!= "unchanged")
-        .select(col(keyCol).as("__ck"), col("status"))
-      val changes = latest
-        .join(changed, latest(keyCol) <=> col("__ck"), "inner")
-        .drop("__ck")
-      val batchPath = new org.apache.hadoop.fs.Path(s"$cd/batch=$batchId")
-      if (!fs.exists(batchPath)) {
-        // parquet writes are not atomic: land in a temp dir, then one
-        // rename — a crash mid-write leaves only temp debris, never a
-        // partial batch dir that the existence check would trust
-        val tmpPath = new org.apache.hadoop.fs.Path(s"$cd/__tmp_batch=$batchId")
-        if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-        changes.write.parquet(tmpPath.toString)
-        if (!fs.exists(batchPath) && !fs.rename(tmpPath, batchPath))
-          throw new java.io.IOException(s"publish rename of change log $batchPath failed")
+    graft.load.Load.withLock(spark, tableDir, s"upsert batch=$batchId") {
+      // bucket-count pin: written before the first publish, checked on
+      // every later one. The layout IS the modulus — changing it
+      // between runs silently breaks pruning, so it must fail here.
+      val pin = new org.apache.hadoop.fs.Path(tableDir + "__buckets")
+      if (fs.exists(pin)) {
+        val in = fs.open(pin)
+        val pinned =
+          try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+        require(pinned == buckets,
+          s"$tableDir was created with $pinned buckets; restarting the sink " +
+            s"with $buckets would corrupt the layout — pass buckets = $pinned")
+      } else {
+        val out = fs.create(pin, false)
+        out.write(buckets.toString.getBytes("UTF-8")); out.close()
       }
-    }
-    graft.load.Load.replaceTable(spark, latest, tableDir).get
+      val batched = batch.withColumn(BucketCol, bucketOf(keyCol, buckets))
+      // ≤ `buckets` values by construction — a driver-bounded collect
+      val touched = batched.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // partition-pruned read: only the buckets this batch touches are
+      // scanned (and later rewritten) — per-batch I/O is O(touched).
+      // A dest with no bucket dirs is a fully-emptied table (a forget
+      // pass can drop every bucket) — reading it would fail schema
+      // inference, so it merges like a first batch.
+      def hasBuckets = fs.listStatus(dest)
+        .exists(_.getPath.getName.startsWith(BucketCol + "="))
+      val current =
+        if (fs.exists(dest) && touched.nonEmpty && hasBuckets)
+          Some(spark.read.parquet(tableDir)
+            .where(col(BucketCol).isin(touched.map(Int.box): _*)))
+        else None
+      val all = current.map(_.unionByName(batched)).getOrElse(batched)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
+      val latest = all
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      changeDir.foreach { cd =>
+        // the feed must be APPLYABLE downstream: attach the new row's
+        // payload to each added/changed key (fingerprints alone cannot
+        // reconstruct state). Upsert semantics → no removed rows, so
+        // every change row has a payload in `latest`. Keys OUTSIDE the
+        // touched buckets cannot change, so the bucket-scoped diff is
+        // the full diff.
+        // null-safe payload attach: Diff classifies null keys correctly,
+        // so the join back must not silently drop them
+        val changed = graft.operators.Diff
+          .snapshots(current.getOrElse(latest.limit(0)), latest, Seq(keyCol))
+          .where(col("status") =!= "unchanged")
+          .select(col(keyCol).as("__ck"), col("status"))
+        val changes = latest
+          .join(changed, latest(keyCol) <=> col("__ck"), "inner")
+          .drop("__ck").drop(BucketCol)
+        val batchPath = new org.apache.hadoop.fs.Path(s"$cd/batch=$batchId")
+        if (!fs.exists(batchPath)) {
+          // parquet writes are not atomic: land in a temp dir, then one
+          // rename — a crash mid-write leaves only temp debris, never a
+          // partial batch dir that the existence check would trust
+          val tmpPath = new org.apache.hadoop.fs.Path(s"$cd/__tmp_batch=$batchId")
+          if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+          changes.write.parquet(tmpPath.toString)
+          if (!fs.exists(batchPath) && !fs.rename(tmpPath, batchPath))
+            throw new java.io.IOException(s"publish rename of change log $batchPath failed")
+        }
+      }
+      // upsert semantics never empty a bucket (every touched bucket
+      // holds at least this batch's keys), so no drop list is needed
+      graft.load.Load.replacePartitions(spark, latest, tableDir, BucketCol).get
+    }.get
     ()
   }
 
@@ -233,13 +310,15 @@ object EventStreams {
     */
   def changeFeedSink(
       events: DataFrame, keyCol: String, tsCol: String, seqCol: String,
-      tableDir: String, changeDir: String, checkpointDir: String)
+      tableDir: String, changeDir: String, checkpointDir: String,
+      buckets: Int = DefaultUpsertBuckets)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        changeFeedBatch(batch.toDF, batchId, keyCol, tsCol, seqCol, tableDir, changeDir)
+        changeFeedBatch(batch.toDF, batchId, keyCol, tsCol, seqCol, tableDir,
+          changeDir, buckets)
       }
       .start()
 
@@ -247,8 +326,10 @@ object EventStreams {
     * replay-idempotence contract is directly testable. */
   private[streaming] def changeFeedBatch(
       batch: DataFrame, batchId: Long, keyCol: String, tsCol: String,
-      seqCol: String, tableDir: String, changeDir: String): Unit =
-    upsertPublish(batch, batchId, keyCol, tsCol, seqCol, tableDir, Some(changeDir))
+      seqCol: String, tableDir: String, changeDir: String,
+      buckets: Int = DefaultUpsertBuckets): Unit =
+    upsertPublish(batch, batchId, keyCol, tsCol, seqCol, tableDir,
+      Some(changeDir), buckets)
 
   /** Streaming SCD2 dimension maintenance: each micro-batch of
     * attribute updates merges into a versioned history table

@@ -154,4 +154,63 @@ class ForgetSpec extends SparkTestBase {
     val bad = Seq((1L, 2L)).toDF("k1", "k2")
     assert(Forget.forgetKeys(spark, bad, Seq((s"$root/t", "user_id"))).isFailure)
   }
+
+  test("forget pass over a LIVE streaming upsert table: purged, lock-serialized, stream continues") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_stream").toString
+    val table = s"$root/table"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    // ingest filters through the blocklist so erased subjects cannot
+    // RE-ENTER after the pass — the pairing the scaladoc demands. A
+    // CATALOG table: appends refresh the file index, so the running
+    // stream picks up new erasure requests without a restart (a bare
+    // parquet-path frame pins its file listing at creation).
+    spark.sql("DROP TABLE IF EXISTS forget_blocklist")
+    Seq.empty[Long].toDF("k").write.saveAsTable("forget_blocklist")
+    val filtered = EventStreams.withoutBlocklisted(
+      mem.toDF().toDF("k", "ts", "seq", "v"), spark.table("forget_blocklist"), "k")
+    val q = EventStreams.keyedUpsertSink(
+      filtered, keyCol = "k", tsCol = "ts", seqCol = "seq",
+      tableDir = table, checkpointDir = s"$root/ckpt", buckets = 8)
+    try {
+      val b = (k: Long) => EventStreams.bucketOfKey(spark, k, 8)
+      val (keep, forget) = (7L, (8L to 64L).find(b(_) != b(7L)).get)
+      mem.addData((keep, 10L, 0L, "keep"), (forget, 10L, 0L, "secret"))
+      q.processAllAvailable()
+
+      def files(bucket: Int): Map[String, (Long, Long)] = {
+        val d = new java.io.File(s"$table/__kp=$bucket")
+        if (!d.exists()) Map.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+      }
+      val keepFilesBefore = files(b(keep))
+
+      // erase while the stream is up (idle between batches): the pass
+      // takes the same writer lock the micro-batch publish takes
+      Seq(forget).toDF("k").write.mode("append").saveAsTable("forget_blocklist")
+      val r = Forget.forgetKeysUpsert(spark, Seq(forget).toDF("k"), table, "k")
+      assert(r.isSuccess, s"got $r")
+      assert(r.get.dropped == 1)
+      assert(spark.read.parquet(table).select($"k").as[Long].collect().toSeq == Seq(keep))
+      // only the forgotten key's bucket was touched; the emptied bucket
+      // directory is gone, not silently kept
+      assert(files(b(keep)) == keepFilesBefore)
+      assert(files(b(forget)).isEmpty)
+
+      // the stream keeps running and the erased subject cannot re-enter
+      // through it (blocklist filter), while others still upsert
+      mem.addData((keep, 20L, 0L, "keep2"), (forget, 20L, 0L, "re-entry"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).select($"k", $"v").as[(Long, String)]
+        .collect().toMap == Map(keep -> "keep2"))
+
+      // lock contention is LOUD: a concurrent holder fails the pass
+      graft.load.Load.withLock(spark, table, "someone else") {
+        assert(Forget.forgetKeysUpsert(spark, Seq(keep).toDF("k"), table, "k").isFailure)
+      }.get
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS forget_blocklist") }
+  }
 }

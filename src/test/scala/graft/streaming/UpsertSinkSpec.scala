@@ -69,4 +69,58 @@ class UpsertSinkSpec extends SparkTestBase {
       assert(!new java.io.File(table).exists)
     } finally q.stop()
   }
+
+  test("a batch rewrites only the buckets its keys touch; others stay byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    // two keys in provably different buckets of the pinned modulus
+    val b = (k: Long) => EventStreams.bucketOfKey(spark, k, 8)
+    val (k1, k2) = (7L, (8L to 64L).find(b(_) != b(7L)).get)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.keyedUpsertSink(
+      mem.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt", buckets = 8)
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", k1, 1.0), ev(2, "2024-01-01 10:00:00", k2, 2.0))
+      q.processAllAvailable()
+      def files(bucket: Int): Map[String, (Long, Long)] = {
+        val d = new java.io.File(s"$table/__kp=$bucket")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+      }
+      val untouchedBefore = files(b(k2))
+      assert(untouchedBefore.nonEmpty)
+      // batch 2 touches ONLY k1's bucket
+      mem.addData(ev(3, "2024-01-01 11:00:00", k1, 10.0))
+      q.processAllAvailable()
+      assert(files(b(k2)) == untouchedBefore,
+        "bucket untouched by the batch must keep byte-identical files")
+      assert(spark.read.parquet(table).select($"user_id", $"value")
+        .as[(Long, Double)].collect().toMap == Map(k1 -> 10.0, k2 -> 2.0))
+    } finally q.stop()
+  }
+
+  test("restarting the sink with a different bucket count fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    val mem = MemoryStream[Event]
+    val q = EventStreams.keyedUpsertSink(
+      mem.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt", buckets = 8)
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7, 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val mem2 = MemoryStream[Event]
+    val q2 = EventStreams.keyedUpsertSink(
+      mem2.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt2", buckets = 16)
+    try {
+      mem2.addData(ev(2, "2024-01-01 11:00:00", 7, 2.0))
+      val failed = try { q2.processAllAvailable(); false } catch { case _: Throwable => true }
+      assert(failed, "bucket-count mismatch must fail the batch")
+      assert(q2.exception.isDefined)
+    } finally q2.stop()
+  }
 }
