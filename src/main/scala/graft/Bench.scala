@@ -40,6 +40,15 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(Registry.all)(names => Registry.all.filter(q => names(q.name)))
 
+    // Short ids (q54, q14b) must stay unique — a collision would emit
+    // duplicate JSON keys and silently drop a timing. Checked BEFORE
+    // the timing loop (fail-before-paying: a name collision must not
+    // cost a full multi-minute suite run first).
+    val shortIds = selected.map(_.name.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == shortIds.size,
+      s"duplicate short query ids in bench contract: ${
+        shortIds.groupBy(identity).collect { case (id, g) if g.size > 1 => id }.mkString(",")}")
+
     def loadAvg: Double = {
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       os.getSystemLoadAverage
@@ -76,12 +85,6 @@ object Bench {
     // overflowed that window and the parse failed.
     val full = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     System.err.println(s"[bench-full] $full")
-    val shortIds = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
-    // Short ids must stay unique — a collision (e.g. a future q54_a and
-    // q54_b) would emit duplicate JSON keys and silently drop a timing.
-    require(shortIds.distinct.size == shortIds.size,
-      s"duplicate short query ids in bench contract: ${
-        shortIds.groupBy(identity).collect { case (id, g) if g.size > 1 => id }.mkString(",")}")
     def queriesJson(fmt: Double => String) = shortIds.zip(results)
       .map { case (id, (_, v, _)) => "\"" + id + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -335,9 +335,20 @@ object Load {
             rs.close(); true
           } catch { case _: java.sql.SQLException => false }
         try {
-          if (!destExists)
-            st.executeUpdate(
-              s"CREATE TABLE ${qq(table)} AS SELECT * FROM ${qq(staging)} WITH NO DATA")
+          if (!destExists) {
+            // CTAS dialect gap: MySQL and Snowflake reject the
+            // SQL-standard `WITH NO DATA`, Derby REQUIRES it, Postgres
+            // takes both. Try the widely-accepted zero-row filter form
+            // first and fall back to the standard form — between them
+            // every dialect the writer itself reaches is covered.
+            try st.executeUpdate(
+              s"CREATE TABLE ${qq(table)} AS SELECT * FROM ${qq(staging)} WHERE 1=0")
+            catch {
+              case _: java.sql.SQLException =>
+                st.executeUpdate(
+                  s"CREATE TABLE ${qq(table)} AS SELECT * FROM ${qq(staging)} WITH NO DATA")
+            }
+          }
           conn.setAutoCommit(false)
           val rows =
             try {

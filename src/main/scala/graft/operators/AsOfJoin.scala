@@ -34,6 +34,13 @@ object AsOfJoin {
       leftTime: String, rightTime: String, rightId: String,
       leftCols: Seq[String], forwardDir: Boolean,
       tolerance: Option[Column] = None): DataFrame = {
+    // the union/window scaffolding owns these names; a left column
+    // with one of them would be silently clobbered by the picker
+    // values (Sessionize.mark's reserved-name rule, applied here)
+    val reserved = Set("_key", "_t", "_side", "_payload", "_mt", s"asof_$rightId")
+    leftCols.filter(reserved).foreach(c => require(false,
+      s"left column '$c' collides with an AsOfJoin working name " +
+        s"(reserved: ${reserved.mkString(", ")}) — rename it before joining"))
     val l = left.select(
       (col(on).as("_key") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).cast(right.schema(rightId).dataType).as("_payload") +:

@@ -102,6 +102,12 @@ object Dedup {
     * in. Output: (doc_new, doc_old, n_inter, n_union, jaccard) with
     * jaccard ≥ tau; ids live in separate universes (no i<j
     * canonicalization across tables).
+    *
+    * The returned plan references internal localCheckpoints; a
+    * LONG-LIVED driver calling this per ingest round must
+    * [[Lineage.release]] each result after consuming it, or checkpoint
+    * blocks accumulate round over round (a batch job can skip it — the
+    * blocks die with the context).
     */
   def minhashLshIncremental(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** k-core decomposition (fixed k): the maximal subgraph in which every
@@ -98,16 +97,11 @@ object KCore {
     }.toSeq
   }
 
-  /** Free a localCheckpoint's storage blocks. Dataset.unpersist only
-    * covers CacheManager entries; the checkpoint's data lives in the
-    * RDD the LogicalRDD wraps, so unpersist THAT. After this the frame
-    * is unrecomputable (lineage was truncated) — callers only release
-    * frames no longer referenced by any live plan.
+  /** Free a round's localCheckpoint blocks once the next round has
+    * materialized (see [[Lineage.release]] — after this the frame is
+    * unrecomputable, so only frames no live plan references go in).
     */
-  private def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-    case _            => ()
-  }
+  private def release(df: DataFrame): Unit = Lineage.release(df)
 
   /** Vertices of the k-core of the undirected graph given as `pairs`
     * (any orientation, duplicates fine — canonicalized and deduped

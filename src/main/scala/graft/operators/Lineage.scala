@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Storage hygiene for localCheckpoint-backed plans.
+  *
+  * `Dataset.unpersist` only covers CacheManager entries; a
+  * localCheckpoint's data lives in the RDD its LogicalRDD wraps, so
+  * frames returned by the iterative/incremental operators (which
+  * checkpoint internally — [[KCore]], [[Components]],
+  * [[Dedup.minhashLshIncremental]]) pin block-manager storage until
+  * the SparkContext dies. Batch jobs don't care; a LONG-LIVED driver
+  * (streaming ingest loop, query service) must release what it has
+  * finished consuming or storage grows with every call.
+  *
+  * [[release]] walks a plan and unpersists every checkpoint it
+  * references. After it, the frame is UNRECOMPUTABLE (checkpointing
+  * truncated the lineage that could have rebuilt it) — call it only
+  * once the result is consumed (collected / written), on a frame no
+  * other live plan shares.
+  */
+object Lineage {
+
+  /** Unpersist every localCheckpoint block the plan of `df` references.
+    * Idempotent; safe on plans with no checkpoints.
+    */
+  def release(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _             => ()
+    }
+}

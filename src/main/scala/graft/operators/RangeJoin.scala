@@ -25,6 +25,50 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Data-driven bin width for callers that do not know one. The cost
+    * model wants the width near the TYPICAL interval length, but a
+    * plain median is unsafe under length skew: a corpus of mostly
+    * 1-unit intervals with a few month-long ones would pick width 1
+    * and explode each long interval into millions of bins — the
+    * silent 100 TB failure mode this default exists to close. So the
+    * pick is `max(median, p99 / 64)`: typical intervals land in a
+    * handful of bins, and even the 99th-percentile interval explodes
+    * into at most ~64 — bounded fan-out either way. Computed by a
+    * single-pass approximate-quantile aggregate (no shuffle; only the
+    * two bound columns are scanned, one extra job before the join).
+    * The explicit-width overloads remain for callers that know their
+    * axis.
+    */
+  private[operators] def autoBinWidth(
+      lengths: DataFrame): Long = {
+    val q = lengths
+      .select(col(lengths.columns.head).cast("double").as("_len"))
+      .where(col("_len").isNotNull)
+      .stat.approxQuantile("_len", Array(0.5, 0.99), 0.01)
+    if (q.isEmpty) 1L // no intervals: width is irrelevant, any value joins nothing
+    else math.max(1L, math.max(q(0).toLong, (q(1) / 64.0).toLong))
+  }
+
+  private def intervalLengths(df: DataFrame, loCol: String, hiCol: String): DataFrame =
+    df.select((col(hiCol) - col(loCol) + 1).as("_len"))
+
+  /** [[pointInInterval]] with the bin width sampled from the interval
+    * lengths — safe by default; see [[autoBinWidth]]. */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String): DataFrame =
+    pointInInterval(points, intervals, pointCol, loCol, hiCol,
+      autoBinWidth(intervalLengths(intervals, loCol, hiCol)))
+
+  /** [[intervalOverlap]] with the bin width sampled from BOTH sides'
+    * interval lengths — safe by default; see [[autoBinWidth]]. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String): DataFrame =
+    intervalOverlap(left, right, lLo, lHi, rLo, rHi,
+      autoBinWidth(intervalLengths(left, lLo, lHi)
+        .unionAll(intervalLengths(right, rLo, rHi))))
+
   /** Inner-join `points` to `intervals` where
     * `points(pointCol) BETWEEN intervals(loCol) AND intervals(hiCol)`
     * (both ends inclusive). All columns of both inputs are carried;

@@ -117,4 +117,12 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.isEmpty,
       "stale payload must null out even with a nearer null-payload right row")
   }
+
+  test("reserved working names in leftCols are refused loudly") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "_mt")
+    val r = Seq((1L, 5L, 100L)).toDF("k", "t2", "rid")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.backward(l, r, "k", "t", "t2", "rid", leftCols = Seq("_mt")))
+    assert(e.getMessage.contains("_mt"))
+  }
 }

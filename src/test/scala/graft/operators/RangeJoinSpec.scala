@@ -88,4 +88,48 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"non-equi join in:\n$plan")
   }
+
+  test("caller-free default: auto width equals the explicit result and stays bounded under skew") {
+    // mostly short intervals plus a 2% long tail: a bare median would
+    // pick ~10 and explode each long interval into ~100k bins; the
+    // p99/64 floor keeps the fan-out bounded while typical intervals
+    // still land in a handful of bins
+    val rnd = new scala.util.Random(11)
+    val skewed = (1 to 980).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (i.toLong, lo, lo + 5 + rnd.nextInt(10))
+    } ++ (1 to 20).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (1000L + i, lo, lo + 1000000L)
+    }
+    val w = RangeJoin.autoBinWidth(
+      skewed.toDF("id", "lo", "hi").select((col("hi") - col("lo") + 1).as("_len")))
+    assert(w >= 1000001L / 64 - 1, s"width $w lets the long tail explode")
+    assert(w <= 1000001L, s"width $w piles everything into one candidate set")
+
+    val pts = (0 until 500).map(i => (i.toLong, rnd.nextInt(120000).toLong))
+    val auto = RangeJoin.pointInInterval(
+      pts.toDF("pid", "x"), skewed.toDF("id", "lo", "hi"), "x", "lo", "hi")
+      .select($"pid", $"id").as[(Long, Long)].collect().toSet
+    val explicit = RangeJoin.pointInInterval(
+      pts.toDF("pid", "x"), skewed.toDF("id", "lo", "hi"), "x", "lo", "hi", 16L)
+      .select($"pid", $"id").as[(Long, Long)].collect().toSet
+    assert(auto == explicit, "auto width must not change the join result")
+
+    val autoOv = RangeJoin.intervalOverlap(
+      skewed.take(100).toDF("id", "lo", "hi"),
+      skewed.drop(900).toDF("id2", "lo2", "hi2"), "lo", "hi", "lo2", "hi2")
+      .select($"id", $"id2").as[(Long, Long)].collect().toSet
+    val explicitOv = RangeJoin.intervalOverlap(
+      skewed.take(100).toDF("id", "lo", "hi"),
+      skewed.drop(900).toDF("id2", "lo2", "hi2"), "lo", "hi", "lo2", "hi2", 64L)
+      .select($"id", $"id2").as[(Long, Long)].collect().toSet
+    assert(autoOv == explicitOv, "auto width must not change the overlap result")
+  }
+
+  test("auto width on an empty interval side does not divide by zero") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "lo", "hi")
+    val pts = Seq((1L, 5L)).toDF("pid", "x")
+    assert(RangeJoin.pointInInterval(pts, empty, "x", "lo", "hi").count() == 0)
+  }
 }
