@@ -81,8 +81,13 @@ object Relational2 {
       """)),
 
     // ---- q24: approximate distinct (HLL) beside the exact count.
-    //      No oracle: HLL sketches are engine-specific; the exact
-    //      column is the anchor and the spec bounds the relative error ----
+    //      The raw HLL estimate is engine-specific (register layout +
+    //      hash differ per engine), so the oracle is reduced-assertion
+    //      (q97 precedent): the exact count anchors the hash compare
+    //      and `within_rsd` pins the estimate's relative error ≤ 0.06
+    //      = 3× the requested rsd 0.02 (measured max 0.006 at sf0.01,
+    //      0.033 at sf0.1) — a broken sketch flips the flag and the
+    //      row hash. ----
     GraftQuery(
       "q24_approx_distinct",
       (s, d) =>
@@ -98,8 +103,15 @@ object Relational2 {
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("exact_orders"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
-      None),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("_approx"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("_approx") - col("exact_orders"))
+              / col("exact_orders") <= 0.06).cast("long").as("within_rsd")),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+          CAST(1 AS BIGINT) AS within_rsd
+        FROM lineitem GROUP BY l_returnflag
+      """)),
 
     // ---- q25: per-file provenance (SURVEY S1 — input_file_name).
     //      Fixtures are one parquet file per table (TESTDATA.md), so the
@@ -225,17 +237,22 @@ object Relational2 {
         FROM a
       """)),
 
-    // ---- q48: IVF-flat ANN (scale path #2; recall spec-verified
-    //      against the exact baseline like the LSH variant) ----
+    // ---- q48: IVF-flat ANN (scale path #2). Data-dependent float
+    //      centroids → no static SQL replica; oracle-checked via the
+    //      reduced-assertion route (VectorQueries.bruteTopKRecallOracle):
+    //      the output is the exact top-k (DuckDB hash-matches it
+    //      bit-for-bit) + a flag pinning IVF's mean recall@10 ≥ 0.6
+    //      (measured 0.84 at sf0.01, 1.0 at sf0.1; IvfSpec additionally
+    //      pins 0.96 on its fixture) ----
     GraftQuery(
       "q48_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        graft.operators.Ivf.topK(
-            emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
-            k = 10, nCentroids = 16, nProbe = 4)
-          .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        val ann = graft.operators.Ivf.topK(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 4)
+        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.6)
       },
-      None)
+      Some(VectorQueries.bruteTopKRecallOracle(10)))
   )
 }

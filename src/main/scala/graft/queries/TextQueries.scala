@@ -24,6 +24,34 @@ object TextQueries {
       |     WHEN s_es >= s_zh THEN 'es'
       |     ELSE 'zh' END""".stripMargin
 
+  /** DuckDB replica of the salted-md5 MinHash+LSH algorithm (same
+    * candidates, same exact-Jaccard verification — bit-for-bit). Shared
+    * by q34 (verbatim) and q55 (with the fast-path agreement flag
+    * appended via `extra`).
+    */
+  private def minhashMd5OracleSql(extra: String = ""): String = s"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') toks FROM documents),
+    s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) sh
+          FROM t WHERE len(toks) >= 3),
+    m AS (SELECT doc_id, sh, list_transform(generate_series(0, 15),
+            i -> list_min(list_transform(sh, x -> md5(concat(i, '|', x))))) sig
+          FROM s),
+    bands AS (SELECT doc_id, b, concat(sig[2*b+1], sig[2*b+2]) bsig
+              FROM m, unnest(generate_series(0, 7)) AS u(b)),
+    cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
+             FROM bands x JOIN bands y
+               ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+    v AS (SELECT da AS doc_a, db AS doc_b,
+            len(list_intersect(sa.sh, sb.sh)) n_inter,
+            len(list_distinct(list_concat(sa.sh, sb.sh))) n_union
+          FROM cand JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db)
+    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+      CAST(n_union AS BIGINT) AS n_union,
+      CAST(n_inter AS DOUBLE) / n_union AS jaccard$extra
+    FROM v WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.3
+  """
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- q30: corpus statistics per language label ----
@@ -122,28 +150,7 @@ object TextQueries {
       "q34_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3),
-      Some("""
-        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') toks FROM documents),
-        s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
-                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) sh
-              FROM t WHERE len(toks) >= 3),
-        m AS (SELECT doc_id, sh, list_transform(generate_series(0, 15),
-                i -> list_min(list_transform(sh, x -> md5(concat(i, '|', x))))) sig
-              FROM s),
-        bands AS (SELECT doc_id, b, concat(sig[2*b+1], sig[2*b+2]) bsig
-                  FROM m, unnest(generate_series(0, 7)) AS u(b)),
-        cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
-                 FROM bands x JOIN bands y
-                   ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-        v AS (SELECT da AS doc_a, db AS doc_b,
-                len(list_intersect(sa.sh, sb.sh)) n_inter,
-                len(list_distinct(list_concat(sa.sh, sb.sh))) n_union
-              FROM cand JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db)
-        SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
-          CAST(n_union AS BIGINT) AS n_union,
-          CAST(n_inter AS DOUBLE) / n_union AS jaccard
-        FROM v WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.3
-      """),
+      Some(minhashMd5OracleSql()),
       headline = true),
 
     // ---- q56: BPE-ish token accounting — the "how many tokens will
@@ -175,15 +182,33 @@ object TextQueries {
       """}),
 
     // ---- q55: the FAST MinHash path (one xxhash64 per shingle + k
-    //      multiply-add permutations instead of k md5 digests). Spark-
-    //      only: xxhash64 seeds are engine-internal, so no oracle —
-    //      DedupSpec verifies planted-dup recall and agreement with the
-    //      md5 path; reported jaccard is exact either way ----
+    //      multiply-add permutations instead of k md5 digests). The
+    //      xxhash64 candidate set is Spark-private (engine-internal
+    //      seeds), so the oracle is reduced-assertion (q97 precedent):
+    //      the query RETURNS the md5 path's pairs — which DuckDB
+    //      replicates bit-for-bit (q34's oracle) — plus `fast_ok`
+    //      pinning the fast path's recall of high-sim (j ≥ 0.7) md5
+    //      pairs ≥ 0.9 (measured 1.0 at sf0.01 AND sf0.1; at j = 0.7
+    //      the 8×2 banding theoretically finds 99.7% of candidates).
+    //      DedupSpec separately pins planted-dup recall; reported
+    //      jaccard is exact in both paths. ----
     GraftQuery(
       "q55_dedup_minhash_fast",
-      (s, d) => Dedup.minhashLshFast(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3),
-      None),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val md5 = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
+        val fast = Dedup.minhashLshFast(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
+        val flag = md5.where(col("jaccard") >= 0.7).select("doc_a", "doc_b")
+          .join(fast.select(col("doc_a"), col("doc_b"))
+            .withColumn("_hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          // no high-sim pairs → vacuously true, not a null flag
+          .agg(coalesce(sum(col("_hit")) / count(lit(1)), lit(1.0)).as("_r"))
+          .select((col("_r") >= 0.9).cast("long").as("fast_ok"))
+        md5.crossJoin(broadcast(flag))
+      },
+      Some(minhashMd5OracleSql(",\n      CAST(1 AS BIGINT) AS fast_ok"))),
 
     // ---- q35: exact bigram Jaccard within a blocking key ----
     GraftQuery(
@@ -205,15 +230,33 @@ object TextQueries {
             / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.25
       """)),
 
-    // ---- q36: SimHash near-dup pairs (Spark-only — xxhash64 is not in
-    //      DuckDB; correctness covered by the planted-duplicate spec).
+    // ---- q36: SimHash near-dup pairs over xxhash64 token hashes.
+    //      xxhash64 is not in DuckDB, so the oracle is
+    //      reduced-assertion (q97 precedent): the query RETURNS the
+    //      portable md5-family pairs — which DuckDB replicates
+    //      bit-for-bit (q79's oracle) — plus `xx_ok` pinning the
+    //      xxhash path's recall of near-identical (hamming ≤ 1)
+    //      portable pairs ≥ 0.75 (measured 1.0 at sf0.01, 0.93 at
+    //      sf0.1; the families share no hash bits, so borderline pairs
+    //      legitimately disagree — near-identical ones must not).
     //      maxHamming=5 measured on the fixture corpus: true near-dup
     //      pairs sit at Hamming 0-5, spurious same-vocab pairs ramp up
     //      from 5 — 12 would admit ~1400 false candidates ----
     GraftQuery(
       "q36_dedup_simhash",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 5),
-      None),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val portable = Dedup.simhash60Pairs(docs, "doc_id", "text", maxHamming = 5)
+        val xx = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 5)
+        val flag = portable.where(col("hamming") <= 1).select("doc_a", "doc_b")
+          .join(xx.select(col("doc_a"), col("doc_b"))
+            .withColumn("_hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          // no near-identical pairs → vacuously true, not a null flag
+          .agg(coalesce(sum(col("_hit")) / count(lit(1)), lit(1.0)).as("_r"))
+          .select((col("_r") >= 0.75).cast("long").as("xx_ok"))
+        portable.crossJoin(broadcast(flag))
+      },
+      Some(TextQueries2.simhash60PairsOracleSql(", CAST(1 AS BIGINT) AS xx_ok"))),
 
     // ---- q126: INCREMENTAL dedup — a new batch (source src0) against
     //      the existing corpus (everything else), the daily-ingest

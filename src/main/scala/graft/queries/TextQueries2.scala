@@ -25,6 +25,40 @@ object TextQueries2 {
 
   private val alphabet: Seq[Char] = ('a' to 'z') ++ ('0' to '9') :+ ' '
 
+  /** DuckDB replica of the portable md5-family SimHash banding (every
+    * majority-vote bit + the 4×15-bit band join — bit-for-bit). Shared
+    * by q79 (verbatim) and q36 (with the xxhash-path agreement flag
+    * appended via `extra`).
+    */
+  private[queries] def simhash60PairsOracleSql(extra: String = ""): String = s"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '\\S+')) > 0),
+    h AS (
+      SELECT doc_id,
+        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM tk),
+    votes AS (
+      SELECT doc_id, j.j AS j,
+        sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+      GROUP BY doc_id, j.j),
+    sig AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, s, b.b AS band, (s >> (15 * b.b)) & 32767 AS bsig
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, hamming$extra FROM pairs WHERE hamming <= 5
+  """
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- q75: TF-IDF top-3 terms per document (log-free portable
@@ -171,34 +205,7 @@ object TextQueries2 {
       "q79_simhash_pairs",
       (s, d) => Dedup.simhash60Pairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 5),
-      Some("""
-        WITH tk AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-          FROM documents
-          WHERE len(regexp_extract_all(lower(text), '\S+')) > 0),
-        h AS (
-          SELECT doc_id,
-            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
-          FROM tk),
-        votes AS (
-          SELECT doc_id, j.j AS j,
-            sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
-          GROUP BY doc_id, j.j),
-        sig AS (
-          SELECT doc_id,
-            CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
-          FROM votes GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, s, b.b AS band, (s >> (15 * b.b)) & 32767 AS bsig
-          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b),
-        pairs AS (
-          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-            CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
-          FROM banded x JOIN banded y
-            ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
-        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 5
-      """)),
+      Some(simhash60PairsOracleSql())),
 
     // ---- q83: benchmark decontamination — corpus docs sharing an
     //      8-gram with a (deterministic pseudo-)benchmark slice. The

@@ -18,12 +18,61 @@ object VectorQueries {
     * unit-normalized copy mirroring Similarity.prep (norm computed once,
     * element-wise division — same operation sequence, bit-identical).
     */
-  private val vecCte =
+  private[queries] val vecCte =
     """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
       |           FROM embeddings),
       |nrm AS (SELECT vec_id, label,
       |          list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
       |        FROM e)""".stripMargin
+
+  /** Reduced-assertion oracle (q97 precedent) shared by the
+    * data-dependent ANN paths (q48 IVF, q112 PQ, q113 IVF-PQ): their
+    * float codebooks/centroids cannot be replicated in static SQL, so
+    * the query instead RETURNS the exact brute-force top-k — which
+    * DuckDB recomputes independently and hash-matches bit-for-bit
+    * (q41's fold idiom) — plus one flag column asserting the ANN
+    * path's mean recall@k against that same exact set cleared `floor`.
+    * The oracle pins the flag to 1: a recall regression flips the row
+    * to a hash mismatch. Spark side of the contract:
+    * [[exactAnchoredRecall]].
+    */
+  private[queries] def bruteTopKRecallOracle(k: Int): String = s"""
+    $vecCte,
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_reduce(list_transform(generate_series(1, len(q.vn)),
+          i -> q.vn[i] * c.vn[i]), (x, y) -> x + y) AS sim
+      FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, sim, rank, CAST(1 AS BIGINT) AS recall_ok
+    FROM ranked WHERE rank <= $k
+  """
+
+  /** Spark side of [[bruteTopKRecallOracle]]: exact brute-force top-k
+    * rows with `recall_ok` = (mean recall@k of `ann` vs that exact set
+    * ≥ floor) attached as a one-row broadcast stat. Each query
+    * contributes exactly k exact rows, so the overall hit fraction IS
+    * the mean per-query recall. The floor is picked per path from
+    * measured recalls at sf0.01/sf0.1 with ≥2× margin, far above the
+    * k/N chance level (~0.002 on the fixture).
+    */
+  private[queries] def exactAnchoredRecall(
+      emb: org.apache.spark.sql.DataFrame, ann: org.apache.spark.sql.DataFrame,
+      k: Int, floor: Double): org.apache.spark.sql.DataFrame = {
+    val exact = Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    val flag = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id")).distinct()
+        .withColumn("_hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("_hit"), lit(0L))) / count(lit(1))).as("_recall"))
+      .select((col("_recall") >= floor).cast("long").as("recall_ok"))
+    exact.crossJoin(broadcast(flag))
+  }
 
   /** SQL fragments replicating Similarity's md5-derived hyperplane LSH
     * in DuckDB: identical plane family (via Similarity.planeSigns),

@@ -47,37 +47,43 @@ object VectorQueries2 {
 
     // ---- q112: product-quantization ADC top-k — the 32x-compression
     //      ANN path (operators.Pq: codebooks trained on a deterministic
-    //      hash-ordered sample, m lookup-adds per corpus row). Rows-only
-    //      like IVF's q48: the codebooks are data-dependent floats, so
-    //      no static oracle can replicate them — correctness is
-    //      spec-gated (PqSpec: exact on centroid-aligned vectors,
-    //      bit-identical retraining, recall floor vs float brute force)
-    //      with q41/q42/q102 as the oracle-checked neighbors. ----
+    //      hash-ordered sample, m lookup-adds per corpus row). The
+    //      codebooks are data-dependent floats, so no static oracle can
+    //      replicate the ADC scores; oracle-checked via the
+    //      reduced-assertion route instead (exact top-k hash-matched +
+    //      mean-recall flag). The 0.05 floor looks low but the fixture
+    //      is RANDOM 64-dim vectors — PQ's theoretical worst case (no
+    //      cluster structure to quantize) — and chance recall is
+    //      ~0.002; measured means are 0.28 (sf0.01) / 0.12 (sf0.1).
+    //      PqSpec additionally pins exactness on centroid-aligned
+    //      vectors and bit-identical retraining. ----
     GraftQuery(
       "q112_pq_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val cb = graft.operators.Pq.train(emb, "vec_id", "embedding")
-        graft.operators.Pq.adcTopK(
-            emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 10)
-          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val ann = graft.operators.Pq.adcTopK(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 10)
+        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.05)
       },
-      None),
+      Some(VectorQueries.bruteTopKRecallOracle(10))),
 
     // ---- q113: IVF-PQ — the billion-scale composition (coarse cells
     //      prune candidates, product-quantized RESIDUALS score them by
-    //      table lookup). Rows-only like q48/q112 (data-dependent float
-    //      codebooks); IvfPqSpec pins recall vs brute force AND that
-    //      residual quantization beats raw PQ at the same code budget
-    //      (measured 0.42 vs 0.22 recall@10 on the random fixture). ----
+    //      table lookup). Same reduced-assertion oracle as q48/q112;
+    //      floor 0.1 vs measured means 0.42 (sf0.01) / 0.24 (sf0.1) on
+    //      the random fixture (chance ~0.002). IvfPqSpec additionally
+    //      pins that residual quantization beats raw PQ at the same
+    //      code budget (0.42 vs 0.22 recall@10). ----
     GraftQuery(
       "q113_ivfpq_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        graft.operators.IvfPq.topK(
+        val ann = graft.operators.IvfPq.topK(
           emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nCentroids = 16, nProbe = 4)
+        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.1)
       },
-      None)
+      Some(VectorQueries.bruteTopKRecallOracle(10)))
   )
 }
