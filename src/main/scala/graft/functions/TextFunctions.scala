@@ -141,6 +141,44 @@ object TextFunctions {
     (size(array_intersect(a, b)).cast("long"),
       size(array_union(a, b)).cast("long"))
 
+  // ---- PII redaction (training-corpus scrubbing) ----
+
+  /** RE2-safe PII patterns (no lookaround/backreference), so the DuckDB
+    * oracle applies the LITERALLY identical strings — pattern parity is
+    * by construction, not by argument. Application order matters and is
+    * part of the contract (see [[redactPii]]): email before phone so a
+    * digit-bearing local part is consumed as an address, IPv4 before
+    * the bare-id run so octets never half-match as account numbers.
+    */
+  val PiiEmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhonePattern: String =
+    "(\\+\\d{1,2}[- ])?(\\(\\d{3}\\)[ -]?|\\d{3}[ -])\\d{3}[ -]\\d{4}"
+  val PiiIdPattern: String = "\\b\\d{8,16}\\b"
+
+  /** The ordered redaction chain: email → IPv4 → phone → bare 8-16
+    * digit id runs, each replaced by its typed tag. A pure map over the
+    * codegen'd regexp_replace — no shuffle, scale-trivial; the deletion
+    * complement of load.Forget (drop the ROW) for the "keep the text,
+    * lose the identifier" obligation.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, PiiEmailPattern, "<EMAIL>"),
+          PiiIpv4Pattern, "<IP>"),
+        PiiPhonePattern, "<PHONE>"),
+      PiiIdPattern, "<ID>")
+
+  /** Independent per-type match count over the ORIGINAL text (group 0
+    * matches, before any redaction — the audit metric, not a residual
+    * check; a digit-heavy email local part legitimately counts under
+    * both email and id).
+    */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   // ---- quality metrics (all integer counts; ratios derived exactly) ----
 
   def charCount(c: Column): Column = length(c).cast("long")

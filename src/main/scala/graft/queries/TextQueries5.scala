@@ -250,6 +250,66 @@ object TextQueries5 {
         SELECT g.n_members, g.survivor_id, g.longest_chars, ml.modal_lang
         FROM g JOIN ml ON g.fp = ml.fp AND ml.r = 1
         WHERE g.n_members > 1
-      """))
+      """)),
+
+    // ---- q149: PII redaction — the "keep the text, lose the
+    //      identifier" scrub a released training corpus needs (the
+    //      row-deletion side lives in load.Forget). The fixture corpus
+    //      carries no PII, so both engines plant the SAME
+    //      doc_id-derived email/phone/IP/account tokens before
+    //      scrubbing — the patterns are then exercised against text
+    //      that genuinely contains every type, and the tail of real
+    //      fixture text guards against over-matching. Patterns are
+    //      RE2-safe and shared verbatim with the oracle
+    //      (TextFunctions.Pii*Pattern); per-type counts audit the
+    //      original text independently of redaction order. Pure map,
+    //      no shuffle — scale-trivial. ----
+    GraftQuery(
+      "q149_pii_redact",
+      (s, d) => {
+        import graft.functions.TextFunctions._
+        val planted = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("doc_id") * 7, lit(10000L)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".17 acct "), (col("doc_id") * 37 + 12345678L).cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), planted.as("_t"))
+          .select(col("doc_id"),
+            redactPii(col("_t")).as("redacted"),
+            piiCount(col("_t"), PiiEmailPattern).as("n_email"),
+            piiCount(col("_t"), PiiPhonePattern).as("n_phone"),
+            piiCount(col("_t"), PiiIpv4Pattern).as("n_ip"),
+            piiCount(col("_t"), PiiIdPattern).as("n_id"))
+      },
+      Some {
+        // DuckDB '...' literals have no backslash escapes (q56
+        // precedent) — patterns go in raw, only quotes doubled
+        def esc(p: String) = p.replace("'", "''")
+        import graft.functions.TextFunctions._
+        s"""
+        WITH planted AS (
+          SELECT doc_id,
+            concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
+              lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+              lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0'),
+              ' from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+              '.17 acct ', CAST(doc_id * 37 + 12345678 AS VARCHAR)) AS t
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '${esc(PiiEmailPattern)}', '<EMAIL>', 'g'),
+            '${esc(PiiIpv4Pattern)}', '<IP>', 'g'),
+            '${esc(PiiPhonePattern)}', '<PHONE>', 'g'),
+            '${esc(PiiIdPattern)}', '<ID>', 'g') AS redacted,
+          CAST(len(regexp_extract_all(t, '${esc(PiiEmailPattern)}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t, '${esc(PiiPhonePattern)}')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(t, '${esc(PiiIpv4Pattern)}')) AS BIGINT) AS n_ip,
+          CAST(len(regexp_extract_all(t, '${esc(PiiIdPattern)}')) AS BIGINT) AS n_id
+        FROM planted
+        """
+      })
   )
 }

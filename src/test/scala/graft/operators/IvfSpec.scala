@@ -47,11 +47,14 @@ class IvfSpec extends SparkTestBase {
   }
 
   test("HLL approx distinct stays within its declared error (q24)") {
+    // round 6: the query now carries the error assertion itself — the
+    // within_rsd flag the reduced-assertion oracle pins to 1
     val out = graft.Registry.byName("q24_approx_distinct").run(spark, sf)
-      .select($"exact_orders", $"approx_orders").as[(Long, Long)].collect()
-    out.foreach { case (exact, approx) =>
-      val err = math.abs(approx - exact).toDouble / exact
-      assert(err < 0.1, s"HLL error $err for exact=$exact approx=$approx")
+      .select($"exact_orders", $"within_rsd").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (exact, ok) =>
+      assert(exact > 0)
+      assert(ok == 1L, s"HLL estimate strayed past 3x rsd for exact=$exact")
     }
   }
 }
