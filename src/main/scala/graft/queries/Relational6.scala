@@ -369,6 +369,52 @@ object Relational6 {
         SELECT status, CAST(count(*) AS BIGINT) AS n,
           min(k) AS min_key, max(k) AS max_key
         FROM j GROUP BY status
+      """)),
+
+    // ---- q150: per-group quantile profile — exact 0.25-grid anchors
+    //      beside the SCALE path. The exact percentiles shuffle every
+    //      value; `percentile_approx` (Spark's built-in mergeable GK
+    //      summary, map-side partial merge, O(accuracy) state) is what
+    //      survives 100 TB — so the query ships both: exact p25/p50/p75
+    //      hash-match DuckDB's quantile_cont bit-for-bit (BIGINT cents,
+    //      interpolation lands on the exactly-representable 0.25 grid),
+    //      and `approx_ok` pins each GK estimate inside the exact
+    //      rank-envelope [p−0.02, p+0.02] — ~40× the sketch's declared
+    //      1/accuracy rank error, robust to merge-order variation
+    //      across partitionings. ----
+    GraftQuery(
+      "q150_quantile_profile",
+      (s, d) => {
+        val ps = Seq(0.25, 0.5, 0.75)
+        val env = Seq(0.23, 0.27, 0.48, 0.52, 0.73, 0.77)
+        // the fixture stores prices as DOUBLE: *100 straight off the
+        // double then casting diverges per engine (Spark truncates,
+        // DuckDB rounds). The decimal(12,2) waypoint — the repo's
+        // standard float-parity route — makes the cents exact on both.
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        val agg = li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          percentile(col("cents"), array(ps.map(lit): _*)).as("_ex"),
+          percentile(col("cents"), array(env.map(lit): _*)).as("_env"),
+          percentile_approx(col("cents"), array(ps.map(lit): _*), lit(1000)).as("_ap"))
+        val ok = (0 until 3).map(i =>
+          col("_ap")(i) >= col("_env")(2 * i) && col("_ap")(i) <= col("_env")(2 * i + 1))
+          .reduce(_ && _)
+        agg.select(col("l_returnflag"), col("n"),
+          col("_ex")(0).as("p25"), col("_ex")(1).as("p50"), col("_ex")(2).as("p75"),
+          ok.cast("long").as("approx_ok"))
+      },
+      Some("""
+        WITH c AS (SELECT l_returnflag,
+                     CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                   FROM lineitem)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          quantile_cont(cents, 0.25) AS p25,
+          quantile_cont(cents, 0.5) AS p50,
+          quantile_cont(cents, 0.75) AS p75,
+          CAST(1 AS BIGINT) AS approx_ok
+        FROM c GROUP BY l_returnflag
       """))
   )
 }
