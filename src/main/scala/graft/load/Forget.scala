@@ -126,9 +126,13 @@ object Forget {
     * buckets containing listed keys are rewritten, emptied buckets are
     * dropped — wrapped in the table's single-writer lock, the same
     * lock every micro-batch publish takes. The pass and the stream
-    * therefore SERIALIZE: a batch that fires mid-pass fails its lock
-    * acquire, the sink's at-least-once contract retries it, and the
-    * retry merges against the purged table. Erased subjects must also
+    * therefore SERIALIZE: a batch that fires mid-pass WAITS on its
+    * lock acquire (the sink retries the lock for up to ~2 min — an
+    * exception in foreachBatch would terminate the StreamingQuery, so
+    * waiting, not failing, is what keeps the stream alive), then
+    * merges against the purged table. A pass longer than the sink's
+    * retry window does stop the stream — run long passes in a
+    * maintenance window. Erased subjects must also
     * feed [[graft.streaming.EventStreams.withoutBlocklisted]] upstream
     * or live events re-insert them (spec proves the pairing).
     *

@@ -344,9 +344,22 @@ object Load {
             try st.executeUpdate(
               s"CREATE TABLE ${qq(table)} AS SELECT * FROM ${qq(staging)} WHERE 1=0")
             catch {
-              case _: java.sql.SQLException =>
-                st.executeUpdate(
+              case first: java.sql.SQLException =>
+                // a failed statement ABORTS any open transaction on
+                // Postgres-like engines — clear it or the fallback
+                // fails spuriously on autoCommit=false connections
+                if (!conn.getAutoCommit) Try(conn.rollback())
+                try st.executeUpdate(
                   s"CREATE TABLE ${qq(table)} AS SELECT * FROM ${qq(staging)} WITH NO DATA")
+                catch {
+                  case second: java.sql.SQLException =>
+                    // both forms failed: the FIRST failure is usually
+                    // the real cause (permissions, dead connection) —
+                    // surface it instead of masking it with the
+                    // second form's dialect error
+                    first.addSuppressed(second)
+                    throw first
+                }
             }
           }
           conn.setAutoCommit(false)

@@ -136,8 +136,11 @@ object KCore {
     if (arcs.count() <= driverMaxArcs) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val labeled = driverPeel(arcs.as[(Long, Long)].collect(), k)
-      release(arcs)
+      // release in finally: a collect/cascade failure must not pin the
+      // |E|-sized checkpoint blocks in a long-lived driver
+      val labeled =
+        try driverPeel(arcs.as[(Long, Long)].collect(), k)
+        finally release(arcs)
       return spark.createDataset(labeled).toDF("vertex", "core_degree")
     }
 
@@ -147,33 +150,45 @@ object KCore {
 
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
-      val peel = deg.where(col("deg") < k).select(col("u").as("peel"))
-        .localCheckpoint(true)
-      val peelCount = peel.count()
-      if (peelCount == 0) { done = true; release(peel) }
-      else {
-        val small = peelCount <= BroadcastMaxPeel
-        def side(df: DataFrame): DataFrame =
-          if (small) broadcast(df) else df.hint("shuffle_hash")
-        // per-u loss to this round's peel: map-side semi-join keeps the
-        // arc layout, so the aggregation needs no exchange
-        val loss = arcs
-          .join(side(peel.select(col("peel").as("peel_v"))),
-            arcs("v") === col("peel_v"), "left_semi")
-          .groupBy(col("u")).agg(count(lit(1)).as("loss"))
-        val next = deg
-          .join(side(peel), deg("u") === peel("peel"), "left_anti")
-          .join(loss, Seq("u"), "left")
-          .select(col("u"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
+    // peel is hoisted so the failure path below can release the round
+    // in flight; non-convergence and mid-round exceptions must free
+    // arcs/deg/peel or a long-lived driver pins rounds x |E| blocks
+    var peel: DataFrame = null
+    try {
+      while (!done && iter < maxIter) {
+        peel = deg.where(col("deg") < k).select(col("u").as("peel"))
           .localCheckpoint(true)
-        release(deg)
-        release(peel)
-        deg = next
-        iter += 1
+        val peelCount = peel.count()
+        if (peelCount == 0) { done = true; release(peel); peel = null }
+        else {
+          val small = peelCount <= BroadcastMaxPeel
+          def side(df: DataFrame): DataFrame =
+            if (small) broadcast(df) else df.hint("shuffle_hash")
+          // per-u loss to this round's peel: map-side semi-join keeps the
+          // arc layout, so the aggregation needs no exchange
+          val loss = arcs
+            .join(side(peel.select(col("peel").as("peel_v"))),
+              arcs("v") === col("peel_v"), "left_semi")
+            .groupBy(col("u")).agg(count(lit(1)).as("loss"))
+          val next = deg
+            .join(side(peel), deg("u") === peel("peel"), "left_anti")
+            .join(loss, Seq("u"), "left")
+            .select(col("u"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
+            .localCheckpoint(true)
+          release(deg)
+          release(peel)
+          peel = null
+          deg = next
+          iter += 1
+        }
       }
+      require(done, s"k-core peeling did not converge in $maxIter rounds")
+    } catch {
+      case t: Throwable =>
+        release(arcs); release(deg)
+        if (peel != null) release(peel)
+        throw t
     }
-    require(done, s"k-core peeling did not converge in $maxIter rounds")
     // the maintained table is already the core degrees; free the
     // |E|-sized arc blocks before handing the small answer back
     release(arcs)

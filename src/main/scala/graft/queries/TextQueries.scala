@@ -196,8 +196,11 @@ object TextQueries {
       "q55_dedup_minhash_fast",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // staged: the md5 banded self-join feeds BOTH the output rows
+        // and the recall flag — unstaged it would execute twice
         val md5 = Dedup.minhashLsh(docs, "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
+          .localCheckpoint(true)
         val fast = Dedup.minhashLshFast(docs, "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
         val flag = md5.where(col("jaccard") >= 0.7).select("doc_a", "doc_b")
@@ -246,7 +249,10 @@ object TextQueries {
       "q36_dedup_simhash",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // staged: the portable banded pair pipeline feeds BOTH the
+        // output rows and the recall flag — unstaged it runs twice
         val portable = Dedup.simhash60Pairs(docs, "doc_id", "text", maxHamming = 5)
+          .localCheckpoint(true)
         val xx = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 5)
         val flag = portable.where(col("hamming") <= 1).select("doc_a", "doc_b")
           .join(xx.select(col("doc_a"), col("doc_b"))

@@ -268,8 +268,10 @@ object TextQueries5 {
       "q149_pii_redact",
       (s, d) => {
         import graft.functions.TextFunctions._
+        // coalesce: Spark's concat null-propagates while DuckDB's
+        // ignores NULL args — a null-text row would silently diverge
         val planted = concat(
-          col("text"),
+          coalesce(col("text"), lit("")),
           lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or +1-555-"),
           lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"), lit("-"),
           lpad(pmod(col("doc_id") * 7, lit(10000L)).cast("string"), 4, "0"),
@@ -292,7 +294,7 @@ object TextQueries5 {
         s"""
         WITH planted AS (
           SELECT doc_id,
-            concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
+            concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
               lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0'),
               ' from 10.0.', CAST(doc_id % 256 AS VARCHAR),

@@ -63,9 +63,13 @@ object VectorQueries {
   private[queries] def exactAnchoredRecall(
       emb: org.apache.spark.sql.DataFrame, ann: org.apache.spark.sql.DataFrame,
       k: Int, floor: Double): org.apache.spark.sql.DataFrame = {
+    // staged: the brute-force subtree feeds BOTH the output rows and
+    // the recall flag — without the checkpoint Spark executes the
+    // corpus-wide scored join + window twice per run
     val exact = Similarity.bruteForceTopK(
         emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .localCheckpoint(true)
     val flag = exact.select(col("query_id"), col("neighbor_id"))
       .join(ann.select(col("query_id"), col("neighbor_id")).distinct()
         .withColumn("_hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")

@@ -189,21 +189,40 @@ object EventStreams {
       throw new IllegalStateException(
         s"$tableDir missing but ${tableDir}__old exists — prior swap failed " +
           "without restore; recover the backup before resuming the stream")
-    graft.load.Load.withLock(spark, tableDir, s"upsert batch=$batchId") {
+    withLockRetry(spark, tableDir, s"upsert batch=$batchId") {
       // bucket-count pin: written before the first publish, checked on
       // every later one. The layout IS the modulus — changing it
       // between runs silently breaks pruning, so it must fail here.
       val pin = new org.apache.hadoop.fs.Path(tableDir + "__buckets")
       if (fs.exists(pin)) {
         val in = fs.open(pin)
-        val pinned =
-          try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+        val raw = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        val pinned = raw.toIntOption.getOrElse(throw new IllegalStateException(
+          s"bucket pin $pin is unreadable (contents: '$raw') — restore it to " +
+            "the table's original bucket count before resuming the stream"))
         require(pinned == buckets,
           s"$tableDir was created with $pinned buckets; restarting the sink " +
             s"with $buckets would corrupt the layout — pass buckets = $pinned")
       } else {
-        val out = fs.create(pin, false)
+        // No pin but a NON-EMPTY dest = a table this sink did not
+        // create (e.g. a flat pre-bucketing layout, or a hand-deleted
+        // pin over live __kp= dirs). Merging would silently reset the
+        // accumulated view to this batch's rows / corrupt the modulus —
+        // the exact data-loss mode the guards above exist to prevent.
+        if (fs.exists(dest) && fs.listStatus(dest).nonEmpty)
+          throw new IllegalStateException(
+            s"$tableDir exists with data but has no bucket pin ($pin) — " +
+              "it was not created by this sink (or the pin was deleted). " +
+              "Migrate it with a one-time bucketed rewrite, or restore the " +
+              "pin to the original bucket count, before resuming the stream")
+        // tmp + rename: a crash mid-write must leave no (empty) pin
+        // behind — an atomic rename either lands the full pin or nothing
+        val tmp = new org.apache.hadoop.fs.Path(tableDir + "__buckets__tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+        val out = fs.create(tmp, true)
         out.write(buckets.toString.getBytes("UTF-8")); out.close()
+        if (!fs.rename(tmp, pin))
+          throw new java.io.IOException(s"bucket pin rename to $pin failed")
       }
       val batched = batch.withColumn(BucketCol, bucketOf(keyCol, buckets))
       // ≤ `buckets` values by construction — a driver-bounded collect
@@ -258,8 +277,37 @@ object EventStreams {
       // upsert semantics never empty a bucket (every touched bucket
       // holds at least this batch's keys), so no drop list is needed
       graft.load.Load.replacePartitions(spark, latest, tableDir, BucketCol).get
-    }.get
+    }
     ()
+  }
+
+  /** Acquire the table's single-writer lock, waiting out a TRANSIENT
+    * holder (a concurrent forget pass over the same table — see
+    * [[graft.load.Forget.forgetKeysUpsert]]) instead of throwing into
+    * foreachBatch: an exception there TERMINATES the StreamingQuery —
+    * there is no automatic per-batch retry — so "fail and let the sink
+    * retry" would turn every maintenance pass into an ingestion outage.
+    * Only the lock-held refusal is retried; body failures (pin
+    * mismatch, swap errors) propagate immediately. Bounded: a crashed
+    * holder's stale lock still surfaces as the refusal error after
+    * `attempts` x `sleepMs` (default 120 s), with the holder's
+    * owner-note in the message for diagnosis.
+    */
+  private def withLockRetry[T](
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      owner: String, attempts: Int = 120, sleepMs: Long = 1000)(body: => T): T = {
+    var tries = 0
+    while (true) {
+      graft.load.Load.withLock(spark, tableDir, owner)(body) match {
+        case scala.util.Success(t) => return t
+        case scala.util.Failure(e: IllegalStateException)
+            if e.getMessage != null && e.getMessage.contains("is locked by")
+              && tries < attempts =>
+          tries += 1; Thread.sleep(sleepMs)
+        case scala.util.Failure(e) => throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Forget-list enforcement at INGESTION — the streaming face of

@@ -123,4 +123,80 @@ class UpsertSinkSpec extends SparkTestBase {
       assert(q2.exception.isDefined)
     } finally q2.stop()
   }
+
+  test("a pre-existing unpinned table fails the batch instead of resetting state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    // a flat pre-bucketing layout: data at the table path, no pin
+    Seq((7L, 1.0)).toDF("user_id", "value").write.parquet(table)
+    val before = spark.read.parquet(table).collect().toSeq
+    val mem = MemoryStream[Event]
+    val q = EventStreams.keyedUpsertSink(
+      mem.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7, 99.0))
+      val failed = try { q.processAllAvailable(); false } catch { case _: Throwable => true }
+      assert(failed, "unpinned non-empty dest must fail the batch")
+      assert(q.exception.isDefined)
+      // the foreign table was neither merged into nor clobbered
+      assert(spark.read.parquet(table).collect().toSeq == before)
+      assert(!new java.io.File(table + "__buckets").exists,
+        "the guard must fire before the pin is written")
+    } finally q.stop()
+  }
+
+  test("a micro-batch waits out a transient lock holder instead of dying") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    // simulate a concurrent forget pass: hold the table's writer lock,
+    // release it ~3 s in — the batch must WAIT, not kill the stream
+    val lock = java.nio.file.Paths.get(table + "__lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.write(lock, "forget pass @ test".getBytes("UTF-8"))
+    val releaser = new Thread(() => {
+      Thread.sleep(3000); java.nio.file.Files.deleteIfExists(lock); ()
+    })
+    releaser.setDaemon(true); releaser.start()
+    val mem = MemoryStream[Event]
+    val q = EventStreams.keyedUpsertSink(
+      mem.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7, 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, "the stream must survive a transient lock holder")
+      assert(spark.read.parquet(table).select($"user_id", $"value")
+        .as[(Long, Double)].collect().toMap == Map(7L -> 1.0))
+    } finally { q.stop(); releaser.join() }
+  }
+
+  test("a corrupt (empty) bucket pin fails with a diagnosable error") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    val mem = MemoryStream[Event]
+    val q = EventStreams.keyedUpsertSink(
+      mem.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7, 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    // simulate a pre-fix crash artifact: an empty pin file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table + "__buckets"), Array.empty[Byte])
+    val mem2 = MemoryStream[Event]
+    val q2 = EventStreams.keyedUpsertSink(
+      mem2.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt2")
+    try {
+      mem2.addData(ev(2, "2024-01-01 11:00:00", 7, 2.0))
+      val failed = try { q2.processAllAvailable(); false } catch { case _: Throwable => true }
+      assert(failed, "an unparseable pin must fail the batch")
+      val msg = q2.exception.map(_.toString + q2.exception.get.getMessage).getOrElse("")
+      assert(msg.contains("unreadable"), s"error should name the corrupt pin, got: $msg")
+    } finally q2.stop()
+  }
 }
