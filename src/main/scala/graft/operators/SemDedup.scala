@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** SemDeDup-style semantic deduplication (public method: Abbas et al.,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", arXiv:2303.09540): partition the corpus into coarse
+  * cells by nearest-centroid assignment, then within each cell drop
+  * every document whose embedding is near-identical (cosine >= tau) to
+  * a kept lower-id member. The cell bound is the whole point at scale:
+  * pair scoring happens only inside a cell, so the kernel is a shuffle
+  * on the cell id plus per-cell upper-triangle scoring — never a
+  * corpus-wide all-pairs. Cross-cell near-duplicates are deliberately
+  * unreachable; that is the method's documented recall trade-off, and
+  * the q151 flag measures it against the exact pair set.
+  *
+  * Survivor policy is pairwise domination: a document is dropped iff
+  * SOME smaller-id same-cell document sits within tau of it. This is
+  * deterministic, order-free, and embarrassingly parallel (each pair
+  * votes independently — no sequential greedy scan), at the cost of
+  * occasionally dropping both ends of a chain a sequential scan would
+  * have kept one of. The reference method's choice (keep one per
+  * epsilon-ball) has the same property.
+  *
+  * Two centroid families share the kernel:
+  *   - [[semanticDedup]]: the first-nCells-ids seed family (data
+  *     vectors themselves — zero arithmetic, engine-portable, so a
+  *     DuckDB oracle replicates the FULL pipeline bit-for-bit).
+  *   - [[semanticDedupLloyd]]: [[Ivf.build]]'s Lloyd-refined codebook —
+  *     the quality path (better-shaped cells capture more true pairs).
+  *     Cell means are float sums whose accumulation order varies with
+  *     partitioning, so this path is spec/flag-gated rather than
+  *     hash-compared (the q48/q112 precedent).
+  */
+object SemDedup {
+
+  /** Per-document dedup verdicts against seed centroids (the portable
+    * anchor): returns (idCol, cell, kept) — `cell` is the chosen
+    * centroid's id, `kept` is false iff a smaller-id same-cell member
+    * sits within cosine >= tau.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      tau: Double): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val p = Similarity.prep(df, idCol, vecCol)
+    // seed cells: the nCells smallest-id vectors, cid = the seed's own
+    // vid (no global row_number — an unpartitioned window funnels
+    // through one partition; the Ivf.build precedent)
+    val seeds = p.orderBy(col("vid")).limit(nCells)
+      .select(col("vid").as("cid"), col("v").as("cvec"))
+    verdicts(Ivf.nearest(p, seeds, keep = 1), tau, idCol)
+  }
+
+  /** Per-document dedup verdicts against a Lloyd-refined codebook (the
+    * quality path — same kernel, better cells). The index frames that
+    * [[Ivf.build]] persists are released before returning; the result
+    * is eagerly materialized first, so callers get a plain frame with
+    * no cache entries left behind.
+    */
+  def semanticDedupLloyd(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      tau: Double, lloydSteps: Int = 2): DataFrame = {
+    val index = Ivf.build(df, idCol, vecCol, nCells, lloydSteps)
+    try verdicts(index._2, tau, idCol).localCheckpoint(true)
+    finally Ivf.release(index)
+  }
+
+  /** Lloyd-refined cell ASSIGNMENTS only — (idCol, cell), no domination
+    * pass. For capture-recall measurement (the q151 flag) the pair
+    * scoring inside cells is wasted work; this trims the build to the
+    * index itself.
+    */
+  def lloydCells(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      lloydSteps: Int = 2): DataFrame = {
+    val index = Ivf.build(df, idCol, vecCol, nCells, lloydSteps)
+    try index._2.select(col("vid").as(idCol), col("cid").as("cell"))
+      .localCheckpoint(true)
+    finally Ivf.release(index)
+  }
+
+  /** The shared kernel: within-cell pairwise domination over assigned
+    * (vid, v, cid) rows. One shuffle on cid for the self-join; the
+    * dominated set is tiny (bounded by the true duplicate count), so
+    * the verdict join back is a broadcast.
+    */
+  private def verdicts(assigned: DataFrame, tau: Double, idCol: String): DataFrame = {
+    val a = assigned.select(col("cid"), col("vid"), col("v"))
+    val dominated = a.as("x")
+      .join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+      .where(dot(col("x.v"), col("y.v")) >= tau)
+      .select(col("y.vid").as("vid")).distinct()
+    assigned
+      .join(broadcast(dominated.withColumn("_dom", lit(true))), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cid").as("cell"),
+        coalesce(!col("_dom"), lit(true)).as("kept"))
+  }
+}

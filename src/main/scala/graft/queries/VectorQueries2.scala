@@ -84,6 +84,72 @@ object VectorQueries2 {
           k = 10, nCentroids = 16, nProbe = 4)
         VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.1)
       },
-      Some(VectorQueries.bruteTopKRecallOracle(10)))
+      Some(VectorQueries.bruteTopKRecallOracle(10))),
+
+    // ---- q151: SemDeDup — semantic deduplication by coarse cells
+    //      (arXiv:2303.09540). Output rows are the PORTABLE path: seed
+    //      centroids are the 8 smallest-id vectors themselves (zero
+    //      arithmetic), so the oracle replicates the whole pipeline —
+    //      assignment argmax, within-cell domination, survivor report —
+    //      bit-for-bit. `lloyd_ok` rides along from the SCALE path:
+    //      the Lloyd-refined codebook's cells must capture >= 30% of
+    //      the exact cosine>=0.4 pair set (measured 0.44 at sf0.01 /
+    //      0.36 at sf0.1, vs 0.34/0.29 for the raw seed cells — the
+    //      refit earns its cost; the floor keeps ~0.05 margin under
+    //      float-sum assignment jitter). ----
+    GraftQuery(
+      "q151_semdedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v = graft.operators.SemDedup.semanticDedup(
+          emb, "vec_id", "embedding", nCells = 8, tau = 0.4)
+        val report = v.groupBy(col("cell")).agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          array_join(array_sort(collect_list(when(!col("kept"), col("vec_id")))), ",")
+            .as("dropped_ids"))
+        // scale-path flag: exact near-dup pairs captured inside Lloyd
+        // cells. collect-free — one boolean aggregated in-plan.
+        val cells = graft.operators.SemDedup.lloydCells(
+          emb, "vec_id", "embedding", nCells = 8)
+        val exact = graft.operators.Similarity.nearDupPairs(
+          emb, "vec_id", "embedding", tau = 0.4)
+        val flag = exact
+          .join(cells.select(col("vec_id").as("id_a"), col("cell").as("ca")), Seq("id_a"))
+          .join(cells.select(col("vec_id").as("id_b"), col("cell").as("cb")), Seq("id_b"))
+          .agg((sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+            >= count(lit(1)) * lit(0.3)).cast("long").as("lloyd_ok"))
+        report.crossJoin(broadcast(flag))
+          .select(col("cell"), col("n_members"), col("n_dropped"),
+            col("dropped_ids"), col("lloyd_ok"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                   FROM embeddings),
+        nrm AS (SELECT vec_id,
+            list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
+          FROM e),
+        seeds AS (SELECT vec_id AS cid, vn AS cvec FROM nrm ORDER BY vec_id LIMIT 8),
+        assigned AS (
+          SELECT vec_id, vn, cid FROM (
+            SELECT n.vec_id, n.vn, s.cid,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(generate_series(1, len(n.vn)),
+                  i -> n.vn[i] * s.cvec[i]), (x, y) -> x + y) DESC, s.cid) AS rnk
+            FROM nrm n CROSS JOIN seeds s) t
+          WHERE rnk = 1),
+        dom AS (
+          SELECT DISTINCT y.vec_id FROM assigned x JOIN assigned y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE list_reduce(list_transform(generate_series(1, len(x.vn)),
+            i -> x.vn[i] * y.vn[i]), (a, b) -> a + b) >= 0.4)
+        SELECT a.cid AS cell, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+          coalesce(string_agg(CAST(d.vec_id AS VARCHAR), ',' ORDER BY d.vec_id), '')
+            AS dropped_ids,
+          CAST(1 AS BIGINT) AS lloyd_ok
+        FROM assigned a LEFT JOIN dom d ON a.vec_id = d.vec_id
+        GROUP BY a.cid
+      """))
   )
 }
