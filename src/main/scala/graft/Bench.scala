@@ -57,9 +57,26 @@ object Bench {
     val results = selected.map { q =>
       val la0 = loadAvg
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        val df = q.run(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        // The noop write consumed the result; checkpoints its plan
+        // references (q55/q36/q48-style staged oracle frames) are done —
+        // release them here, where "consumed" is knowable, rather than
+        // asking every dual-path query to guess its own consumption
+        // point. Off the timed region? No — deliberately INSIDE it:
+        // a query's storage cost is part of its cost.
+        graft.operators.Lineage.release(df, blocking = true)
+      }
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Leak check AFTER the plan-referenced release: anything still
+      // registered is storage the query staged and then dropped from its
+      // final plan — a genuine leak Lineage.release can't see. Loud, not
+      // fatal — the sweep below still cleans up, but the leak lands in
+      // the forensics file and the contract line's "leaks" counter.
+      val leaked = spark.sparkContext.getPersistentRDDs.size
+      if (leaked > 0) System.err.println(s"[bench-leak] ${q.name} left $leaked RDD(s) registered")
       // Between-query hygiene so every query is timed cold and earlier
       // queries can't thrash later ones (observed: q35 degrading
       // 5s → 24s late in the suite):
@@ -69,30 +86,49 @@ object Bench {
       //   block manager for the whole suite and push later queries'
       //   staging onto contended disk. The previous query's result is
       //   done, so dropping its checkpoint data is safe here.
+      // blocking = true: an async release overlaps its deletion I/O with
+      //   the NEXT query's staging (r6 forensics: q55's checkpoint sweep
+      //   bled into q35's 3 s → 16 s swing). The blocking wait costs
+      //   milliseconds and lands outside the timed region.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (q.name, dt, la0)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      (q.name, dt, la0, leaked)
     }
     // Bench forensics: host load average sampled before each query, so a
     // regression can be separated from host contention after the fact.
-    val loads = results.map { case (k, _, la) => "\"" + k + "\":" + num2(la) }
+    val loads = results.map { case (k, _, la, _) => "\"" + k + "\":" + num2(la) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench-load] $loads")
+    // The stderr forensics die with the session log; the per-query
+    // (seconds, load, leaked-RDD) triples also go to a local file that
+    // survives the run, so a later reader can separate host contention
+    // from plan regressions without the original console.
+    val forensics = results.map { case (k, v, la, lk) =>
+      "\"" + k + "\":{\"sec\":" + num(v) + ",\"load\":" + num2(la) + ",\"leaked\":" + lk + "}"
+    }.mkString("{", ",", "}")
+    val forensicsLine =
+      s"""{"sf":"$sfDir","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"queries":$forensics}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FORENSICS.json"),
+      forensicsLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] forensics write failed: ${e.getMessage}") }
     // Full-precision, full-name map goes to stderr for humans/logs; the
     // stdout contract line uses short ids (q54, q14b) and 3-decimal values
     // so the WHOLE line fits in the driver's 2 KB output tail — rounds 1-3
     // all recorded `parsed: null` because the ~3.5 KB full-name line
     // overflowed that window and the parse failed.
-    val full = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     System.err.println(s"[bench-full] $full")
     def queriesJson(fmt: Double => String) = shortIds.zip(results)
-      .map { case (id, (_, v, _)) => "\"" + id + "\":" + fmt(v) }
+      .map { case (id, (_, v, _, _)) => "\"" + id + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = num(results.map(_._2).sum)
+    val leakTotal = results.map(_._4).sum
     // load0/load1: 1-min host load average at suite start/end — lets a
     // future reader separate host contention from a real regression.
+    // leaks: count of RDDs queries left registered (should be 0; see
+    // the per-query leak check above).
     def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"leaks":$leakTotal,"queries":$qs,"sf":"$sfDir"}"""
     // The driver parses the last 2 KB of stdout; at 146 queries the
     // 3-decimal line is ~1.92 KB. Degrade per-query precision (never
     // the total) before the line would overflow and silently record

@@ -27,14 +27,21 @@ object Ivf {
   private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     Similarity.prep(df, idCol, vecCol)
 
-  /** Nearest centroid id per row of `vecs` against broadcast `cents`. */
-  private[operators] def nearest(vecs: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+  /** Nearest centroid id per row of `vecs` against broadcast `cents`.
+    * `keepRank = true` retains the probe rank as `prnk` (1 = primary
+    * cell) for multi-probe callers; default keeps the historical
+    * (vid, v, cid) schema.
+    */
+  private[operators] def nearest(
+      vecs: DataFrame, cents: DataFrame, keep: Int,
+      keepRank: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("vid")).orderBy(col("score").desc, col("cid"))
-    vecs.crossJoin(broadcast(cents))
+    val ranked = vecs.crossJoin(broadcast(cents))
       .select(col("vid"), col("v"), col("cid"), dot(col("v"), col("cvec")).as("score"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= keep)
-      .drop("rnk", "score")
+    if (keepRank) ranked.withColumnRenamed("rnk", "prnk").drop("score")
+    else ranked.drop("rnk", "score")
   }
 
   /** Build the index: (centroids, assignments). Both persisted — the

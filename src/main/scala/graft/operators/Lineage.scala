@@ -24,10 +24,14 @@ object Lineage {
 
   /** Unpersist every localCheckpoint block the plan of `df` references.
     * Idempotent; safe on plans with no checkpoints.
+    *
+    * `blocking = true` waits for block deletion — use it when the next
+    * thing on this host is latency-sensitive (a bench loop): an async
+    * release overlaps its deletion I/O with whatever runs next.
     */
-  def release(df: Dataset[_]): Unit =
+  def release(df: Dataset[_], blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: LogicalRDD => l.rdd.unpersist(blocking = blocking)
       case _             => ()
     }
 }

@@ -49,8 +49,13 @@ object RangeJoin {
     else math.max(1L, math.max(q(0).toLong, (q(1) / 64.0).toLong))
   }
 
+  // Double-cast BEFORE subtracting: on date/timestamp axes raw
+  // `hi - lo` is an interval type approxQuantile can't aggregate, and
+  // on double axes an integral "+1" would skew the sample — a
+  // quantile-derived width doesn't need the closed-interval +1 at all
+  // (it only shifts every length by a constant).
   private def intervalLengths(df: DataFrame, loCol: String, hiCol: String): DataFrame =
-    df.select((col(hiCol) - col(loCol) + 1).as("_len"))
+    df.select((col(hiCol).cast("double") - col(loCol).cast("double")).as("_len"))
 
   /** [[pointInInterval]] with the bin width sampled from the interval
     * lengths — safe by default; see [[autoBinWidth]]. */

@@ -52,7 +52,8 @@ object SemDedup {
     // through one partition; the Ivf.build precedent)
     val seeds = p.orderBy(col("vid")).limit(nCells)
       .select(col("vid").as("cid"), col("v").as("cvec"))
-    verdicts(Ivf.nearest(p, seeds, keep = 1), tau, idCol)
+    val assigned = Ivf.nearest(p, seeds, keep = 1)
+    verdicts(assigned, assigned, tau, idCol)
   }
 
   /** Per-document dedup verdicts against a Lloyd-refined codebook (the
@@ -60,43 +61,72 @@ object SemDedup {
     * [[Ivf.build]] persists are released before returning; the result
     * is eagerly materialized first, so callers get a plain frame with
     * no cache entries left behind.
+    *
+    * @param probes cells each vector is scored in (multi-probe). With
+    *   probes = 2 a document also competes in its second-nearest cell,
+    *   which recovers most near-duplicates the cell boundary would have
+    *   split (the published method's documented recall loss) for one
+    *   extra copy of the corpus through the cid shuffle. Reported
+    *   `cell` stays the PRIMARY assignment either way.
     */
   def semanticDedupLloyd(
       df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      tau: Double, lloydSteps: Int = 2): DataFrame = {
+      tau: Double, lloydSteps: Int = 2, probes: Int = 2): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
     val index = Ivf.build(df, idCol, vecCol, nCells, lloydSteps)
-    try verdicts(index._2, tau, idCol).localCheckpoint(true)
-    finally Ivf.release(index)
+    try {
+      val probed =
+        if (probes == 1) index._2
+        else Ivf.nearest(Similarity.prep(df, idCol, vecCol), index._1, keep = probes)
+      verdicts(index._2, probed, tau, idCol).localCheckpoint(true)
+    } finally Ivf.release(index)
   }
 
   /** Lloyd-refined cell ASSIGNMENTS only — (idCol, cell), no domination
     * pass. For capture-recall measurement (the q151 flag) the pair
     * scoring inside cells is wasted work; this trims the build to the
-    * index itself.
+    * index itself. With `probes > 1` a vector appears once per probed
+    * cell (up to `probes` rows).
     */
   def lloydCells(
       df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      lloydSteps: Int = 2): DataFrame = {
+      lloydSteps: Int = 2, probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
     val index = Ivf.build(df, idCol, vecCol, nCells, lloydSteps)
-    try index._2.select(col("vid").as(idCol), col("cid").as("cell"))
-      .localCheckpoint(true)
-    finally Ivf.release(index)
+    try {
+      val cellsOf =
+        if (probes == 1) index._2
+        else Ivf.nearest(Similarity.prep(df, idCol, vecCol), index._1, keep = probes)
+      cellsOf.select(col("vid").as(idCol), col("cid").as("cell"))
+        .localCheckpoint(true)
+    } finally Ivf.release(index)
   }
 
-  /** The shared kernel: within-cell pairwise domination over assigned
-    * (vid, v, cid) rows. One shuffle on cid for the self-join; the
-    * dominated set is tiny (bounded by the true duplicate count), so
-    * the verdict join back is a broadcast.
+  /** The shared kernel: within-cell pairwise domination. `probed` holds
+    * the (cid, vid, v) rows pairs are scored in (one row per probed
+    * cell — a pair competes if ANY probed cell is shared); `primary`
+    * holds the single reported assignment per vid. For single-probe
+    * callers the two are the same frame.
+    *
+    * The verdict join back is NOT hinted: the dominated set's size is
+    * the corpus duplicate count, and SemDeDup's target workloads drop
+    * ~50% of a web-scale corpus — an unconditional broadcast blows up
+    * exactly where the operator matters. `dominated` ends in an
+    * aggregate, so AQE sees its true size at the stage boundary and
+    * converts the join to broadcast only when it actually fits
+    * (runtime equivalent of KCore's counted BroadcastMaxPeel gate,
+    * without the extra counting job).
     */
-  private def verdicts(assigned: DataFrame, tau: Double, idCol: String): DataFrame = {
-    val a = assigned.select(col("cid"), col("vid"), col("v"))
+  private def verdicts(
+      primary: DataFrame, probed: DataFrame, tau: Double, idCol: String): DataFrame = {
+    val a = probed.select(col("cid"), col("vid"), col("v"))
     val dominated = a.as("x")
       .join(a.as("y"),
         col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
       .where(dot(col("x.v"), col("y.v")) >= tau)
       .select(col("y.vid").as("vid")).distinct()
-    assigned
-      .join(broadcast(dominated.withColumn("_dom", lit(true))), Seq("vid"), "left")
+    primary
+      .join(dominated.withColumn("_dom", lit(true)), Seq("vid"), "left")
       .select(col("vid").as(idCol), col("cid").as("cell"),
         coalesce(!col("_dom"), lit(true)).as("kept"))
   }

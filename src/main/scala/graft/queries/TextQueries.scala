@@ -201,9 +201,24 @@ object TextQueries {
         val md5 = Dedup.minhashLsh(docs, "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
           .localCheckpoint(true)
-        val fast = Dedup.minhashLshFast(docs, "doc_id", "text",
+        val hi = md5.where(col("jaccard") >= 0.7).select("doc_a", "doc_b")
+        // Band collision is a PAIR-level event: (a,b) are candidates iff
+        // one of their band signatures matches, regardless of what other
+        // documents exist. So the fast path's verdict on the high-sim md5
+        // pairs is identical whether it runs on the full corpus or only
+        // on the documents those pairs mention — and the latter turns the
+        // recall probe from a second full-corpus shingle+band pass
+        // (r6 bench: the whole query cost 8.4 s for a ~1 s operator) into
+        // a pass over the duplicate docs only. left_semi, not broadcast:
+        // at web scale the duplicate-doc set is a large fraction of the
+        // corpus (that is dedup's whole premise), so AQE picks the
+        // exchange; on the fixture it broadcasts by size.
+        val hiDocs = hi.select(col("doc_a").as("doc_id"))
+          .union(hi.select(col("doc_b").as("doc_id"))).distinct()
+        val fast = Dedup.minhashLshFast(
+          docs.join(hiDocs, Seq("doc_id"), "left_semi"), "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
-        val flag = md5.where(col("jaccard") >= 0.7).select("doc_a", "doc_b")
+        val flag = hi
           .join(fast.select(col("doc_a"), col("doc_b"))
             .withColumn("_hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
           // no high-sim pairs → vacuously true, not a null flag
@@ -253,8 +268,17 @@ object TextQueries {
         // output rows and the recall flag — unstaged it runs twice
         val portable = Dedup.simhash60Pairs(docs, "doc_id", "text", maxHamming = 5)
           .localCheckpoint(true)
-        val xx = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 5)
-        val flag = portable.where(col("hamming") <= 1).select("doc_a", "doc_b")
+        val near = portable.where(col("hamming") <= 1).select("doc_a", "doc_b")
+        // Same pair-level argument as q55: a SimHash fingerprint is a
+        // per-document function and band collision a per-pair event, so
+        // the xxhash path scores the near-identical portable pairs
+        // identically on the full corpus and on just the docs those
+        // pairs mention. Probe the subset, not the corpus.
+        val nearDocs = near.select(col("doc_a").as("doc_id"))
+          .union(near.select(col("doc_b").as("doc_id"))).distinct()
+        val xx = Dedup.simhashPairs(
+          docs.join(nearDocs, Seq("doc_id"), "left_semi"), "doc_id", "text", maxHamming = 5)
+        val flag = near
           .join(xx.select(col("doc_a"), col("doc_b"))
             .withColumn("_hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
           // no near-identical pairs → vacuously true, not a null flag

@@ -109,16 +109,25 @@ object VectorQueries2 {
           array_join(array_sort(collect_list(when(!col("kept"), col("vec_id")))), ",")
             .as("dropped_ids"))
         // scale-path flag: exact near-dup pairs captured inside Lloyd
-        // cells. collect-free — one boolean aggregated in-plan.
+        // cells, MULTI-PROBE (each vector competes in its top-2 cells —
+        // a pair is captured if ANY probed cell is shared, the same
+        // criterion semanticDedupLloyd scores under). collect-free —
+        // one boolean aggregated in-plan. A pair can share both probed
+        // cells, so hits are deduped before counting; the left join +
+        // coalesce makes an empty exact pair set vacuously true (the
+        // q55 idiom), not a NULL flag.
         val cells = graft.operators.SemDedup.lloydCells(
-          emb, "vec_id", "embedding", nCells = 8)
+          emb, "vec_id", "embedding", nCells = 8, probes = 2)
         val exact = graft.operators.Similarity.nearDupPairs(
           emb, "vec_id", "embedding", tau = 0.4)
-        val flag = exact
-          .join(cells.select(col("vec_id").as("id_a"), col("cell").as("ca")), Seq("id_a"))
-          .join(cells.select(col("vec_id").as("id_b"), col("cell").as("cb")), Seq("id_b"))
-          .agg((sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
-            >= count(lit(1)) * lit(0.3)).cast("long").as("lloyd_ok"))
+        val hits = exact.select("id_a", "id_b")
+          .join(cells.select(col("vec_id").as("id_a"), col("cell")), Seq("id_a"))
+          .join(cells.select(col("vec_id").as("id_b"), col("cell")), Seq("id_b", "cell"))
+          .select("id_a", "id_b").distinct()
+        val flag = exact.select("id_a", "id_b")
+          .join(hits.withColumn("_hit", lit(1L)), Seq("id_a", "id_b"), "left")
+          .agg(coalesce(sum(col("_hit")) >= count(lit(1)) * lit(0.5), lit(true))
+            .cast("long").as("lloyd_ok"))
         report.crossJoin(broadcast(flag))
           .select(col("cell"), col("n_members"), col("n_dropped"),
             col("dropped_ids"), col("lloyd_ok"))
