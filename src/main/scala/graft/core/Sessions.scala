@@ -17,6 +17,13 @@ object Sessions {
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // parquet timestamps without isAdjustedToUTC read as plain
+      // TIMESTAMP (UTC instants under the session zone above), not
+      // TIMESTAMP_NTZ: NTZ breaks event-time watermarks and
+      // unix_micros, and under a UTC session the two types denote the
+      // same wall-clock values anyway — the oracle (which reads the
+      // same files as naive timestamps) agrees by construction.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -17,6 +17,15 @@ import scala.util.{Failure, Success, Try}
   */
 final case class LoadReport(rows: Long, destination: String)
 
+/** A [[Load.withLock]] acquisition refused because another writer holds
+  * the lock. A dedicated type (not a bare IllegalStateException) so
+  * retry loops can classify the refusal structurally — matching on the
+  * message text would turn a harmless rewording into stream death.
+  * Extends IllegalStateException so existing handlers keep working.
+  */
+final class LockHeldException(message: String, cause: Throwable)
+  extends IllegalStateException(message, cause)
+
 object Load {
 
   /** K2/K3: staged atomic-ish replace of a destination path. Format is
@@ -440,7 +449,7 @@ object Load {
         val in = fs.open(lock)
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }.getOrElse("<unreadable>")
-      throw new IllegalStateException(
+      throw new LockHeldException(
         s"destination $destination is locked by: $holder — concurrent " +
           "writers are not allowed; if the holder crashed, remove " +
           s"$lock manually", e)

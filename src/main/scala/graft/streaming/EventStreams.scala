@@ -145,6 +145,28 @@ object EventStreams {
     * [[graft.load.Forget.forgetKeysUpsert]], which prunes on it). */
   private[graft] val BucketCol = "__kp"
 
+  /** Reader-facing view of a [[keyedUpsertSink]] / [[changeFeedSink]]
+    * table: the rows with the store's internal bucket column removed,
+    * so downstream consumers see exactly the schema they wrote — the
+    * bucketed layout is an implementation detail and must not leak
+    * into every reader's select list. Refuses a directory without the
+    * sink's bucket pin (it is not an upsert store — reading a foreign
+    * table through this helper would silently hide a REAL `__kp`
+    * column). Key-predicate reads still prune: a filter on the key
+    * column does not prune by itself (the partition column is a hash,
+    * not the key), so for point lookups filter on
+    * `col(BucketCol) === bucketOfKey(...)` via the raw reader instead.
+    */
+  def readUpsertTable(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame = {
+    val pin = new org.apache.hadoop.fs.Path(tableDir + "__buckets")
+    val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pin),
+      s"$tableDir has no bucket pin ($pin) — not a table written by " +
+        "keyedUpsertSink/changeFeedSink")
+    spark.read.parquet(tableDir).drop(BucketCol)
+  }
+
   private def bucketOf(keyCol: String, buckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int")
 
@@ -300,9 +322,10 @@ object EventStreams {
     while (true) {
       graft.load.Load.withLock(spark, tableDir, owner)(body) match {
         case scala.util.Success(t) => return t
-        case scala.util.Failure(e: IllegalStateException)
-            if e.getMessage != null && e.getMessage.contains("is locked by")
-              && tries < attempts =>
+        // Typed, not message-matched: a rewording of the refusal text
+        // must not turn a maintenance-pass overlap into stream death.
+        case scala.util.Failure(_: graft.load.LockHeldException)
+            if tries < attempts =>
           tries += 1; Thread.sleep(sleepMs)
         case scala.util.Failure(e) => throw e
       }

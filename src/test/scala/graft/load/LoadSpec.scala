@@ -18,6 +18,8 @@ class LoadSpec extends SparkTestBase {
       // contender inside the critical section fails and names the holder
       val c = Load.withLock(spark, dir, "writer-2")(fail("must not enter"))
       assert(c.isFailure)
+      // typed refusal: retry loops classify on the class, not the text
+      assert(c.failed.get.isInstanceOf[LockHeldException], c.failed.get.toString)
       val msg = c.failed.get.getMessage
       assert(msg.contains("writer-1") && msg.contains("locked"), msg)
       Load.replaceTable(spark, Seq(1, 2).toDF("v"), dir).get

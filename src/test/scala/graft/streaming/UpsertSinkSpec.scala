@@ -173,6 +173,32 @@ class UpsertSinkSpec extends SparkTestBase {
     } finally { q.stop(); releaser.join() }
   }
 
+  test("readUpsertTable restores the pre-bucketing reader contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val table = s"$dir/table"
+    val mem = MemoryStream[Event]
+    val q = EventStreams.keyedUpsertSink(
+      mem.toDF(), keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+      tableDir = table, checkpointDir = s"$dir/ckpt")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 7, 1.0), ev(2, "2024-01-01 11:00:00", 7, 2.0))
+      q.processAllAvailable()
+      val view = EventStreams.readUpsertTable(spark, table)
+      // schema is exactly what the stream wrote — the internal bucket
+      // column does not leak to readers
+      assert(view.columns.toSeq == mem.toDF().columns.toSeq)
+      assert(view.select($"user_id", $"value")
+        .as[(Long, Double)].collect().toMap == Map(7L -> 2.0))
+    } finally q.stop()
+    // a directory without the sink's pin is not an upsert store
+    val foreign = s"$dir/foreign"
+    Seq((1L, 1.0)).toDF("user_id", "value").write.parquet(foreign)
+    intercept[IllegalArgumentException] {
+      EventStreams.readUpsertTable(spark, foreign)
+    }
+  }
+
   test("a corrupt (empty) bucket pin fails with a diagnosable error") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
