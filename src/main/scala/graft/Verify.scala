@@ -10,14 +10,12 @@ object Verify {
     val keep: String => Boolean =
       if (args.length > 2) args(2).split(",").toSet else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // see Sessions.configure: NTZ inference off so parquet timestamps
-      // read as plain TIMESTAMP regardless of the writer's UTC flag
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
+    // the engine's standard session config (UTC, NTZ inference off,
+    // AQE, …) — one source of truth with Bench/Sessions.local, so a
+    // session-level conf change can't silently diverge the verify
+    // harness from the engine (the r7 ADVICE drift hazard)
+    val spark = graft.core.Sessions
+      .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

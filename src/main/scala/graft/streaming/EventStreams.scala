@@ -164,6 +164,26 @@ object EventStreams {
     require(fs.exists(pin),
       s"$tableDir has no bucket pin ($pin) — not a table written by " +
         "keyedUpsertSink/changeFeedSink")
+    // Two legitimate sink states would otherwise surface as an opaque
+    // 'unable to infer schema' / path-not-found from the parquet
+    // reader; name them instead. Neither leaves a schema on disk, so an
+    // empty DataFrame cannot be constructed — the caller must decide
+    // what empty means for its downstream schema.
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(dir))
+      throw new IllegalStateException(
+        s"$tableDir has a bucket pin but no table directory — the pin landed " +
+          "before the first publish (crash between pin rename and the first " +
+          "batch's swap). Re-run the stream to initialize the table, or delete " +
+          "the pin to treat the path as fresh.")
+    val hasBuckets = fs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+    if (!hasBuckets)
+      throw new IllegalStateException(
+        s"$tableDir is a fully-emptied upsert table (pin present, no $BucketCol= " +
+          "bucket directories — a forget pass dropped every bucket, a state " +
+          "upsertPublish supports). No schema remains on disk; treat the table " +
+          "as empty with the schema your pipeline expects.")
     spark.read.parquet(tableDir).drop(BucketCol)
   }
 

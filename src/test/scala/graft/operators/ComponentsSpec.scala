@@ -75,6 +75,33 @@ class ComponentsSpec extends SparkTestBase {
     assert(groups == Map(5L -> 3L, 20L -> 2L))
   }
 
+  test("distributed path leaves zero persisted RDDs once the result is released") {
+    // the r7 bench leak: every round's localCheckpoint survived the
+    // loop because the stats-resetting rewrap hid it from
+    // Lineage.release. Discipline now: superseded rounds release
+    // in-loop; the FINAL round's blocks are referenced by the returned
+    // plan, so the consumer's release frees everything.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val edges = ((1L to 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))).toDF("a", "b")
+    val labels = Components.connectedComponents(edges, "a", "b", driverMaxEdges = -1)
+    labels.write.format("noop").mode("overwrite").save() // consume
+    Lineage.release(labels, blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keySet}")
+  }
+
+  test("a checkpoint-backed pair frame is consumed (its blocks released)") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b").localCheckpoint(true)
+    val got = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) == 1L && got(11L) == 10L)
+    // the driver union-find path never references the input in its
+    // result; the input's checkpoint blocks must not outlive the call
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keySet}")
+  }
+
   test("dropNearDuplicatesByQuality keeps the best member, ties to lowest id") {
     val corpus = Seq(
       (1L, 10), (2L, 50), (3L, 50), // cluster {1,2,3}: best quality 50, tie → 2

@@ -75,4 +75,44 @@ class SemDedupSpec extends SparkTestBase {
     assert(dropped.subsetOf(exactDupIds),
       s"cell-bounded drops must be exact near-dups: ${dropped -- exactDupIds}")
   }
+
+  test("seedCells: probe ranks are dense per doc and rank-1 matches semanticDedup") {
+    val emb = Tables.embeddings(spark, sf)
+    val cells = SemDedup.seedCells(emb, "vec_id", "embedding", nCells = 8, probes = 2)
+    val n = emb.count()
+    // exactly `probes` rows per doc, ranks {1, 2}, distinct probed cells
+    assert(cells.count() == 2 * n)
+    assert(cells.groupBy("vec_id")
+      .agg(array_sort(collect_list($"prnk")).as("r"), countDistinct($"cell").as("c"))
+      .where($"r" =!= array(lit(1), lit(2)) || $"c" =!= 2).isEmpty,
+      "every doc probes exactly two distinct cells, ranks 1 and 2")
+    // the primary (rank-1) assignment is the single-probe assignment
+    val prim = cells.where($"prnk" === 1).select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().toMap
+    val single = SemDedup.semanticDedup(emb, "vec_id", "embedding", 8, tau = 0.4)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(prim == single)
+  }
+
+  test("multi-probe recovers cross-cell pairs the primary partition splits") {
+    val emb = Tables.embeddings(spark, sf)
+    val cells = SemDedup.seedCells(emb, "vec_id", "embedding", nCells = 8, probes = 2)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.3)
+      .select($"id_a", $"id_b")
+    val shared = exact
+      .join(cells.select($"vec_id".as("id_a"), $"cell"), Seq("id_a"))
+      .join(cells.select($"vec_id".as("id_b"), $"cell"), Seq("id_b", "cell"))
+      .select($"id_a", $"id_b").distinct()
+    val prim = cells.where($"prnk" === 1)
+    val samePrimary = exact
+      .join(prim.select($"vec_id".as("id_a"), $"cell"), Seq("id_a"))
+      .join(prim.select($"vec_id".as("id_b"), $"cell"), Seq("id_b", "cell"))
+      .select($"id_a", $"id_b").distinct()
+    // captured-by-probe ⊇ captured-by-primary (rank 1 is among the
+    // probes), and on this fixture the inclusion is STRICT — the
+    // second probe recovers pairs the primary cells split
+    assert(samePrimary.exceptAll(shared).isEmpty)
+    assert(shared.count() > samePrimary.count(),
+      "the second probe must recover at least one split pair")
+  }
 }

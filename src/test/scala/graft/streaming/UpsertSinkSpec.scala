@@ -197,6 +197,26 @@ class UpsertSinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       EventStreams.readUpsertTable(spark, foreign)
     }
+    // pin present but the table dir never landed (crash between pin
+    // rename and first publish): a NAMED state, not an opaque
+    // schema-inference error
+    val phantom = s"$dir/phantom"
+    java.nio.file.Files.write(java.nio.file.Paths.get(phantom + "__buckets"),
+      "16".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] {
+      EventStreams.readUpsertTable(spark, phantom)
+    }
+    assert(e1.getMessage.contains("before the first publish"))
+    // fully-emptied table (a forget pass dropped every bucket dir — a
+    // state upsertPublish explicitly supports): also a named state
+    val emptied = s"$dir/emptied"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(emptied))
+    java.nio.file.Files.write(java.nio.file.Paths.get(emptied + "__buckets"),
+      "16".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException] {
+      EventStreams.readUpsertTable(spark, emptied)
+    }
+    assert(e2.getMessage.contains("fully-emptied"))
   }
 
   test("a corrupt (empty) bucket pin fails with a diagnosable error") {
