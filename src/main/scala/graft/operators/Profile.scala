@@ -77,7 +77,14 @@ object Profile {
       val tidy = src.select(explode(array(cols.map(c =>
           struct(lit(c).as("column"), col(c).cast("string").as("_v"))): _*)).as("s"))
         .select(col("s.*"))
+      // ONE exchange for the whole distinct pipeline: hash(column)
+      // clusters every (column, _v) pair AND every column group, so
+      // both aggregates below run exchange-free on top of it (subset
+      // clustering). Parallelism caps at |cols| tasks — the trade is
+      // deliberate: one fewer shuffle + one fewer codegen stage beats
+      // 32-way spread for a per-column pipeline this skinny.
       val dist = tidy.where(col("_v").isNotNull)
+        .repartition(col("column"))
         .dropDuplicates("column", "_v")
         .groupBy(col("column")).agg(count(lit(1)).as("_nd"))
       // left join + coalesce: an all-null column has no surviving

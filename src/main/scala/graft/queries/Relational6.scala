@@ -394,10 +394,14 @@ object Relational6 {
         //
         // fanOut: the exact-percentile partial (a counts map per group
         // per buffer) is CPU-bound and the fixture scan arrives 3-wide —
-        // spread it. And ONE combined exact buffer serves both the
-        // anchors and the envelope: as two separate aggregates each
-        // partial built (and each merge combined) its own identical
-        // counts map — measured 3.9 s → 1.1 s together at sf0.1.
+        // spread it. ONE combined exact buffer serves both the anchors
+        // and the envelope: as two separate aggregates each partial
+        // built (and each merge combined) its own identical counts
+        // map — measured 3.9 s → 2.5 s together at sf0.1. The
+        // sort-based exact path (operators.Quantiles, bit-identical
+        // interpolation) was measured here too and LOST (4.3 s): with
+        // only 3 groups its per-group sort is skew-bound to 3 tasks —
+        // it wins when groups ≥ cores, not on a 3-flag profile.
         val li = graft.core.Partitioning.fanOut(
           Tables.lineitem(s, d).select(col("l_returnflag"),
             (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents")))
