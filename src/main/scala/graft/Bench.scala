@@ -58,6 +58,12 @@ object Bench {
       sys.exit(3)
     }
 
+    // load0 of record = the gate's final PRE-SESSION sample: session
+    // startup + the warm-up action below add ~1-1.5 of self-load, and
+    // sampling after them (the old placement) made a genuinely quiet
+    // start look gate-worthy contended.
+    val startLoad = gateLoad
+
     val spark = graft.core.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
@@ -88,7 +94,6 @@ object Bench {
       s"duplicate short query ids in bench contract: ${
         shortIds.groupBy(identity).collect { case (id, g) if g.size > 1 => id }.mkString(",")}")
 
-    val startLoad = loadAvg
     val results = selected.map { q =>
       val la0 = loadAvg
       // build/probe split: an index-backed query's one-time build is

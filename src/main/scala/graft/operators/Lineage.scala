@@ -34,4 +34,20 @@ object Lineage {
       case l: LogicalRDD => l.rdd.unpersist(blocking = blocking)
       case _             => ()
     }
+
+  /** Eagerly checkpoint `ds`, then release the checkpoint blocks its
+    * OWN plan staged — they are superseded the moment the new
+    * checkpoint materializes, but the truncation also hides them from
+    * any later `release` (the plan that referenced them is gone). This
+    * is the correct way to re-stage an operator result whose internals
+    * already checkpointed (the q55/q36 shape: `minhashLsh(...)
+    * .localCheckpoint(true)` orphaned the operator's shingle/band
+    * stages — observed as bench leaks); callers must not reuse the
+    * ORIGINAL frame afterwards.
+    */
+  def rebase[T](ds: Dataset[T]): Dataset[T] = {
+    val cp = ds.localCheckpoint(true)
+    release(ds)
+    cp
+  }
 }

@@ -53,6 +53,12 @@ object PageRank {
       broadcastMaxVertices: Long = BroadcastMaxVertices): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val a0 = arcs.select(col("src"), col("dst")).localCheckpoint()
+    // input CONSUMED (the Components contract): a0 is eager, so any
+    // checkpoint blocks the caller's arc plan staged (q106 stages its
+    // pair expansion) are now superseded — nothing downstream reads
+    // `arcs` again, and the truncated plans would hide those blocks
+    // from every later release
+    Lineage.release(arcs)
     val vertices0 = a0.select(col("src").as("vertex"))
       .unionAll(a0.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint()
@@ -75,10 +81,18 @@ object PageRank {
     // would re-sort |E| rows every iteration). The rank-update join and
     // the groupBy both hash on vertex, so those exchanges align round
     // to round as well.
-    val a = if (small) a0 else a0.repartition(col("src")).localCheckpoint()
+    val a = if (small) a0 else {
+      val r = a0.repartition(col("src")).localCheckpoint()
+      Lineage.release(a0) // superseded by the src-hash layout
+      r
+    }
     val vertices =
       if (small) vertices0
-      else vertices0.repartition(col("vertex")).localCheckpoint()
+      else {
+        val r = vertices0.repartition(col("vertex")).localCheckpoint()
+        Lineage.release(vertices0)
+        r
+      }
     val outDeg = a.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     def attach(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")

@@ -371,6 +371,50 @@ object Relational6 {
         FROM j GROUP BY status
       """)),
 
+    // ---- q153: temperature resampling (sampling ∝ n^0.5 — the
+    //      multilingual corpus-balancing step). Quotas ride the
+    //      fixed-point trick: one IEEE-exact sqrt floored to a 2^20
+    //      grid, then pure integer arithmetic — so quotas AND the
+    //      hash-ranked selection (sel_checksum = sum of chosen doc
+    //      ids) replicate bit-for-bit in the oracle. en (218 docs)
+    //      samples below its share, fr (64) above — the α<1 point. ----
+    GraftQuery(
+      "q153_temperature_mixture",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sel = graft.operators.Resample
+          .temperatureSample(docs, "lang", "doc_id", budget = 300)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_selected"), sum(col("doc_id")).as("sel_checksum"))
+        graft.operators.Resample.temperatureTargets(docs, "lang", budget = 300)
+          .join(sel, Seq("lang"), "left")
+          .select(col("lang"), col("n_total"), col("n_target"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        w AS (SELECT lang, n,
+                CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS wt
+              FROM c),
+        d AS (SELECT sum(wt) AS dw FROM w),
+        t AS (SELECT lang, n, (300 * wt) // dw AS tgt FROM w, d),
+        h AS (SELECT lang, doc_id,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 15)) AS BIGINT) AS hv
+              FROM documents),
+        r AS (SELECT lang, doc_id,
+                row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+              FROM h),
+        sel AS (SELECT r.lang, r.doc_id FROM r JOIN t ON t.lang = r.lang
+                WHERE r.rk <= t.tgt)
+        SELECT t.lang, CAST(t.n AS BIGINT) AS n_total,
+          CAST(t.tgt AS BIGINT) AS n_target,
+          CAST(count(s.doc_id) AS BIGINT) AS n_selected,
+          CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS sel_checksum
+        FROM t LEFT JOIN sel s ON s.lang = t.lang
+        GROUP BY t.lang, t.n, t.tgt
+      """)),
+
     // ---- q150: per-group quantile profile — exact 0.25-grid anchors
     //      beside the SCALE path. The exact percentiles shuffle every
     //      value; `percentile_approx` (Spark's built-in mergeable GK

@@ -197,10 +197,13 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         // staged: the md5 banded self-join feeds BOTH the output rows
-        // and the recall flag — unstaged it would execute twice
-        val md5 = Dedup.minhashLsh(docs, "doc_id", "text",
-          shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3)
-          .localCheckpoint(true)
+        // and the recall flag — unstaged it would execute twice.
+        // rebase (not bare localCheckpoint): the operator's internal
+        // shingle/band checkpoints are superseded by this one and must
+        // be released here, or they leak past the truncated plan
+        val md5 = graft.operators.Lineage.rebase(
+          Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2, tau = 0.3))
         val hi = md5.where(col("jaccard") >= 0.7).select("doc_a", "doc_b")
         // Band collision is a PAIR-level event: (a,b) are candidates iff
         // one of their band signatures matches, regardless of what other
@@ -265,9 +268,11 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         // staged: the portable banded pair pipeline feeds BOTH the
-        // output rows and the recall flag — unstaged it runs twice
-        val portable = Dedup.simhash60Pairs(docs, "doc_id", "text", maxHamming = 5)
-          .localCheckpoint(true)
+        // output rows and the recall flag — unstaged it runs twice.
+        // rebase: release the operator's internal staging this
+        // checkpoint supersedes (the q55 leak pattern)
+        val portable = graft.operators.Lineage.rebase(
+          Dedup.simhash60Pairs(docs, "doc_id", "text", maxHamming = 5))
         val near = portable.where(col("hamming") <= 1).select("doc_a", "doc_b")
         // Same pair-level argument as q55: a SimHash fingerprint is a
         // per-document function and band collision a per-pair event, so
