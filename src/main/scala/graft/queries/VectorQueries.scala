@@ -442,6 +442,82 @@ object VectorQueries {
         comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
         SELECT component AS keep_id, count(*) AS n_members
         FROM comp GROUP BY component
+      """)),
+
+    // ---- q154: LEAKAGE-SAFE train/val/test split — the dedup-aware
+    //      splitter: near-duplicate documents must land in the SAME
+    //      split (a train/test pair of near-dups is evaluation
+    //      leakage), so the split hash is taken per CLUSTER (connected
+    //      component of the exact near-dup graph; singletons cluster
+    //      as themselves), not per document. `n_leaked` audits the
+    //      guarantee in-plan: near-dup pairs crossing splits — zero by
+    //      construction, and the oracle RECOMPUTES it rather than
+    //      pinning a constant. The pair plan is passed raw (one extra
+    //      evaluation for the audit join): connectedComponents CONSUMES
+    //      checkpoint-backed inputs, so staging it would free the very
+    //      blocks the audit still needs. ----
+    GraftQuery(
+      "q154_leakage_safe_split",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.4)
+          .select(col("id_a"), col("id_b"))
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+        val assigned = emb.select(col("vec_id"))
+          .join(comp.select(col("node").as("vec_id"), col("component")), Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("cluster"))
+          .withColumn("_m", pmod(graft.functions.TextFunctions.hash60(
+            concat(col("cluster").cast("string"), lit(":split"))), lit(10L)))
+          .withColumn("split",
+            when(col("_m") <= 7, "train").when(col("_m") === 8, "val").otherwise("test"))
+        val leak = pairs
+          .join(assigned.select(col("vec_id").as("id_a"), col("split").as("_sa")), Seq("id_a"))
+          .join(assigned.select(col("vec_id").as("id_b"), col("split").as("_sb")), Seq("id_b"))
+          .agg(coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)), lit(0L))
+            .as("n_leaked"))
+        assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            sum(col("vec_id")).as("id_checksum"))
+          .crossJoin(broadcast(leak))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        nrm2 AS (SELECT vec_id,
+            list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
+          FROM e),
+        prs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_reduce(list_transform(generate_series(1, len(a.vn)),
+                i -> a.vn[i] * b.vn[i]), (x, y) -> x + y) AS sim
+            FROM nrm2 a JOIN nrm2 b ON a.vec_id < b.vec_id) t
+          WHERE sim >= 0.4),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, edges.d FROM reach JOIN edges ON edges.s = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        sp AS (
+          SELECT vec_id, cluster,
+            CASE WHEN m <= 7 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split
+          FROM (
+            SELECT n.vec_id, coalesce(c.component, n.vec_id) AS cluster,
+              CAST(concat('0x', substr(md5(CAST(coalesce(c.component, n.vec_id) AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 10 AS m
+            FROM e n LEFT JOIN comp c ON c.node = n.vec_id) t),
+        leak AS (
+          SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaked
+          FROM prs p JOIN sp a ON a.vec_id = p.id_a JOIN sp b ON b.vec_id = p.id_b)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+          CAST(sum(vec_id) AS BIGINT) AS id_checksum, leak.n_leaked
+        FROM sp CROSS JOIN leak
+        GROUP BY split, leak.n_leaked
       """))
   )
 }

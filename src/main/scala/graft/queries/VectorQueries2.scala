@@ -196,11 +196,13 @@ object VectorQueries2 {
     //      Emitted as an audited output on the PORTABLE seed-centroid
     //      family, so DuckDB replicates every row — ids, exact cosine,
     //      both primary cells — bit-for-bit (the q151 idiom extended
-    //      with the probe rank). `capture_ok` rides along from the
-    //      scale path: Lloyd cells at probes=2 must capture >= 60% of
-    //      the exact cosine>=0.4 pair set under q151's
-    //      any-shared-probed-cell criterion (measured 0.85 at sf0.01 /
-    //      0.75 at sf0.1). ----
+    //      with the probe rank). `capture_ok` is ALSO portable: seed
+    //      cells at probes=2 capture 0.78 (sf0.01) / 0.715 (sf0.1) of
+    //      the exact cosine>=0.4 pair set — the floor 0.6 comparison is
+    //      pure integer (10·hits ≥ 6·pairs) and the oracle computes the
+    //      SAME fraction instead of pinning a constant, so a capture
+    //      regression flips a genuinely recomputed flag. q151 keeps the
+    //      Lloyd-path capture gauge (floor 0.6 there too). ----
     GraftQuery(
       "q152_semdedup_crosscell",
       (s, d) => {
@@ -223,15 +225,13 @@ object VectorQueries2 {
           .join(prim.select(col("vec_id").as("id_a"), col("cell").as("cell_a")), Seq("id_a"))
           .join(prim.select(col("vec_id").as("id_b"), col("cell").as("cell_b")), Seq("id_b"))
           .where(col("cell_a") =!= col("cell_b"))
-        val lc = graft.operators.SemDedup.lloydCells(
-          emb, "vec_id", "embedding", nCells = 8, probes = 2)
-        val hits = exact.select("id_a", "id_b")
-          .join(lc.select(col("vec_id").as("id_a"), col("cell")), Seq("id_a"))
-          .join(lc.select(col("vec_id").as("id_b"), col("cell")), Seq("id_b", "cell"))
-          .select("id_a", "id_b").distinct()
+        // capture flag on the SAME portable probed cells (`shared` IS
+        // the captured set); 10·hits ≥ 6·pairs keeps the floor-0.6
+        // comparison in exact integers on both engines
         val flag = exact.select("id_a", "id_b")
-          .join(hits.withColumn("_hit", lit(1L)), Seq("id_a", "id_b"), "left")
-          .agg(coalesce(sum(col("_hit")) >= count(lit(1)) * lit(0.6), lit(true))
+          .join(shared.select("id_a", "id_b").withColumn("_hit", lit(1L)),
+            Seq("id_a", "id_b"), "left")
+          .agg(coalesce(sum(col("_hit")) * 10 >= count(lit(1)) * 6, lit(true))
             .cast("long").as("capture_ok"))
         recovered.crossJoin(broadcast(flag))
           .select(col("id_a"), col("id_b"), col("sim"),
@@ -263,12 +263,16 @@ object VectorQueries2 {
           SELECT DISTINCT p.id_a, p.id_b, p.sim
           FROM np p JOIN assigned x ON x.vec_id = p.id_a
                     JOIN assigned y ON y.vec_id = p.id_b AND y.cid = x.cid),
-        prim AS (SELECT vec_id, cid FROM assigned WHERE rnk = 1)
+        prim AS (SELECT vec_id, cid FROM assigned WHERE rnk = 1),
+        cap AS (SELECT CAST(CASE WHEN 10 * (SELECT count(*) FROM shared)
+                                   >= 6 * (SELECT count(*) FROM np)
+                            THEN 1 ELSE 0 END AS BIGINT) AS capture_ok)
         SELECT s.id_a, s.id_b, s.sim, xa.cid AS cell_a, yb.cid AS cell_b,
-          CAST(1 AS BIGINT) AS capture_ok
+          cap.capture_ok
         FROM shared s
         JOIN prim xa ON xa.vec_id = s.id_a
         JOIN prim yb ON yb.vec_id = s.id_b
+        CROSS JOIN cap
         WHERE xa.cid <> yb.cid
       """))
   )
