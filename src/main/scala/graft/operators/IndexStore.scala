@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Persistence for built ANN indexes — the missing third of the index
+  * lifecycle (build / probe / SERVE ACROSS SESSIONS): an IVF or
+  * IVF-PQ index is built once on the corpus and probed by many later
+  * jobs, so it must land on storage, and it must land ATOMICALLY — an
+  * index is multiple co-dependent tables (centroids + assignments
+  * [+ codebooks]), and a reader that sees new centroids beside old
+  * assignments returns silently wrong neighbors.
+  *
+  * The unit of atomicity is therefore the WHOLE index directory, not
+  * one table: components write into `<dir>__staging`, then the staged
+  * swap (the `load.Load.replaceTable` discipline — back up the old
+  * directory by rename, rename staging in, restore on failure) makes
+  * the complete index visible in one rename. Same crash windows, same
+  * guard: a backup with no destination means a prior swap's restore
+  * failed and holds the only copy — refuse and ask for manual
+  * recovery rather than clearing it.
+  *
+  * Codebooks (driver-side float arrays) ride a parquet table of
+  * (subspace, code, centroid-vector) rows plus a one-row meta table;
+  * doubles round-trip parquet exactly, so a loaded index probes
+  * BIT-IDENTICALLY to the built one (IndexStoreSpec pins this).
+  */
+object IndexStore {
+
+  /** Atomic publish of everything `write` stages into the directory. */
+  private def swapInto(spark: SparkSession, dir: String)(write: String => Unit): Unit = {
+    val dest = new Path(dir)
+    val staging = new Path(dir + "__staging")
+    val backup = new Path(dir + "__old")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(backup) && !fs.exists(dest))
+      throw new IllegalStateException(
+        s"index dir $dir is missing but backup $backup exists — a prior swap " +
+          "failed and was not restored; recover manually before saving")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadPrev = fs.exists(dest)
+    if (hadPrev && !fs.rename(dest, backup))
+      throw new java.io.IOException(s"backup rename $dest -> $backup failed")
+    try {
+      if (!fs.rename(staging, dest))
+        throw new java.io.IOException(s"rename $staging -> $dest returned false")
+    } catch {
+      case e: Throwable =>
+        if (hadPrev && !fs.rename(backup, dest))
+          throw new java.io.IOException(
+            s"CRITICAL: swap failed AND restore $backup -> $dest failed", e)
+        throw e
+    }
+    if (hadPrev) fs.delete(backup, true)
+  }
+
+  private def readPart(spark: SparkSession, dir: String, part: String,
+      expectCols: Seq[String]): DataFrame = {
+    val p = new Path(s"$dir/$part")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$dir has no '$part' component — not a saved index")
+    val df = spark.read.parquet(p.toString)
+    require(expectCols.forall(df.columns.contains),
+      s"$dir/$part lacks ${expectCols.filterNot(df.columns.contains).mkString(",")} — " +
+        "not written by IndexStore")
+    df
+  }
+
+  // ---- IVF-flat ----
+
+  def saveIvf(spark: SparkSession, index: (DataFrame, DataFrame), dir: String): Unit =
+    swapInto(spark, dir) { staging =>
+      index._1.write.parquet(s"$staging/centroids")
+      index._2.write.parquet(s"$staging/assignments")
+    }
+
+  /** Loaded components are persisted (the `Ivf.build` contract — an
+    * index is probed many times); release with [[Ivf.release]].
+    */
+  def loadIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = readPart(spark, dir, "centroids", Seq("cid", "cvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = readPart(spark, dir, "assignments", Seq("vid", "v", "cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (c, a)
+  }
+
+  // ---- IVF-PQ ----
+
+  def saveIvfPq(spark: SparkSession, ix: IvfPq.Index, dir: String): Unit = {
+    import spark.implicits._
+    val meta = Seq((ix.cb.m, ix.cb.k, ix.cb.subDim)).toDF("m", "k", "subDim")
+    val cents = ix.cb.cents.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (vec, c) => (j, c, vec.toSeq) }
+    }.toSeq.toDF("j", "c", "cvec")
+    swapInto(spark, dir) { staging =>
+      ix.centroids.write.parquet(s"$staging/centroids")
+      ix.coded.write.parquet(s"$staging/coded")
+      meta.write.parquet(s"$staging/cb_meta")
+      cents.write.parquet(s"$staging/cb_cents")
+    }
+  }
+
+  /** Loaded frames are persisted; release with [[IvfPq.release]]. */
+  def loadIvfPq(spark: SparkSession, dir: String): IvfPq.Index = {
+    val centroids = readPart(spark, dir, "centroids", Seq("cid", "cvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val coded = readPart(spark, dir, "coded", Seq("vid", "cid", "codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val metaRow = readPart(spark, dir, "cb_meta", Seq("m", "k", "subDim")).head()
+    val (m, k, subDim) = (metaRow.getInt(0), metaRow.getInt(1), metaRow.getInt(2))
+    val cents = Array.fill(m)(Array.ofDim[Array[Double]](k))
+    readPart(spark, dir, "cb_cents", Seq("j", "c", "cvec")).collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(cents.forall(_.forall(_ != null)),
+      s"$dir/cb_cents is missing (subspace, code) entries — truncated save?")
+    IvfPq.Index(centroids, coded, Pq.Codebooks(m, k, subDim, cents))
+  }
+}
