@@ -181,9 +181,11 @@ object Relational3 {
       (s, d) => {
         import graft.functions.TextFunctions.hash60
         import graft.functions.VectorFunctions.kmvDistinct
-        Tables.lineitem(s, d)
-          .select(col("l_returnflag"), hash60(col("l_partkey").cast("string")).as("h"),
-            col("l_partkey"))
+        // fanOut: the md5-derived hash + distinct partial is CPU-bound
+        // and the fixture scan arrives 3-wide (q111 precedent)
+        graft.core.Partitioning.fanOut(Tables.lineitem(s, d)
+            .select(col("l_returnflag"), hash60(col("l_partkey").cast("string")).as("h"),
+              col("l_partkey")))
           .groupBy(col("l_returnflag"))
           .agg(
             kmvDistinct(col("h"), 256).as("approx_nd"),

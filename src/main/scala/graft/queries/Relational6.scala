@@ -371,6 +371,42 @@ object Relational6 {
         FROM j GROUP BY status
       """)),
 
+    // ---- q155: MANY-GROUP exact quantiles — operators.Quantiles'
+    //      regime (groups ≫ cores): per (returnflag, linestatus,
+    //      ship-month) median and quartiles of the cents-exact price.
+    //      The sort-based path ships each row once into its group's
+    //      sort range instead of merging a value→count map per group
+    //      per partial (the percentile aggregate's cost); its
+    //      interpolation is bit-identical to the aggregate's, so
+    //      quantile_cont hash-matches on the 0.25 grid (QuantilesSpec
+    //      pins the equality on arbitrary percentages). ----
+    GraftQuery(
+      "q155_grouped_quantiles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        graft.operators.Quantiles.gridPercentiles(
+            li, Seq("l_returnflag", "l_linestatus", "ship_month"), "cents",
+            Seq(0.25, 0.5, 0.75))
+          .select(col("l_returnflag"), col("l_linestatus"), col("ship_month"),
+            col("n"), col("pct")(0).as("p25"), col("pct")(1).as("p50"),
+            col("pct")(2).as("p75"))
+      },
+      Some("""
+        WITH c AS (SELECT l_returnflag, l_linestatus,
+                     strftime(l_shipdate, '%Y-%m') AS ship_month,
+                     CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                   FROM lineitem)
+        SELECT l_returnflag, l_linestatus, ship_month,
+          CAST(count(*) AS BIGINT) AS n,
+          quantile_cont(cents, 0.25) AS p25,
+          quantile_cont(cents, 0.5) AS p50,
+          quantile_cont(cents, 0.75) AS p75
+        FROM c GROUP BY l_returnflag, l_linestatus, ship_month
+      """)),
+
     // ---- q153: temperature resampling (sampling ∝ n^0.5 — the
     //      multilingual corpus-balancing step). Quotas ride the
     //      fixed-point trick: one IEEE-exact sqrt floored to a 2^20
