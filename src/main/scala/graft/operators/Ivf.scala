@@ -174,6 +174,31 @@ object Ivf {
     seeds.map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cvec")
   }
 
+  /** Extend a PREBUILT index with new vectors WITHOUT re-clustering —
+    * the daily-ingest shape (the q126 incremental-dedup precedent): the
+    * centroids are the index's stable contract (probe routing, saved
+    * layouts, downstream cell statistics all key on them), so new
+    * vectors are assigned to the EXISTING cells and appended. Re-run
+    * [[build]] periodically when drift makes cell shapes stale — the
+    * recall floor, not this operator, is the signal.
+    *
+    * The superseded assignment table's cache entry is released once the
+    * merged one materializes (the Components discipline); callers must
+    * not reuse the OLD index tuple afterwards. Ids are not checked for
+    * collision — feed deduplicated batches (Dedup.* upstream) or
+    * duplicate ids will shadow each other in top-k scoring.
+    */
+  def extend(
+      index: (DataFrame, DataFrame), newVecs: DataFrame,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val assigned = nearest(prep(newVecs, idCol, vecCol), index._1, keep = 1)
+    val merged = index._2.unionByName(assigned)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize before the superseded table unpins
+    index._2.unpersist(blocking = false)
+    (index._1, merged)
+  }
+
   /** Probe a PREBUILT index (from `build`) — the steady-state serving
     * path: build once, probe many query batches without re-clustering.
     */

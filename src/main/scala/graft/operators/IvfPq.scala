@@ -61,6 +61,30 @@ object IvfPq {
     ()
   }
 
+  /** Extend a built index with new vectors using the EXISTING coarse
+    * centroids and residual codebooks (no retraining) — the
+    * [[Ivf.extend]] contract at the IVF-PQ level: assign, re-derive
+    * residuals against the assigned cells, encode with the frozen
+    * codebooks, append. Quantization error for the new batch is
+    * whatever the frozen codebooks give it; retrain via [[build]] when
+    * the recall floor says drift has made them stale. The superseded
+    * coded table is released once the merged one materializes; callers
+    * must not reuse the OLD Index afterwards.
+    */
+  def extend(
+      ix: Index, newVecs: DataFrame, idCol: String, vecCol: String): Index = {
+    val p = Similarity.prep(newVecs, idCol, vecCol)
+    val assigned = Ivf.nearest(p, ix.centroids, keep = 1)
+    val resid = assigned.join(broadcast(ix.centroids), "cid")
+      .select(col("vid"), col("cid"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("v"))
+    val coded = ix.coded.unionByName(Pq.encodePrepped(resid, ix.cb))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    coded.count() // materialize before the superseded table unpins
+    ix.coded.unpersist(blocking = false)
+    Index(ix.centroids, coded, ix.cb)
+  }
+
   /** Top-k per query over the probed cells: base cell dot + residual
     * ADC lookups. A corpus row lives in exactly one cell, so no
     * cross-cell dedup is needed.
