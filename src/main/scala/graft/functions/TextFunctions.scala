@@ -171,6 +171,31 @@ object TextFunctions {
         PiiPhonePattern, "<PHONE>"),
       PiiIdPattern, "<ID>")
 
+  /** Crawler-grade URL canonicalization — the key under which a crawl
+    * dedups pages: strip the fragment (client-side only), lowercase the
+    * scheme+authority (case-insensitive per RFC 3986) and drop default
+    * ports, and remove tracking query parameters (utm_*, gclid,
+    * fbclid) while keeping meaningful ones. The whole chain is plain
+    * regexp/substring/lower — codegen'd, no UDF — over a regex subset
+    * (no lookaround) that Java regex and RE2 interpret identically, so
+    * a DuckDB oracle replicates it verbatim (q156; pass 'g' there —
+    * DuckDB's regexp_replace is first-match by default, Spark's is
+    * global). Path case and trailing slashes are deliberately kept:
+    * paths are case-sensitive and policy-dependent.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val auth = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
+    val rest = noFrag.substr(length(auth) + 1, length(noFrag))
+    val authC = regexp_replace(lower(auth), ":(443|80)$", "")
+    // two passes: tracked-param-with-trailing-& first (keeps the
+    // separator for the next param), then leading-separator forms —
+    // covers first/middle/last/only positions without lookaround
+    val r1 = regexp_replace(rest, "(utm_[a-z]+|gclid|fbclid)=[^&]*&", "")
+    val r2 = regexp_replace(r1, "[?&](utm_[a-z]+|gclid|fbclid)=[^&]*", "")
+    concat(authC, r2)
+  }
+
   /** Independent per-type match count over the ORIGINAL text (group 0
     * matches, before any redaction — the audit metric, not a residual
     * check; a digit-heavy email local part legitimately counts under

@@ -371,6 +371,67 @@ object Relational6 {
         FROM j GROUP BY status
       """)),
 
+    // ---- q156: canonical-URL dedup — the crawl-level exact dedup key.
+    //      URLs are synthesized with the mess canonicalization exists
+    //      for (mixed-case scheme/host, explicit :443, fragments,
+    //      utm_*/ref query mixes in every position), then
+    //      TextFunctions.canonicalUrl folds the variants and the report
+    //      groups by canonical form: variant count, min-doc survivor,
+    //      doc checksum. The oracle replicates the SAME regexp chain
+    //      (with 'g' — DuckDB regexp_replace is first-match by
+    //      default) over the same synthesized urls, so every canonical
+    //      string hash-matches. ----
+    GraftQuery(
+      "q156_url_canonical_dedup",
+      (s, d) => {
+        import graft.functions.TextFunctions.canonicalUrl
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          lit("www.Example.COM"),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), expr("doc_id div 3").cast("string"),
+          when(col("doc_id") % 3 === 0,
+              concat(lit("?utm_source=feed&ref=p"), expr("(doc_id div 3) % 7").cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?ref=p"), expr("(doc_id div 3) % 7").cast("string"), lit("&utm_campaign=x")))
+            .otherwise(lit("?utm_medium=y")),
+          when(col("doc_id") % 7 === 0, lit("#top")).otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), canonicalUrl(url).as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_urls"),
+            min(col("doc_id")).as("survivor_doc"),
+            sum(col("doc_id")).as("docs_checksum"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+            || 'www.Example.COM'
+            || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+            || '/docs/' || CAST(doc_id // 3 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=p' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                     WHEN doc_id % 3 = 1 THEN '?ref=p' || CAST((doc_id // 3) % 7 AS VARCHAR) || '&utm_campaign=x'
+                     ELSE '?utm_medium=y' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+          FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u1 FROM u),
+        s2 AS (SELECT doc_id, u1,
+                 regexp_extract(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*') AS auth
+               FROM s1),
+        s3 AS (SELECT doc_id,
+                 regexp_replace(lower(auth), ':(443|80)$', '', 'g')
+                 || regexp_replace(
+                      regexp_replace(substr(u1, length(auth) + 1),
+                        '(utm_[a-z]+|gclid|fbclid)=[^&]*&', '', 'g'),
+                      '[?&](utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g') AS canonical
+               FROM s2)
+        SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(min(doc_id) AS BIGINT) AS survivor_doc,
+          CAST(sum(doc_id) AS BIGINT) AS docs_checksum
+        FROM s3 GROUP BY canonical
+      """)),
+
     // ---- q155: MANY-GROUP exact quantiles — operators.Quantiles'
     //      regime (groups ≫ cores): per (returnflag, linestatus,
     //      ship-month) median and quartiles of the cents-exact price.
