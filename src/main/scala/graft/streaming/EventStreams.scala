@@ -524,6 +524,35 @@ object EventStreams {
         col("view_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** [[attributionJoin]] with LEFT OUTER semantics: every view emits —
+    * matched views per purchase as they arrive, UNMATCHED views exactly
+    * once with null purchase columns, and only after the watermark has
+    * passed `view_ts + horizon` (the engine may emit the null row only
+    * once it can prove no future purchase can still match — the
+    * canonical stream-stream outer-join state timeout; an early emit
+    * would be retracted by a late purchase, which append mode cannot
+    * express). Unattributed-view analysis is the funnel-loss side of
+    * the attribution question, and needs exactly this shape.
+    */
+  def attributionJoinOuter(
+      views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class SessionSummary(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 

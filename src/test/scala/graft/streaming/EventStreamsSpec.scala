@@ -96,6 +96,45 @@ class EventStreamsSpec extends SparkTestBase {
       want.withColumn("purchase_value", round($"purchase_value", 6)))
   }
 
+  test("stream-stream LEFT OUTER attribution: unmatched views emit nulls only after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(ts), user, typ, v)
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.attributionJoinOuter(
+        views.toDF(), purchases.toDF(), horizon = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ssjo_sink")
+      .outputMode("append").start()
+    try {
+      // user 7's view matches; user 8's view has no purchase
+      views.addData(
+        ev(1, "2024-01-01 10:00:00", 7, "view", 0.0),
+        ev(2, "2024-01-01 10:00:00", 8, "view", 0.0))
+      purchases.addData(ev(3, "2024-01-01 10:30:00", 7, "purchase", 5.0))
+      q.processAllAvailable()
+      val early = spark.table("ssjo_sink")
+      assert(early.where($"purchase_id" === 3 && $"view_id" === 1).count() == 1)
+      // the engine must NOT emit the null row while a matching purchase
+      // could still arrive (append mode cannot retract)
+      assert(early.where($"purchase_id".isNull).count() == 0)
+      // advance the watermark on BOTH inputs a day past view 2's
+      // expiry (global watermark = min over inputs)...
+      views.addData(ev(10, "2024-01-02 10:00:00", 99, "view", 0.0))
+      purchases.addData(ev(11, "2024-01-02 10:00:00", 99, "purchase", 1.0))
+      q.processAllAvailable()
+      // ...and run one more batch: eviction applies the watermark
+      // computed at the END of the previous batch
+      views.addData(ev(20, "2024-01-02 12:00:00", 98, "view", 0.0))
+      purchases.addData(ev(21, "2024-01-02 12:00:00", 98, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjo_sink")
+      assert(got.where($"view_id" === 2 && $"purchase_id".isNull).count() == 1,
+        "the unmatched view must emit exactly once, with null purchase columns, after expiry")
+      assert(got.where($"view_id" === 2).count() == 1, "and never a second time")
+    } finally q.stop()
+  }
+
   test("parquet file sink with checkpoint: stream lands every row exactly once") {
     val events = Tables.events(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
