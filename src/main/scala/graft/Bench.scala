@@ -100,10 +100,17 @@ object Bench {
       // staged here, OUTSIDE the probe's timer but still measured —
       // both land in the contract line (builds map + probe seconds) and
       // both count in the total, so the split can't flatter the sum.
-      val buildSec = q.prepare.map { p =>
+      // a prepare failure must not kill the whole suite: the run falls
+      // back to building inline (the Verify path), which the timed
+      // region then measures honestly
+      val buildSec = q.prepare.flatMap { p =>
         val b0 = System.nanoTime()
-        p(spark, sfDir)
-        (System.nanoTime() - b0) / 1e9
+        try { p(spark, sfDir); Some((System.nanoTime() - b0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} prepare failed (run will build inline): ${e.getMessage}")
+            None
+        }
       }
       val t0 = System.nanoTime()
       try {

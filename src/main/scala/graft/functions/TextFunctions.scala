@@ -196,6 +196,16 @@ object TextFunctions {
     concat(authC, r2)
   }
 
+  /** Raw-DEFLATE compressed byte length (see
+    * [[graft.expressions.DeflateLen]]) — pair with `length()` for the
+    * compression-ratio quality signal: repetitive spam compresses far
+    * below natural prose, base64/minified blobs barely compress at all.
+    */
+  def deflateLen(c: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.DeflateLen(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), level))
+
   /** Independent per-type match count over the ORIGINAL text (group 0
     * matches, before any redaction — the audit metric, not a residual
     * check; a digit-heavy email local part legitimately counts under

@@ -371,6 +371,41 @@ object Relational6 {
         FROM j GROUP BY status
       """)),
 
+    // ---- q157: compression-ratio quality signal — the Gopher-family
+    //      proxy with no model and no vocabulary: deflate_len/byte_len
+    //      separates repetitive spam (compresses to almost nothing)
+    //      and base64/minified-style blobs (barely compress) from
+    //      natural prose. No SQL replica of zlib exists, so the oracle
+    //      is the planted-class reduced assertion: per doc, a
+    //      repetitive string and a high-entropy hex string derived
+    //      from doc_id must classify correctly with wide integer-ratio
+    //      margins (5·d < n resp. 5·d > 2·n), and the real text's
+    //      compressed length must be positive and bounded. A zlib
+    //      regression or a broken expression flips 500 rows. ----
+    GraftQuery(
+      "q157_compression_quality",
+      (s, d) => {
+        import graft.functions.TextFunctions.deflateLen
+        val repT = concat(repeat(lit("the cat sat on the mat "), 40),
+          col("doc_id").cast("string"))
+        val entT = concat((1 to 8).map(i =>
+          md5(concat(col("doc_id").cast("string"), lit(":" + i)))): _*)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          (deflateLen(repT) * 5 < octet_length(repT)).cast("long").as("rep_ok"),
+          (deflateLen(entT) * 5 > octet_length(entT) * 2).cast("long").as("entropy_ok"),
+          (deflateLen(col("text")) >= 1 &&
+            deflateLen(col("text")) <= octet_length(col("text")) + 64)
+            .cast("long").as("real_ok"))
+      },
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          CAST(1 AS BIGINT) AS rep_ok, CAST(1 AS BIGINT) AS entropy_ok,
+          CAST(1 AS BIGINT) AS real_ok
+        FROM documents
+      """)),
+
     // ---- q156: canonical-URL dedup — the crawl-level exact dedup key.
     //      URLs are synthesized with the mess canonicalization exists
     //      for (mixed-case scheme/host, explicit :443, fragments,
