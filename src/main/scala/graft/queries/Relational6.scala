@@ -371,6 +371,47 @@ object Relational6 {
         FROM j GROUP BY status
       """)),
 
+    // ---- q158: hashing-trick linear scorer — the fastText-shaped
+    //      quality-classifier SCORING step as a pipeline op: tokens
+    //      feature-hash into 1024 buckets (no vocabulary, no shuffle
+    //      to build one), each bucket carries a weight, a document's
+    //      score is the weighted bag sum. Weights here are derived
+    //      in-row from the bucket id (md5 → [-1000, 1000] integers), so
+    //      the arithmetic is EXACT and the oracle replicates score and
+    //      verdict bit-for-bit; a real deployment broadcasts a trained
+    //      weight array — same plan shape, one explode + one groupBy.
+    //      The hashing trick is what makes this 100 TB-safe: feature
+    //      space is bounded a priori, nothing global is built. ----
+    GraftQuery(
+      "q158_hashed_classifier",
+      (s, d) => {
+        import graft.functions.TextFunctions.{hash60, tokens}
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("b", pmod(hash60(col("tok")), lit(1024L)))
+          .withColumn("w",
+            pmod(hash60(concat(lit("w:"), col("b").cast("string"))), lit(2001L)) - 1000L)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+          .select(col("doc_id"), col("n_tokens"), col("score"),
+            (col("score") > 0).cast("long").as("accepted"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                   FROM documents),
+        b AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b
+              FROM t),
+        w AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 2001 - 1000 AS w
+              FROM b)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(w) AS BIGINT) AS score,
+          CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS accepted
+        FROM w GROUP BY doc_id
+      """)),
+
     // ---- q157: compression-ratio quality signal — the Gopher-family
     //      proxy with no model and no vocabulary: deflate_len/byte_len
     //      separates repetitive spam (compresses to almost nothing)
