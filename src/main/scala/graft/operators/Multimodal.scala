@@ -110,7 +110,19 @@ object Multimodal {
     * whitespace-separated with '#' comments; a single whitespace byte
     * separates maxval from the RGB payload. None on malformed input.
     */
-  private[operators] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  private[operators] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    ppmHeader(p).map { case (w, h, base) =>
+      val px = Iterator.range(0, w * h).map { k =>
+        val o = base + k * 3
+        ((p(o) & 0xff), (p(o + 1) & 0xff), (p(o + 2) & 0xff))
+      }
+      (w, h, pixelStats(px))
+    }
+
+  /** P6 header parse shared by the stats and pixel-grid decoders:
+    * (width, height, payload offset), None on anything malformed.
+    */
+  private def ppmHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
     if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
     var i = 2
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
@@ -133,14 +145,8 @@ object Multimodal {
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     if (i >= p.length || !isWs(p(i))) return None
     i += 1 // exactly one whitespace byte before the pixel payload
-    val need = w.toLong * h * 3
-    if (p.length.toLong < i + need) return None
-    val base = i
-    val px = Iterator.range(0, w * h).map { k =>
-      val o = base + k * 3
-      ((p(o) & 0xff), (p(o + 1) & 0xff), (p(o + 2) & 0xff))
-    }
-    Some((w, h, pixelStats(px)))
+    if (p.length.toLong < i + w.toLong * h * 3) return None
+    Some((w, h, i))
   }
 
   /** REAL decoder: RIFF/WAVE, PCM 16-bit. Walks the chunk list (fmt →
@@ -245,6 +251,78 @@ object Multimodal {
       val px = rgb.iterator.map(v => ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff))
       (w, h, pixelStats(px))
     }
+
+  /** Flat RGB grid (w, h, [r,g,b × w·h]) for the perceptual-hash path:
+    * P6 PPM via the hand-rolled parser (byte-exact — the
+    * oracle-checkable lane), anything ImageIO reads (PNG/GIF/BMP/JPEG)
+    * via the bounded reader. None on undecodable payloads.
+    */
+  private def rgbGrid(format: String, p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    scala.util.Try {
+      format match {
+        case "ppm" => ppmHeader(p).map { case (w, h, base) =>
+          val out = new Array[Int](w * h * 3)
+          var k = 0
+          while (k < out.length) { out(k) = p(base + k) & 0xff; k += 1 }
+          (w, h, out)
+        }
+        case _ => boundedImageRead(p).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            out(3 * i) = (rgb(i) >> 16) & 0xff
+            out(3 * i + 1) = (rgb(i) >> 8) & 0xff
+            out(3 * i + 2) = rgb(i) & 0xff
+            i += 1
+          }
+          (w, h, out)
+        }
+      }
+    }.toOption.flatten
+
+  /** 64-bit difference hash (dHash) — the perceptual image-dedup key:
+    * nearest-neighbor downsample to a 9×8 integer-grayscale grid
+    * (gray = (r+g+b) div 3), one bit per horizontally adjacent pair
+    * (set when gray(x,y) < gray(x+1,y)), row-major LSB-first. Robust
+    * to re-encoding and small pixel noise; pair by Hamming distance
+    * (bit_count of xor — q159's exact self-join at fixture scale) or
+    * feed the SimHash banded machinery for corpus-scale candidate
+    * generation. Undecodable payloads DROP rather than hash the stub
+    * lane: a fake hash would merge unrelated decode failures into one
+    * giant "duplicate" cluster.
+    *
+    * Narrow transformation (mapPartitions, the batched-decoder
+    * precedent — the work is a per-row pixel loop no expression tree
+    * can fuse); partitioning is preserved, nothing shuffles here.
+    */
+  def dHash64(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      rgbGrid(m.format, m.payload).map { case (w, h, px) =>
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(((y.toLong * h) / 8).toInt, h - 1)
+          var prev = 0
+          var x = 0
+          while (x < 9) {
+            val sx = math.min(((x.toLong * w) / 9).toInt, w - 1)
+            val o = 3 * (sy * w + sx)
+            val g = (px(o) + px(o + 1) + px(o + 2)) / 3
+            if (x > 0 && prev < g) bits |= 1L << (y * 8 + (x - 1))
+            prev = g
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, bits)
+      }
+    }).toDF("media_id", "phash")
+  }
 
   /** Batched decode: partitions stream through in `BatchSize` groups —
     * the shape a vectorized codec wants — with no driver collect and no

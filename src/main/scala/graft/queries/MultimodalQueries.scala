@@ -227,6 +227,82 @@ object MultimodalQueries {
           CAST(list_aggregate(ls, 'min') AS BIGINT) AS min_rgb,
           CAST(list_aggregate(ls, 'max') AS BIGINT) AS max_rgb
         FROM l
+      """)),
+
+    // ---- q159: PERCEPTUAL image dedup (dHash) over the real decode
+    //      path — each eligible doc's 216-char printable prefix becomes
+    //      a 9×8 binary PPM, plus a PLANTED near-duplicate (last char
+    //      rotated one printable step → at most one grayscale cell
+    //      moves → Hamming ≤ 1). Multimodal.dHash64 decodes and hashes
+    //      for real; pairs are the exact Hamming ≤ 8 self-join at
+    //      fixture scale (banded candidates at corpus scale). The
+    //      oracle recomputes every hash from ascii() codes and must
+    //      agree on media count, pair count, planted-pair recovery, and
+    //      the xor-fold of all hashes — a single differing bit anywhere
+    //      flips the row. ----
+    GraftQuery(
+      "q159_image_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .where(col("text").rlike("^[ -~]{216}"))
+          .select(col("doc_id"), substring(col("text"), 1, 216).as("s"))
+        val perturbed = concat(substring(col("s"), 1, 215),
+          chr(((ascii(substring(col("s"), 216, 1)) - 32 + 1) % 95) + 32))
+        def ppm(body: org.apache.spark.sql.Column) =
+          concat(lit("P6\n9 8\n255\n").cast("binary"), body.cast("binary"))
+        val media = base.select(col("doc_id").as("media_id"),
+            ppm(col("s")).as("payload"), lit("ppm").as("format"), lit("").as("path"))
+          .unionByName(base.select((col("doc_id") + 1000000L).as("media_id"),
+            ppm(perturbed).as("payload"), lit("ppm").as("format"), lit("").as("path")))
+          .as[Multimodal.MediaRecord]
+        val ph = Multimodal.dHash64(media).localCheckpoint(true)
+        val pairs = ph.as("a").crossJoin(ph.as("b"))
+          .where(col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+            expr("bit_count(a.phash ^ b.phash)").as("hd"))
+          .where(col("hd") <= 8)
+        val stats = ph.agg(count(lit(1)).as("n_media"),
+          expr("bit_xor(phash)").as("phash_xor"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum(when(col("id_b") - col("id_a") === 1000000L, 1L).otherwise(0L)),
+              lit(0L)).as("n_planted"))
+          .crossJoin(broadcast(stats))
+          .select(col("n_media"), col("n_pairs"), col("n_planted"), col("phash_xor"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, substr(text, 1, 216) AS s FROM documents
+                   WHERE regexp_matches(text, '^[ -~]{216}')),
+        v AS (SELECT doc_id AS media_id, s FROM d
+              UNION ALL
+              SELECT doc_id + 1000000,
+                substr(s, 1, 215) || chr(((ascii(substr(s, 216, 1)) - 32 + 1) % 95) + 32)
+              FROM d),
+        g AS (SELECT media_id,
+                list_transform(generate_series(0, 71), k ->
+                  (ascii(substr(s, 3*k + 1, 1)) + ascii(substr(s, 3*k + 2, 1))
+                   + ascii(substr(s, 3*k + 3, 1))) // 3) AS gr
+              FROM v),
+        ph AS (SELECT media_id,
+                -- bit 63 contributes its two's-complement value: DuckDB
+                -- range-checks 1<<63, but summing -2^63 for the sign bit
+                -- reproduces the same signed 64-bit word Spark packs
+                list_reduce(list_transform(generate_series(0, 63), i ->
+                  CASE WHEN gr[(i // 8) * 9 + (i % 8) + 1] < gr[(i // 8) * 9 + (i % 8) + 2]
+                       THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                             ELSE (CAST(1 AS BIGINT) << i) END)
+                       ELSE CAST(0 AS BIGINT) END),
+                  (a, b) -> a + b) AS phash
+               FROM g),
+        prs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+                FROM ph a JOIN ph b ON a.media_id < b.media_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 8)
+        SELECT CAST((SELECT count(*) FROM ph) AS BIGINT) AS n_media,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(CASE WHEN id_b - id_a = 1000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+            AS n_planted,
+          (SELECT bit_xor(phash) FROM ph) AS phash_xor
+        FROM prs
       """))
   )
 }
