@@ -78,6 +78,19 @@ object Bench {
         graft.functions.Exact.sumExact2(
           org.apache.spark.sql.functions.col("l_quantity")))
       .write.format("noop").mode("overwrite").save()
+    // ... and one full pass over EVERY fixture table: the host's page
+    // cache is shared state, and a run starting after heavy foreign I/O
+    // (the DuckDB oracle suite, a verify dump) reads the parquet cold —
+    // measured as a ~40% whole-suite swing at identical load0. Reading
+    // each file once before the first timed query makes run conditions
+    // reproducible; at a real cluster's data scale a page-cache warm-up
+    // is meaningless and a deployment would skip it.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Exception =>
+        System.err.println(s"[bench] warm-up read of $t failed: ${e.getMessage}") }
 
     // Dev-only subset filter (unset in the driver's run → all queries):
     // SPARK_GRAFT_ONLY=q85_corpus_pipeline,q58_json_schema
