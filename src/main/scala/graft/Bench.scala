@@ -115,12 +115,16 @@ object Bench {
       // both count in the total, so the split can't flatter the sum.
       // a prepare failure must not kill the whole suite: the run falls
       // back to building inline (the Verify path), which the timed
-      // region then measures honestly
+      // region then measures honestly. Partially-staged slots are
+      // dropped first — otherwise run() would consume the part that DID
+      // build and its cost would appear in neither the builds map nor
+      // the timed region.
       val buildSec = q.prepare.flatMap { p =>
         val b0 = System.nanoTime()
         try { p(spark, sfDir); Some((System.nanoTime() - b0) / 1e9) }
         catch {
           case e: Throwable =>
+            graft.core.Prepared.dropPrefix(q.name)
             System.err.println(s"[bench] ${q.name} prepare failed (run will build inline): ${e.getMessage}")
             None
         }

@@ -22,4 +22,15 @@ object Prepared {
     */
   def take[T](key: String): Option[T] =
     Option(slots.remove(key)).map(_.asInstanceOf[T])
+
+  /** Drop every slot whose key starts with `prefix` — the prepare-
+    * failure cleanup: a prepare that staged SOME of its slots and then
+    * threw must not let run() consume the partial staging, or the
+    * successfully-built part's cost silently vanishes from the bench
+    * total (no build recorded, no inline build timed).
+    */
+  def dropPrefix(prefix: String): Unit = {
+    val it = slots.keySet.iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
 }

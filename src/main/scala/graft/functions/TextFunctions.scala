@@ -181,18 +181,33 @@ object TextFunctions {
     * a DuckDB oracle replicates it verbatim (q156; pass 'g' there —
     * DuckDB's regexp_replace is first-match by default, Spark's is
     * global). Path case and trailing slashes are deliberately kept:
-    * paths are case-sensitive and policy-dependent.
+    * paths are case-sensitive and policy-dependent. Assumes '&' occurs
+    * only as a query separator (a literal '&' in the PATH must arrive
+    * percent-encoded, as RFC-conformant producers emit it) — the
+    * tracking passes anchor on it.
     */
   def canonicalUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val auth = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
     val rest = noFrag.substr(length(auth) + 1, length(noFrag))
-    val authC = regexp_replace(lower(auth), ":(443|80)$", "")
-    // two passes: tracked-param-with-trailing-& first (keeps the
-    // separator for the next param), then leading-separator forms —
-    // covers first/middle/last/only positions without lookaround
-    val r1 = regexp_replace(rest, "(utm_[a-z]+|gclid|fbclid)=[^&]*&", "")
-    val r2 = regexp_replace(r1, "[?&](utm_[a-z]+|gclid|fbclid)=[^&]*", "")
+    // default ports are SCHEME-specific: :443 on https and :80 on http
+    // are no-ops; http://h:443 is a different endpoint and must keep
+    // its port
+    val authC = regexp_replace(
+      regexp_replace(lower(auth), "^(https://[^:/?]*):443$", "$1"),
+      "^(http://[^:/?]*):80$", "$1")
+    // two passes, BOTH anchored on the [?&] separator (unanchored, the
+    // old pass 1 matched MID-NAME: "?xgclid=5&y=1" lost a legitimate
+    // param and merged its prefix into the next key). Pass 1 consumes a
+    // whole RUN of &-terminated tracked params in one match (restoring
+    // the captured separator) — per-param matching would skip every
+    // second one of a consecutive run, because the next match must
+    // start where the previous ended and the separator is consumed.
+    // Pass 2 then drops the one possible leftover: a tracked param at
+    // end-of-string.
+    val r1 = regexp_replace(rest,
+      "([?&])(?:(?:utm_[a-z]+|gclid|fbclid)=[^&]*&)+", "$1")
+    val r2 = regexp_replace(r1, "[?&](utm_[a-z]+|gclid|fbclid)=[^&]*$", "")
     concat(authC, r2)
   }
 

@@ -48,6 +48,14 @@ object PageRank {
 
   /** (vertex, rank) after `iters` rounds; rank is the fixed-point
     * integer (true rank ≈ rank / Scale).
+    *
+    * @param arcs directed arc list (src, dst). CONSUMED (the
+    *   [[Components.connectedComponents]] contract): any localCheckpoint
+    *   blocks the arc plan references are released once the internal
+    *   arc checkpoint materializes — a checkpoint-backed arc frame is
+    *   unrecomputable after this call (and `bothDirections` passes the
+    *   hazard through). Callers needing the frame afterwards should
+    *   pass a recomputable plan or re-checkpoint.
     */
   def ranks(arcs: DataFrame, iters: Int,
       broadcastMaxVertices: Long = BroadcastMaxVertices): DataFrame = {

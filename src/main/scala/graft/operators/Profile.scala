@@ -74,8 +74,19 @@ object Profile {
     val base = one.select(explode(rows).as("s")).select(col("s.*"))
     if (!stringSafe) base
     else {
+      // float/double renders are injective EXCEPT signed zero: -0.0 and
+      // 0.0 print differently but aggregate equality (countDistinct,
+      // the oracle's count(DISTINCT)) treats them as one value. Adding
+      // +0.0 is the IEEE identity for every double except -0.0 → 0.0,
+      // so it normalizes exactly the problem case (NaN stays NaN —
+      // one rendered value, matching countDistinct's one NaN class).
+      def rendered(c: String): Column = df.schema(c).dataType match {
+        case DoubleType => (col(c) + lit(0.0)).cast("string")
+        case FloatType  => (col(c) + lit(0.0f)).cast("string")
+        case _          => col(c).cast("string")
+      }
       val tidy = src.select(explode(array(cols.map(c =>
-          struct(lit(c).as("column"), col(c).cast("string").as("_v"))): _*)).as("s"))
+          struct(lit(c).as("column"), rendered(c).as("_v"))): _*)).as("s"))
         .select(col("s.*"))
       // ONE exchange for the whole distinct pipeline: hash(column)
       // clusters every (column, _v) pair AND every column group, so

@@ -78,6 +78,11 @@ object Quantiles {
     }
     val agg = picked.groupBy(keys: _*)
       .agg(max(col("_n")).as("n"), bounds: _*)
+      // a group whose values are ALL null has no surviving row, but the
+      // percentile aggregate still emits it (null result, zero count) —
+      // restore it from the key set so a caller switching from the
+      // aggregate loses no groups
+    val allGroups = df.select(keys: _*).distinct()
     // Spark Percentile.getPercentile's exact double expression:
     // lower==higher → the value; else lo·(⌈pos⌉−pos) + hi·(pos−⌊pos⌋)
     def interp(i: Int, p: Double): Column = {
@@ -87,9 +92,16 @@ object Quantiles {
           col(s"_lo_$i") * (ceil(position) - position) +
             col(s"_hi_$i") * (position - floor(position)))
     }
-    agg.select(
-      keys ++ Seq(
-        col("n"),
-        array(ps.zipWithIndex.map { case (p, i) => interp(i, p) }: _*).as("pct")): _*)
+    // null-safe key join (a NULL group key is still a group, exactly as
+    // groupBy treats it); missing groups report n = 0 and a null pct —
+    // the aggregate's output for an all-null group
+    val joined = allGroups.join(agg,
+      keyCols.map(c => allGroups(c) <=> agg(c)).reduce(_ && _), "left")
+    joined.select(
+      keyCols.map(allGroups(_)) ++ Seq(
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNull, lit(null))
+          .otherwise(array(ps.zipWithIndex.map { case (p, i) => interp(i, p) }: _*))
+          .as("pct")): _*)
   }
 }

@@ -38,11 +38,19 @@ object Resample {
 
   /** Per-source quotas: (srcCol, n_total, n_target) with
     * n_target = budget · w_s div Σw, w_s = ⌊sqrt(n_s)·2^20⌋.
+    *
+    * Rows with a NULL source are EXCLUDED (here and in
+    * [[temperatureSample]], consistently): groupBy would give null its
+    * own quota but the sample's equi-join could never fill it — the
+    * quota would silently starve every real source. A corpus with
+    * meaningful unknown-source rows should bucket them explicitly
+    * (`coalesce(src, 'unknown')`) before resampling.
     */
   def temperatureTargets(
       df: DataFrame, srcCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val w = df.groupBy(col(srcCol))
+    val w = df.where(col(srcCol).isNotNull)
+      .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_total"))
       .withColumn("_w",
         floor(sqrt(col("n_total").cast("double")) * FixedPoint).cast("long"))
@@ -55,6 +63,7 @@ object Resample {
   /** The resampled corpus: every input column, `n_target` rows per
     * source chosen by md5-derived hash rank (ties to the id) — a
     * reproducible sample independent of partitioning and engine.
+    * NULL-source rows are excluded (see [[temperatureTargets]]).
     */
   def temperatureSample(
       df: DataFrame, srcCol: String, idCol: String, budget: Long): DataFrame = {
@@ -63,7 +72,8 @@ object Resample {
     val h = graft.functions.TextFunctions.hash60(
       concat(col(idCol).cast("string"), lit(":tmix")))
     val wnd = Window.partitionBy(col(srcCol)).orderBy(col("_h"), col(idCol))
-    df.withColumn("_h", h)
+    df.where(col(srcCol).isNotNull)
+      .withColumn("_h", h)
       .withColumn("_rk", row_number().over(wnd).cast("long"))
       .join(broadcast(targets), Seq(srcCol))
       .where(col("_rk") <= col("n_target"))

@@ -251,9 +251,13 @@ object MultimodalQueries {
           chr(((ascii(substring(col("s"), 216, 1)) - 32 + 1) % 95) + 32))
         def ppm(body: org.apache.spark.sql.Column) =
           concat(lit("P6\n9 8\n255\n").cast("binary"), body.cast("binary"))
+        // perturbed copies live in the NEGATED id space (-id-1): scale-
+        // safe disjointness (an additive offset collides once real ids
+        // reach it), and a planted pair is exactly the pair summing to
+        // -1 — two originals sum >= 0, two perturbed sum <= -2
         val media = base.select(col("doc_id").as("media_id"),
             ppm(col("s")).as("payload"), lit("ppm").as("format"), lit("").as("path"))
-          .unionByName(base.select((col("doc_id") + 1000000L).as("media_id"),
+          .unionByName(base.select((-col("doc_id") - 1L).as("media_id"),
             ppm(perturbed).as("payload"), lit("ppm").as("format"), lit("").as("path")))
           .as[Multimodal.MediaRecord]
         val ph = Multimodal.dHash64(media).localCheckpoint(true)
@@ -265,7 +269,7 @@ object MultimodalQueries {
         val stats = ph.agg(count(lit(1)).as("n_media"),
           expr("bit_xor(phash)").as("phash_xor"))
         pairs.agg(count(lit(1)).as("n_pairs"),
-            coalesce(sum(when(col("id_b") - col("id_a") === 1000000L, 1L).otherwise(0L)),
+            coalesce(sum(when(col("id_a") + col("id_b") === -1L, 1L).otherwise(0L)),
               lit(0L)).as("n_planted"))
           .crossJoin(broadcast(stats))
           .select(col("n_media"), col("n_pairs"), col("n_planted"), col("phash_xor"))
@@ -275,7 +279,7 @@ object MultimodalQueries {
                    WHERE regexp_matches(text, '^[ -~]{216}')),
         v AS (SELECT doc_id AS media_id, s FROM d
               UNION ALL
-              SELECT doc_id + 1000000,
+              SELECT -doc_id - 1,
                 substr(s, 1, 215) || chr(((ascii(substr(s, 216, 1)) - 32 + 1) % 95) + 32)
               FROM d),
         g AS (SELECT media_id,
@@ -299,7 +303,7 @@ object MultimodalQueries {
                 WHERE bit_count(xor(a.phash, b.phash)) <= 8)
         SELECT CAST((SELECT count(*) FROM ph) AS BIGINT) AS n_media,
           CAST(count(*) AS BIGINT) AS n_pairs,
-          CAST(coalesce(sum(CASE WHEN id_b - id_a = 1000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          CAST(coalesce(sum(CASE WHEN id_a + id_b = -1 THEN 1 ELSE 0 END), 0) AS BIGINT)
             AS n_planted,
           (SELECT bit_xor(phash) FROM ph) AS phash_xor
         FROM prs

@@ -496,11 +496,13 @@ object Relational6 {
                  regexp_extract(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*') AS auth
                FROM s1),
         s3 AS (SELECT doc_id,
-                 regexp_replace(lower(auth), ':(443|80)$', '', 'g')
+                 regexp_replace(
+                   regexp_replace(lower(auth), '^(https://[^:/?]*):443$', '\1', 'g'),
+                   '^(http://[^:/?]*):80$', '\1', 'g')
                  || regexp_replace(
                       regexp_replace(substr(u1, length(auth) + 1),
-                        '(utm_[a-z]+|gclid|fbclid)=[^&]*&', '', 'g'),
-                      '[?&](utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g') AS canonical
+                        '([?&])(?:(?:utm_[a-z]+|gclid|fbclid)=[^&]*&)+', '\1', 'g'),
+                      '[?&](utm_[a-z]+|gclid|fbclid)=[^&]*$', '', 'g') AS canonical
                FROM s2)
         SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls,
           CAST(min(doc_id) AS BIGINT) AS survivor_doc,

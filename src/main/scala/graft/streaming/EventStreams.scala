@@ -508,7 +508,17 @@ object EventStreams {
     */
   def attributionJoin(
       views: DataFrame, purchases: DataFrame,
-      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    attributionJoinImpl(views, purchases, horizon, watermark, "inner")
+
+  /** Shared body of the inner and left-outer attribution joins — the
+    * watermarks, the time-bound condition, and the column contract must
+    * stay in lockstep between the two or their semantics silently
+    * diverge.
+    */
+  private def attributionJoinImpl(
+      views: DataFrame, purchases: DataFrame,
+      horizon: String, watermark: String, joinType: String): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", watermark)
@@ -517,9 +527,10 @@ object EventStreams {
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
       .withWatermark("purchase_ts", watermark)
     v.join(p,
-      col("user_id") === col("p_user_id") &&
-        col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"), col("purchase_value"))
   }
@@ -536,22 +547,8 @@ object EventStreams {
     */
   def attributionJoinOuter(
       views: DataFrame, purchases: DataFrame,
-      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val v = views
-      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
-      .withWatermark("view_ts", watermark)
-    val p = purchases
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
-        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", watermark)
-    v.join(p,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
-        "left_outer")
-      .select(col("user_id"), col("view_id"), col("purchase_id"),
-        col("view_ts"), col("purchase_ts"), col("purchase_value"))
-  }
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    attributionJoinImpl(views, purchases, horizon, watermark, "left_outer")
 
   final case class SessionSummary(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

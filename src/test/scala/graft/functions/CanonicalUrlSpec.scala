@@ -38,4 +38,25 @@ class CanonicalUrlSpec extends SparkTestBase {
     assert(canon("https://h.com/p#only-frag") == Seq("https://h.com/p"))
     assert(canon("https://h.com/p?ref=en") == Seq("https://h.com/p?ref=en"))
   }
+
+  test("a param whose NAME merely contains a tracked name must survive") {
+    // the unanchored first pass matched mid-name: "?xgclid=5&y=1" lost
+    // the legitimate xgclid param and merged its prefix into y
+    assert(canon("https://h.com/p?xgclid=5&y=1") == Seq("https://h.com/p?xgclid=5&y=1"))
+    assert(canon("https://h.com/p?myutm_source=1") == Seq("https://h.com/p?myutm_source=1"))
+  }
+
+  test("consecutive tracked params drop as a run, in any position") {
+    assert(canon("https://h.com/p?utm_a=1&utm_b=2&x=1") == Seq("https://h.com/p?x=1"))
+    assert(canon("https://h.com/p?x=1&utm_a=1&utm_b=2&y=2") == Seq("https://h.com/p?x=1&y=2"))
+    assert(canon("https://h.com/p?x=1&utm_a=1&utm_b=2") == Seq("https://h.com/p?x=1"))
+    assert(canon("https://h.com/p?utm_a=1&utm_b=2") == Seq("https://h.com/p"))
+  }
+
+  test("default-port stripping is scheme-specific") {
+    // :443 is NOT the default for http, :80 not for https — different
+    // endpoints must keep distinct canonical keys
+    assert(canon("http://h.com:443/p") == Seq("http://h.com:443/p"))
+    assert(canon("https://h.com:80/p") == Seq("https://h.com:80/p"))
+  }
 }

@@ -34,11 +34,12 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
-  test("excludes nulls and handles single-row and tied groups") {
+  test("excludes nulls, keeps all-null groups, handles single-row and tied groups") {
     val df = Seq(
       ("a", Some(10L)), ("a", None), ("a", Some(20L)),
       ("b", Some(7L)),
-      ("c", Some(5L)), ("c", Some(5L)), ("c", Some(5L))
+      ("c", Some(5L)), ("c", Some(5L)), ("c", Some(5L)),
+      ("d", None), ("d", None) // all-null group: must still emit (n=0, null pct)
     ).toDF("k", "v")
     val ps = Seq(0.25, 0.5, 0.75)
     val got = Quantiles.gridPercentiles(df, Seq("k"), "v", ps)
