@@ -11,7 +11,7 @@ object Registry {
       queries.TpchQueries.queries ++
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
       queries.TextQueries3.queries ++ queries.TextQueries4.queries ++
-      queries.TextQueries5.queries ++
+      queries.TextQueries5.queries ++ queries.TextQueries6.queries ++
       queries.VectorQueries.queries ++ queries.VectorQueries2.queries ++
       queries.EventQueries.queries ++
       queries.EventQueries2.queries ++

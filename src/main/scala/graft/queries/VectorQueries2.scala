@@ -305,6 +305,67 @@ object VectorQueries2 {
               emb, "vec_id", "embedding", tau = 0.4)
             .select(col("id_a"), col("id_b"), col("sim"))
             .localCheckpoint(true))
-      }))
+      })),
+
+    // ---- q164: k-NN label spread — classify unlabeled vectors
+    //      (vec_id < 50 play the part) by majority vote of their k=5
+    //      nearest LABELED neighbors (vec_id >= 50), the
+    //      semi-supervised labeling pass a curation pipeline uses to
+    //      extend a small hand-labeled seed set across a corpus. Exact
+    //      cosine via the brute-force kernel (the q41 family — the
+    //      oracle replicates the normalize + sequential-fold dot
+    //      bit-for-bit); votes and the argmax (votes desc, label asc)
+    //      are pure integers. Scale shape: the query batch broadcasts
+    //      against the corpus scan (the bruteForceTopK contract); the
+    //      scale path for a full-corpus spread is the same vote over
+    //      IVF/LSH neighbors (q42/q48). ----
+    GraftQuery(
+      "q164_knn_label_spread",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.where(col("vec_id") >= 50)
+        val knn = graft.operators.Similarity.bruteForceTopK(
+          corpus, emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+        val votes = knn
+          .join(corpus.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nlabel")), Seq("neighbor_id"))
+          .groupBy(col("query_id"), col("nlabel"))
+          .agg(count(lit(1)).as("n_votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("n_votes").desc, col("nlabel"))
+        votes.withColumn("r", row_number().over(w)).where(col("r") === 1)
+          .join(emb.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
+          .select(col("query_id"),
+            col("label").cast("long").as("actual"),
+            col("nlabel").cast("long").as("predicted"),
+            col("n_votes"),
+            (col("label") === col("nlabel")).cast("long").as("agree"))
+      },
+      Some(s"""
+        ${VectorQueries.vecCte},
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+            list_reduce(list_transform(generate_series(1, len(q.vn)),
+              i -> q.vn[i] * c.vn[i]), (x, y) -> x + y) AS sim
+          FROM nrm q JOIN nrm c ON c.vec_id >= 50
+          WHERE q.vec_id < 50),
+        knn AS (SELECT query_id, nlabel FROM (
+            SELECT query_id, nlabel,
+              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM pairs) t
+          WHERE rnk <= 5),
+        votes AS (SELECT query_id, nlabel, CAST(count(*) AS BIGINT) AS n_votes
+                  FROM knn GROUP BY query_id, nlabel),
+        pred AS (SELECT query_id, nlabel, n_votes FROM (
+            SELECT query_id, nlabel, n_votes,
+              row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nlabel) AS r
+            FROM votes) t
+          WHERE r = 1)
+        SELECT p.query_id, CAST(e.label AS BIGINT) AS actual,
+          CAST(p.nlabel AS BIGINT) AS predicted, p.n_votes,
+          CAST(CASE WHEN e.label = p.nlabel THEN 1 ELSE 0 END AS BIGINT) AS agree
+        FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+      """))
   )
 }

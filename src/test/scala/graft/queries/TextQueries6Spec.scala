@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{Registry, SparkTestBase}
+import graft.core.Tables
+import graft.functions.TextFunctions.textShingles
+import org.apache.spark.sql.functions._
+
+/** q160-q164 (retrieval scoring, containment dedup, OOV rate,
+  * winsorized lengths, k-NN label spread): internal-consistency
+  * invariants the oracle hash can't articulate on its own. Cross-engine
+  * value correctness is the DuckDB oracle's job (Verify).
+  */
+class TextQueries6Spec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q160: top-10 ranking is dense, unique, score-monotone") {
+    val r = Registry.byName("q160_bm25_topk").run(spark, sf)
+      .orderBy(col("rank")).collect()
+    assert(r.length == 10)
+    assert(r.map(_.getLong(r.head.fieldIndex("rank"))).toSeq == (1L to 10L))
+    val scores = r.map(_.getLong(r.head.fieldIndex("score_ppm"))).toSeq
+    assert(scores == scores.sorted.reverse, "scores must be non-increasing in rank")
+    assert(scores.last > 0, "a ranked doc must have matched at least one term")
+  }
+
+  test("q161: every reported pair's containment recomputes from the raw shingle sets") {
+    val out = Registry.byName("q161_containment_dedup").run(spark, sf).collect()
+    assert(out.nonEmpty, "fixture corpus plants near-dup families; containment must fire")
+    // recompute eligible-gram sets (df <= 50) directly and check a few rows
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(textShingles(col("text"), 5)).as("g"))
+    val hot = sh.groupBy("g").count().where(col("count") > 50).select("g")
+    val elig = sh.join(hot, Seq("g"), "left_anti")
+    val sets = elig.groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    out.take(10).foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val inter = sets(a).intersect(sets(b)).size.toLong
+      assert(r.getLong(2) == inter, s"n_inter mismatch for ($a,$b)")
+      assert(r.getLong(3) == sets(a).size.toLong, s"n_a mismatch for ($a,$b)")
+      assert(2 * inter >= sets(a).size, "reported pair below the 0.5 threshold")
+    }
+  }
+
+  test("q162: per-source token totals reconcile and ppm is the integer quotient") {
+    val r = Registry.byName("q162_oov_rate").run(spark, sf).collect()
+    assert(r.length == 20)
+    r.foreach { row =>
+      val (total, oov, ppm) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(oov <= total && ppm == 1000000L * oov / total)
+    }
+    val allToks = r.map(_.getLong(1)).sum
+    val direct = Tables.documents(spark, sf)
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+      .head.getLong(0)
+    assert(allToks == direct, "source totals must sum to the corpus token count")
+  }
+
+  test("q163: winsorized tallies partition each source and the sum is within bounds") {
+    val r = Registry.byName("q163_winsorized_lengths").run(spark, sf).collect()
+    assert(r.length == 20)
+    r.foreach { row =>
+      val n = row.getLong(1)
+      val (p05, p95) = (row.getDouble(2), row.getDouble(3))
+      val (below, above) = (row.getLong(4), row.getLong(5))
+      val ws = row.getDouble(6)
+      assert(p05 <= p95)
+      assert(below + above <= n)
+      assert(ws >= n * p05 - 1e-6 && ws <= n * p95 + 1e-6,
+        s"winsorized sum outside [n*p05, n*p95] for ${row.getString(0)}")
+    }
+  }
+
+  test("q164: one verdict per query vector; votes in [1,5]; ties break to the smaller label") {
+    val r = Registry.byName("q164_knn_label_spread").run(spark, sf)
+    assert(r.count() == 50)
+    assert(r.select("query_id").distinct().count() == 50)
+    r.collect().foreach { row =>
+      val votes = row.getLong(row.fieldIndex("n_votes"))
+      assert(votes >= 1 && votes <= 5)
+    }
+    // deterministic argmax: rebuild votes for one query and check the
+    // reported winner is the lexicographic (count desc, label asc) head
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.where(col("vec_id") >= 50)
+    val knn = graft.operators.Similarity.bruteForceTopK(
+      corpus, emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+    val votes = knn.join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .groupBy("nlabel").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toSeq
+    val expected = votes.sortBy { case (l, c) => (-c, l.toLong) }.head._1.toLong
+    val got = Registry.byName("q164_knn_label_spread").run(spark, sf)
+      .where(col("query_id") === 0).head
+    assert(got.getLong(got.fieldIndex("predicted")) == expected)
+  }
+}
