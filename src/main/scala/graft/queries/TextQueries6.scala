@@ -240,6 +240,73 @@ object TextQueries6 {
         SELECT source, n, p05, p95, n_below, n_above,
           CAST(sum_within AS DOUBLE) + n_below * p05 + n_above * p95 AS winsor_sum
         FROM a
+      """)),
+
+    // ---- q165: PMI collocations — the top bigrams whose tokens
+    //      co-occur far above chance, ranked by the PMI log-argument
+    //      P(x,y)/(P(x)P(y)) = c_xy·N_tok² / (N_bi·c_x·c_y) in exact
+    //      integer ppm (PMI's log is monotone, so ranking by the
+    //      argument IS ranking by PMI — and the score stays pure
+    //      integer). The collocation miner a tokenizer/vocab pipeline
+    //      runs to find multi-word units worth merging. Min support
+    //      c_xy ≥ 5 (standard PMI low-count guard). Scale shape: one
+    //      shuffle per n-gram order (unigram, bigram counts), two
+    //      keyed joins bigram→unigram, global scalars broadcast,
+    //      distributed top-k. ----
+    GraftQuery(
+      "q165_pmi_collocations",
+      (s, d) => {
+        val tk = Tables.documents(s, d).select(tokens(col("text")).as("tk"))
+        val stats = tk.agg(
+          sum(size(col("tk"))).cast("long").as("ntok"),
+          sum(greatest(size(col("tk")) - 1, lit(0))).cast("long").as("nbi"))
+        val uni = tk.select(explode(col("tk")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val bi = tk.where(size(col("tk")) >= 2)
+          // element_at is 1-based on both engines; sequence guard above
+          // matters — Spark's sequence(1, 0) counts DOWN, not empty
+          .select(explode(expr(
+            """transform(sequence(1, size(tk) - 1),
+               i -> struct(element_at(tk, i) as x, element_at(tk, i + 1) as y))""")).as("b"))
+          .groupBy(col("b.x").as("x"), col("b.y").as("y"))
+          .agg(count(lit(1)).as("cxy"))
+          .where(col("cxy") >= 5)
+        val scored = bi
+          .join(uni.select(col("tok").as("x"), col("c").as("cx")), Seq("x"))
+          .join(uni.select(col("tok").as("y"), col("c").as("cy")), Seq("y"))
+          .crossJoin(broadcast(stats))
+          // decimal(38,0): c_xy·N_tok²·1e6 passes int64 at ~10 B tokens
+          .withColumn("pmi_ppm", expr("""cast(
+              cast(cxy as decimal(38,0)) * ntok * ntok * 1000000
+                div (cast(nbi as decimal(38,0)) * cx * cy) as bigint)"""))
+        val top = scored.orderBy(col("pmi_ppm").desc, col("x"), col("y")).limit(20)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("pmi_ppm").desc, col("x"), col("y"))).cast("long"))
+          .select(col("x"), col("y"), col("cxy"), col("pmi_ppm"), col("rank"))
+      },
+      Some("""
+        WITH tk AS (SELECT regexp_extract_all(lower(text), '\S+') toks FROM documents),
+        st AS (SELECT CAST(sum(len(toks)) AS BIGINT) ntok,
+                 CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) nbi FROM tk),
+        uni AS (SELECT tok, CAST(count(*) AS BIGINT) c
+                FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+        bi AS (SELECT pr[1] AS x, pr[2] AS y, CAST(count(*) AS BIGINT) cxy
+               FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                       i -> [toks[i], toks[i+1]])) AS pr
+                     FROM tk WHERE len(toks) >= 2)
+               GROUP BY pr[1], pr[2]
+               HAVING count(*) >= 5),
+        sc AS (SELECT b.x, b.y, b.cxy,
+                 CAST(CAST(b.cxy AS HUGEINT) * s.ntok * s.ntok * 1000000
+                   // (CAST(s.nbi AS HUGEINT) * ux.c * uy.c) AS BIGINT) AS pmi_ppm
+               FROM bi b JOIN uni ux ON ux.tok = b.x
+                         JOIN uni uy ON uy.tok = b.y
+               CROSS JOIN st s)
+        SELECT x, y, cxy, pmi_ppm, rank FROM (
+          SELECT x, y, cxy, pmi_ppm,
+            CAST(row_number() OVER (ORDER BY pmi_ppm DESC, x, y) AS BIGINT) AS rank
+          FROM sc) t
+        WHERE rank <= 20
       """))
   )
 }

@@ -366,6 +366,64 @@ object VectorQueries2 {
           CAST(p.nlabel AS BIGINT) AS predicted, p.n_votes,
           CAST(CASE WHEN e.label = p.nlabel THEN 1 ELSE 0 END AS BIGINT) AS agree
         FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+      """)),
+
+    // ---- q166: anchor-based embedding outliers — per label, the 5
+    //      members LEAST similar to the label's 8 smallest-id anchor
+    //      members (summed cosine, anchors excluded from scoring).
+    //      The mislabeled-example / off-distribution sweep a curation
+    //      pipeline runs per class. Anchors instead of a centroid
+    //      because a cross-row float mean is accumulation-order-
+    //      dependent (the VectorSumAgg caveat) — the anchor-sum is a
+    //      FIXED-ORDER left fold over 8 dots (DuckDB list_reduce has
+    //      no zero element, so the Spark fold seeds with the first
+    //      dot, not 0.0 — bit-identical even at -0.0). Scale shape:
+    //      anchor arrays are |labels|·8 vectors, broadcast; one scan
+    //      scores every member; per-label top-5 via partitioned
+    //      window. ----
+    GraftQuery(
+      "q166_embedding_outliers",
+      (s, d) => {
+        import graft.functions.VectorFunctions.{dot, normalized, vecD}
+        val nrm = Tables.embeddings(s, d).select(col("vec_id"),
+          col("label"), normalized(vecD(col("embedding"))).as("vn"))
+        val rk = nrm.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("label")).orderBy(col("vec_id"))))
+        val anch = rk.where(col("r") <= 8).groupBy(col("label"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("vn")))).as("avs"))
+        val ds = transform(col("avs"), a => dot(col("vn"), a("vn")))
+        val scored = rk.where(col("r") > 8)
+          .join(broadcast(anch), Seq("label"))
+          .withColumn("ds", ds)
+          // left fold seeded with the FIRST dot (list_reduce semantics)
+          .withColumn("score", aggregate(
+            slice(col("ds"), 2, 7), element_at(col("ds"), 1), (acc, x) => acc + x))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(col("score"), col("vec_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("label").cast("long").as("label"), col("vec_id"),
+            col("score"), col("rank"))
+      },
+      Some(s"""
+        ${VectorQueries.vecCte},
+        rk AS (SELECT vec_id, label, vn,
+                 row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+               FROM nrm),
+        anch AS (SELECT label, list(vn ORDER BY vec_id) AS avs
+                 FROM rk WHERE r <= 8 GROUP BY label),
+        sc AS (SELECT m.label, m.vec_id,
+                 list_reduce(list_transform(a.avs,
+                   av -> list_reduce(list_transform(generate_series(1, len(m.vn)),
+                     i -> m.vn[i] * av[i]), (x, y) -> x + y)), (x, y) -> x + y) AS score
+               FROM rk m JOIN anch a USING (label)
+               WHERE m.r > 8)
+        SELECT CAST(label AS BIGINT) AS label, vec_id, score, rank FROM (
+          SELECT label, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY label ORDER BY score, vec_id) AS BIGINT) AS rank
+          FROM sc) t
+        WHERE rank <= 5
       """))
   )
 }

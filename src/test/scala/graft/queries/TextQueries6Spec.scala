@@ -95,4 +95,42 @@ class TextQueries6Spec extends SparkTestBase {
       .where(col("query_id") === 0).head
     assert(got.getLong(got.fieldIndex("predicted")) == expected)
   }
+
+  test("q165: dense top-20, min support holds, and one row's PMI recomputes from raw counts") {
+    val r = Registry.byName("q165_pmi_collocations").run(spark, sf)
+      .orderBy(col("rank")).collect()
+    assert(r.length == 20)
+    assert(r.map(_.getLong(r.head.fieldIndex("rank"))).toSeq == (1L to 20L))
+    r.foreach(row => assert(row.getLong(row.fieldIndex("cxy")) >= 5))
+    val head = r.head
+    val (x, y) = (head.getString(0), head.getString(1))
+    val tk = Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    val ntok = tk.agg(sum(size(col("tk")))).head.getLong(0)
+    val nbi = tk.agg(sum(greatest(size(col("tk")) - 1, lit(0)))).head.getLong(0)
+    val uni = tk.select(explode(col("tk")).as("t")).groupBy("t").count()
+      .collect().map(w => w.getString(0) -> w.getLong(1)).toMap
+    val cxy = head.getLong(head.fieldIndex("cxy"))
+    val expected = (BigInt(cxy) * BigInt(ntok) * BigInt(ntok) * 1000000 /
+      (BigInt(nbi) * BigInt(uni(x)) * BigInt(uni(y)))).toLong
+    assert(head.getLong(head.fieldIndex("pmi_ppm")) == expected)
+  }
+
+  test("q166: five outliers per label, anchors never scored, fold order matches list_reduce") {
+    val out = Registry.byName("q166_embedding_outliers").run(spark, sf).collect()
+    val byLabel = out.groupBy(_.getLong(0))
+    byLabel.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(rows.head.fieldIndex("rank"))).sorted.toSeq == (1L to 5L))
+    }
+    // the 8 smallest ids of each label are anchors — none may appear
+    val emb = Tables.embeddings(spark, sf)
+    val anchors = emb.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(col("vec_id"))))
+      .where(col("r") <= 8).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    out.foreach(row => assert(!anchors.contains(row.getLong(1)),
+      s"anchor ${row.getLong(1)} appeared as a scored member"))
+  }
 }
