@@ -645,6 +645,77 @@ object Relational6 {
           quantile_cont(cents, 0.75) AS p75,
           CAST(1 AS BIGINT) AS approx_ok
         FROM c GROUP BY l_returnflag
+      """)),
+
+    // ---- q167: declarative constraint report — the Deequ-style
+    //      validation pass (operators.Constraints) a pipeline runs
+    //      before publishing: every row-local rule (not-null, range,
+    //      accepted domain, regex) folds into ONE scan per table,
+    //      uniqueness is one hash aggregate per key, referential
+    //      integrity one left join against distinct reference keys.
+    //      The rule set deliberately mixes passing rules (PKs, FKs,
+    //      domains) with failing ones (quantity capped at 30,
+    //      l_partkey uniqueness) so the report's ok column carries
+    //      signal, not a constant. ----
+    GraftQuery(
+      "q167_constraint_report",
+      (s, d) => {
+        import graft.operators.Constraints._
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val liReport = check(li, Seq(
+          NotNull("li_orderkey_notnull", "l_orderkey"),
+          InRange("li_quantity_range_1_30", "l_quantity", 1, 30),
+          Accepted("li_returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+          MatchesRegex("li_linestatus_regex", "l_linestatus", "^[OF]$"),
+          Unique("li_line_pk", Seq("l_orderkey", "l_linenumber")),
+          Unique("li_partkey_unique", Seq("l_partkey")),
+          ForeignKey("li_orderkey_fk", Seq("l_orderkey"), o, Seq("o_orderkey"))))
+        val oReport = check(o, Seq(
+          ForeignKey("o_custkey_fk", Seq("o_custkey"), c, Seq("c_custkey")),
+          InRange("o_totalprice_positive", "o_totalprice", 0, 1000000000)))
+        liReport.unionAll(oReport)
+      },
+      Some("""
+        SELECT rule, CAST(violations AS BIGINT) AS violations,
+          CAST(total AS BIGINT) AS total,
+          CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+        FROM (
+          SELECT 'li_orderkey_notnull' AS rule,
+            sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS violations,
+            count(*) AS total FROM lineitem
+          UNION ALL SELECT 'li_quantity_range_1_30',
+            sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 30
+                THEN 1 ELSE 0 END), count(*) FROM lineitem
+          UNION ALL SELECT 'li_returnflag_domain',
+            sum(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')
+                THEN 1 ELSE 0 END), count(*) FROM lineitem
+          UNION ALL SELECT 'li_linestatus_regex',
+            sum(CASE WHEN l_linestatus IS NULL
+                OR NOT regexp_matches(l_linestatus, '^[OF]$')
+                THEN 1 ELSE 0 END), count(*) FROM lineitem
+          UNION ALL SELECT 'li_line_pk',
+            coalesce((SELECT sum(c) FROM (SELECT count(*) c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t), 0),
+            (SELECT count(*) FROM lineitem)
+          UNION ALL SELECT 'li_partkey_unique',
+            coalesce((SELECT sum(c) FROM (SELECT count(*) c FROM lineitem
+              GROUP BY l_partkey HAVING count(*) > 1) t), 0),
+            (SELECT count(*) FROM lineitem)
+          UNION ALL SELECT 'li_orderkey_fk',
+            sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*)
+            FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+          UNION ALL SELECT 'o_custkey_fk',
+            sum(CASE WHEN cc.c_custkey IS NULL THEN 1 ELSE 0 END), count(*)
+            FROM orders ot LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) cc
+              ON ot.o_custkey = cc.c_custkey
+          UNION ALL SELECT 'o_totalprice_positive',
+            sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                OR o_totalprice > 1000000000 THEN 1 ELSE 0 END), count(*)
+            FROM orders
+        ) r
       """))
   )
 }

@@ -307,6 +307,44 @@ object TextQueries6 {
             CAST(row_number() OVER (ORDER BY pmi_ppm DESC, x, y) AS BIGINT) AS rank
           FROM sc) t
         WHERE rank <= 20
+      """)),
+
+    // ---- q168: dedup threshold operating curve — how many near-dup
+    //      pairs each Jaccard decile holds, from one pass of the
+    //      blocked bigram kernel at a low floor (0.05). The sweep a
+    //      pipeline owner reads before committing to a dedup
+    //      threshold: "0.8 removes 40 pairs, 0.5 removes 600 — which
+    //      do we mean?" — without re-running the pair kernel per
+    //      candidate threshold. Deciles are exact integers
+    //      (10·n_inter div n_union ∈ 0..10); the kernel is the q35
+    //      gram-group design, so the sweep costs one extra hash
+    //      aggregate over the pair set. ----
+    GraftQuery(
+      "q168_dedup_threshold_sweep",
+      (s, d) => {
+        graft.operators.Dedup.ngramJaccardBlocked(
+            Tables.documents(s, d), "doc_id", "text", "source", n = 2, tau = 0.05)
+          .groupBy(expr("cast(10 * n_inter div n_union as bigint)").as("decile"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("n_inter")).as("sum_inter"),
+            sum(col("n_union")).as("sum_union"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') toks
+                   FROM documents),
+        s AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks)-1),
+                i -> concat(toks[i], ' ', toks[i+1]))) sh
+              FROM t WHERE len(toks) >= 2),
+        p AS (SELECT CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
+                CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS n_union
+              FROM s x JOIN s y ON x.source = y.source AND x.doc_id < y.doc_id
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.05)
+        SELECT CAST(10 * n_inter // n_union AS BIGINT) AS decile,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+          CAST(sum(n_union) AS BIGINT) AS sum_union
+        FROM p GROUP BY 1
       """))
   )
 }
