@@ -396,6 +396,80 @@ object EventQueries2 {
         SELECT CAST(CAST(report_day AS DATE) AS VARCHAR) AS report_day,
           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
         FROM x GROUP BY 1
+      """)),
+
+    // ---- q169: sketch set operations — audience overlap between two
+    //      behaviors WITHOUT a join: KMV sketches of the distinct
+    //      (user, active-day) sets for click vs purchase, union sketch
+    //      from the merged hash stream, intersection by inclusion-
+    //      exclusion (nd_a + nd_b − nd_union, a fixed-order double
+    //      expression). At scale each side is one mergeable aggregate
+    //      over its partition-local k-smallest hashes — the
+    //      segment-overlap question answered from three 256-value
+    //      sketches instead of a distinct-join of the raw sets. The
+    //      md5-derived hash family is the q74 one, so the oracle
+    //      replicates every estimate bit-for-bit; exact counts ride
+    //      along to exhibit the error. ----
+    GraftQuery(
+      "q169_kmv_overlap",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        import graft.functions.VectorFunctions.kmvDistinct
+        val ev = Tables.events(s, d)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            hash60(concat(col("user_id").cast("string"), lit(":"),
+              date_format(col("ts"), "yyyy-MM-dd"))).as("h"))
+        // ONE scan, one shuffle: each row contributes to its own tag
+        // AND the union tag (explode of a 2-array), all three sketches
+        // land in a single grouped aggregate — never three passes over
+        // the event log
+        val tagged = ev.select(explode(array(
+            when(col("event_type") === "click", lit("a")).otherwise(lit("b")),
+            lit("u"))).as("tag"), col("h"))
+        val est = tagged.groupBy(col("tag"))
+          .agg(kmvDistinct(col("h"), 256).as("nd"),
+            countDistinct(col("h")).as("exact"))
+        val row = est.groupBy().pivot("tag", Seq("a", "b", "u"))
+          .agg(first(col("nd")).as("nd"), first(col("exact")).as("exact"))
+        row.select(
+            col("a_nd").as("nd_click"), col("a_exact").as("exact_click"),
+            col("b_nd").as("nd_purchase"), col("b_exact").as("exact_purchase"),
+            col("u_nd").as("nd_union"), col("u_exact").as("exact_union"))
+          .withColumn("inter_est",
+            col("nd_click") + col("nd_purchase") - col("nd_union"))
+          .withColumn("exact_inter",
+            col("exact_click") + col("exact_purchase") - col("exact_union"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type,
+            CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), ':',
+              strftime(ts, '%Y-%m-%d'))), 1, 15)) AS BIGINT) AS hv
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        est AS (
+          SELECT tag, max(rn) AS exact_nd,
+            CASE WHEN max(rn) < 256 THEN CAST(max(rn) AS DOUBLE)
+                 ELSE CAST(255 AS DOUBLE)
+                      / (CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) / 2.0 ** 60)
+            END AS nd
+          FROM (
+            SELECT tag, hv, row_number() OVER (PARTITION BY tag ORDER BY hv) AS rn
+            FROM (
+              SELECT DISTINCT 'a' AS tag, hv FROM h WHERE event_type = 'click'
+              UNION ALL
+              SELECT DISTINCT 'b' AS tag, hv FROM h WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT DISTINCT 'u' AS tag, hv FROM h) t) r
+          GROUP BY tag)
+        SELECT a.nd AS nd_click, a.exact_nd AS exact_click,
+          b.nd AS nd_purchase, b.exact_nd AS exact_purchase,
+          u.nd AS nd_union, u.exact_nd AS exact_union,
+          a.nd + b.nd - u.nd AS inter_est,
+          a.exact_nd + b.exact_nd - u.exact_nd AS exact_inter
+        FROM (SELECT nd, exact_nd FROM est WHERE tag = 'a') a,
+             (SELECT nd, exact_nd FROM est WHERE tag = 'b') b,
+             (SELECT nd, exact_nd FROM est WHERE tag = 'u') u
       """))
   )
 }
