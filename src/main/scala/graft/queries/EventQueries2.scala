@@ -470,6 +470,64 @@ object EventQueries2 {
         FROM (SELECT nd, exact_nd FROM est WHERE tag = 'a') a,
              (SELECT nd, exact_nd FROM est WHERE tag = 'b') b,
              (SELECT nd, exact_nd FROM est WHERE tag = 'u') u
+      """)),
+
+    // ---- q170: rolling count anomalies — per event type, flag days
+    //      whose event count sits more than 3σ from the trailing
+    //      6-day window's mean (current day EXCLUDED, so a spike
+    //      can't mask itself). The volume-monitoring alarm an
+    //      ingestion pipeline runs per source. Entirely integer: with
+    //      window count n, sum S, sum-of-squares Q, the 3σ rule
+    //      (x−μ)² > 9σ² cross-multiplies to (n·x−S)² > 9·(n·Q−S²) —
+    //      no float mean/std, so both engines agree exactly. One
+    //      daily-count aggregate, one ranged window per type. ----
+    GraftQuery(
+      "q170_count_anomaly",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("daynum"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("daynum"))
+          .rangeBetween(-6, -1)
+        daily
+          .withColumn("win_n", count(lit(1)).over(w))
+          .withColumn("win_sum", sum(col("cnt")).over(w))
+          .withColumn("win_sumsq", sum(col("cnt") * col("cnt")).over(w))
+          .where(col("win_n") >= 3)
+          .withColumn("anomaly", (
+            (col("win_n") * col("cnt") - col("win_sum"))
+              * (col("win_n") * col("cnt") - col("win_sum"))
+              > lit(9L) * (col("win_n") * col("win_sumsq")
+                - col("win_sum") * col("win_sum"))).cast("long"))
+          .select(col("event_type"),
+            date_format(date_add(lit("1970-01-01"), col("daynum")), "yyyy-MM-dd")
+              .as("day"),
+            col("cnt"), col("win_n"), col("win_sum"), col("anomaly"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+              AS daynum,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, daynum, cnt,
+            CAST(count(*) OVER w AS BIGINT) AS win_n,
+            CAST(sum(cnt) OVER w AS BIGINT) AS win_sum,
+            CAST(sum(cnt * cnt) OVER w AS BIGINT) AS win_sumsq
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY daynum
+            RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        SELECT event_type,
+          strftime(DATE '1970-01-01' + INTERVAL (daynum) DAY, '%Y-%m-%d') AS day,
+          cnt, win_n, win_sum,
+          CAST(CASE WHEN (win_n * cnt - win_sum) * (win_n * cnt - win_sum)
+                 > 9 * (win_n * win_sumsq - win_sum * win_sum)
+               THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        FROM win WHERE win_n >= 3
       """))
   )
 }
