@@ -528,6 +528,56 @@ object EventQueries2 {
                  > 9 * (win_n * win_sumsq - win_sum * win_sum)
                THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         FROM win WHERE win_n >= 3
+      """)),
+
+    // ---- q171: time-to-convert percentiles by signup cohort — the
+    //      "how long from signup to first purchase, and is it
+    //      drifting across cohorts?" product question. First-signup /
+    //      first-qualifying-purchase per user (purchase must not
+    //      precede signup), microsecond delays as exact longs
+    //      (unix_micros ≡ DuckDB epoch_us under the UTC session),
+    //      7-day cohorts as integer epoch-week (portable — no
+    //      engine-specific week-start semantics), and exact
+    //      interpolated p50/p90 from the sort-based grid kernel
+    //      (quantile_cont-equivalent, the q155 proof). ----
+    GraftQuery(
+      "q171_conversion_percentiles",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
+        val delays = ev.where(col("event_type") === "purchase")
+          .join(su, Seq("user_id"))
+          .where(col("ts") >= col("sts"))
+          .groupBy(col("user_id"), col("sts"))
+          .agg(min(col("ts")).as("pts"))
+          .select(
+            // integer div, not `/7` (double division would detour the
+            // cohort id through a float)
+            expr("cast(datediff(to_date(sts), date'1970-01-01') div 7 as bigint)")
+              .as("cohort"),
+            (unix_micros(col("pts")) - unix_micros(col("sts"))).as("delay_us"))
+        graft.operators.Quantiles
+          .gridPercentiles(delays, Seq("cohort"), "delay_us", Seq(0.5, 0.9))
+          .select(col("cohort"), col("n"),
+            col("pct")(0).as("p50_us"), col("pct")(1).as("p90_us"))
+      },
+      Some("""
+        WITH su AS (SELECT user_id, min(ts) AS sts FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        fp AS (SELECT e.user_id, su.sts, min(e.ts) AS pts
+               FROM events e JOIN su USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= su.sts
+               GROUP BY e.user_id, su.sts),
+        d AS (SELECT
+                CAST(date_diff('day', DATE '1970-01-01', CAST(sts AS DATE)) // 7
+                  AS BIGINT) AS cohort,
+                CAST(epoch_us(pts) - epoch_us(sts) AS BIGINT) AS delay_us
+              FROM fp)
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+          quantile_cont(delay_us, 0.5) AS p50_us,
+          quantile_cont(delay_us, 0.9) AS p90_us
+        FROM d GROUP BY cohort
       """))
   )
 }

@@ -147,4 +147,41 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       "fingerprint pairs must expand in-array after a groupBy; the only joins are broadcast size lookups")
   }
+
+  test("q160: BM25's df table and global stats broadcast; docs never sort-merge") {
+    val p = plan("q160_bm25_topk")
+    assert(p.contains("BroadcastExchange"),
+      "the |terms|-row df table and the 1-row stats must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be the distributed top-k, not a global sort or rank window over all docs")
+  }
+
+  test("q161: containment expands pairs in-array — no corpus self-join, no cartesian") {
+    val p = plan("q161_containment_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "the stop-gram cap and gram-group expansion must bound candidates; no all-pairs join")
+  }
+
+  test("q162/q163: tiny vocab/bounds tables broadcast against the big scan") {
+    assert(plan("q162_oov_rate").contains("BroadcastHashJoin"),
+      "the 20-row vocab must broadcast against the token stream")
+    assert(plan("q163_winsorized_lengths").contains("BroadcastHashJoin"),
+      "the per-source bounds must broadcast against the doc scan")
+  }
+
+  test("q164: query vectors broadcast against the labeled corpus; no shuffle join") {
+    val p = plan("q164_knn_label_spread")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the bounded query batch must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle for scoring")
+  }
+
+  test("q167: row-local rules fuse — lineitem is scanned once per job family, not once per rule") {
+    val p = plan("q167_constraint_report")
+    // 4 legitimate lineitem consumers: fused row-local aggregate,
+    // two uniqueness keys, one FK probe. 4 row-local rules fusing
+    // into one scan is the contract; 7 scans would mean it broke.
+    val scanCount = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scanCount <= 4, s"expected <= 4 lineitem scans (row-local fusion), got $scanCount:\n${p.take(1500)}")
+  }
 }
