@@ -662,4 +662,65 @@ object EventStreams {
           next
       }
   }
+
+  /** Per-type daily-count state for [[countAnomalies]]: the trailing
+    * day→count map (bounded to the window width) and the last day a
+    * verdict was emitted for.
+    */
+  final case class DayCounts(days: Map[Long, Long], emittedUpTo: Long)
+
+  final case class DayVerdict(event_type: String, daynum: Long, cnt: Long,
+      win_n: Long, win_sum: Long, anomaly: Boolean)
+
+  /** Streaming face of the q170 batch rule: per event type, a day's
+    * verdict is emitted once a LATER day's first event closes it, and
+    * flags when the count sits more than 3σ from the trailing
+    * `window`-day stats — the same pure-integer cross-multiplied test,
+    * (n·x−S)² > 9·(n·Q−S²), so the stream and the batch query agree
+    * exactly on in-order data (the spec pins it).
+    *
+    * State is bounded: only the trailing `window` days survive each
+    * update, whatever the stream's age. Verdicts are final
+    * (append-mode contract): a late event inside the trailing horizon
+    * still feeds FUTURE windows, but cannot reopen an emitted day.
+    * Days with zero events produce no verdict (they have no row in the
+    * batch rule either).
+    */
+  def countAnomalies(events: Dataset[Event], window: Int = 6, minWin: Int = 3):
+      Dataset[DayVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DayCounts, DayVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[Event], state: GroupState[DayCounts]) =>
+          // UTC epoch day — identical to datediff(to_date(ts), 1970-01-01)
+          // under the engine's UTC session, JVM default zone irrelevant
+          def dayOf(t: Timestamp): Long = Math.floorDiv(t.getTime, 86400000L)
+          val prev = state.getOption.getOrElse(DayCounts(Map.empty, Long.MinValue))
+          var days = prev.days
+          batch.foreach { e =>
+            val dn = dayOf(e.ts)
+            days = days.updated(dn, days.getOrElse(dn, 0L) + 1L)
+          }
+          val maxDay = days.keys.max
+          val start =
+            if (prev.emittedUpTo == Long.MinValue) days.keys.min
+            else prev.emittedUpTo + 1
+          val verdicts = (start until maxDay).iterator.flatMap { day =>
+            days.get(day).map { x =>
+              val win = ((day - window) until day).flatMap(days.get)
+              val n = win.size.toLong
+              val s = win.sum
+              val q = win.map(c => c * c).sum
+              DayVerdict(tpe, day, x, n, s,
+                n >= minWin && (n * x - s) * (n * x - s) > 9 * (n * q - s * s))
+            }
+          }.toVector
+          state.update(DayCounts(
+            days.filter { case (d, _) => d >= maxDay - window }, maxDay - 1))
+          verdicts.iterator
+      }
+  }
 }
