@@ -578,6 +578,114 @@ object EventQueries2 {
           quantile_cont(delay_us, 0.5) AS p50_us,
           quantile_cont(delay_us, 0.9) AS p90_us
         FROM d GROUP BY cohort
+      """)),
+
+    // ---- q172: behavioral pattern mining — the most common 3-step
+    //      event sequences across user journeys. Two lead() offsets
+    //      inside the per-user window (one keyed exchange — the q114
+    //      transition-matrix shape extended a step), global counts,
+    //      distributed top-10. Ties break on the pattern text. ----
+    GraftQuery(
+      "q172_event_trigrams",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tri = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .where(col("t2").isNotNull && col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("pattern"))
+          .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+        val top = tri.orderBy(col("n").desc, col("pattern")).limit(10)
+        top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("pattern"))).cast("long"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type AS t1,
+            lead(event_type, 1) OVER w AS t2,
+            lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT concat(t1, '>', t2, '>', t3) AS pattern,
+                CAST(count(*) AS BIGINT) AS n
+              FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+              GROUP BY 1)
+        SELECT pattern, n, rank FROM (
+          SELECT pattern, n,
+            CAST(row_number() OVER (ORDER BY n DESC, pattern) AS BIGINT) AS rank
+          FROM g) r
+        WHERE rank <= 10
+      """)),
+
+    // ---- q173: Markov next-step model with a temporal holdout — the
+    //      exact-integer form of a train/eval loop: fit per-state
+    //      argmax transition predictions on the first half of the
+    //      month, score accuracy on the second half. Train and eval
+    //      transitions each come from one per-user window pass over
+    //      their period (a pair belongs to a period only if BOTH ends
+    //      are inside it); the model is |states| rows (broadcast);
+    //      accuracy is integer ppm. Argmax ties break on the
+    //      successor name — fully deterministic cross-engine. ----
+    GraftQuery(
+      "q173_markov_holdout",
+      (s, d) => {
+        val split = lit("2024-01-16").cast("date")
+        def pairs(df: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          df.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+            .withColumn("nxt", lead(col("event_type"), 1).over(w))
+            .where(col("nxt").isNotNull)
+            .select(col("event_type").as("prev"), col("nxt"))
+        }
+        val ev = Tables.events(s, d)
+        val train = pairs(ev.where(to_date(col("ts")) < split))
+        val eval_ = pairs(ev.where(to_date(col("ts")) >= split))
+        val model = train.groupBy(col("prev"), col("nxt"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("prev")).orderBy(col("c").desc, col("nxt"))))
+          .where(col("r") === 1)
+          .select(col("prev"), col("nxt").as("predicted"))
+        eval_.join(broadcast(model), Seq("prev"))
+          .groupBy(col("prev"), col("predicted"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("acc_ppm",
+            expr("cast(1000000 * n_correct div n_eval as bigint)"))
+      },
+      Some("""
+        WITH tr AS (
+          SELECT prev, nxt FROM (
+            SELECT event_type AS prev, lead(event_type, 1) OVER w AS nxt
+            FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+          WHERE nxt IS NOT NULL),
+        ev AS (
+          SELECT prev, nxt FROM (
+            SELECT event_type AS prev, lead(event_type, 1) OVER w AS nxt
+            FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+          WHERE nxt IS NOT NULL),
+        model AS (
+          SELECT prev, nxt AS predicted FROM (
+            SELECT prev, nxt, count(*) AS c,
+              row_number() OVER (PARTITION BY prev ORDER BY count(*) DESC, nxt) AS r
+            FROM tr GROUP BY prev, nxt) m
+          WHERE r = 1)
+        SELECT e.prev, m.predicted,
+          CAST(count(*) AS BIGINT) AS n_eval,
+          CAST(sum(CASE WHEN e.nxt = m.predicted THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          CAST(1000000 * sum(CASE WHEN e.nxt = m.predicted THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS acc_ppm
+        FROM ev e JOIN model m USING (prev)
+        GROUP BY e.prev, m.predicted
       """))
   )
 }
