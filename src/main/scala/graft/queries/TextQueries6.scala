@@ -113,7 +113,14 @@ object TextQueries6 {
         val gd = sh.groupBy(col("g"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
           .where(size(col("ds")) <= cap)
-        val elig = gd.select(explode(col("ds")).as("doc_id"))
+        // per-doc eligible-gram counts WITHOUT re-running the heavy
+        // collect_list shuffle: the stop-grams (df > cap) are a tiny
+        // set by construction, so a count-only aggregate finds them
+        // (map-side combine — never a doc list) and a broadcast
+        // anti-join subtracts them from each doc's distinct shingles
+        val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+          .where(col("_df") > cap).select(col("g"))
+        val elig = sh.join(broadcast(hot), Seq("g"), "left_anti")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_elig"))
         val combos = flatten(transform(sequence(lit(0), size(col("ds")) - 2), i =>
           transform(sequence(i + 1, size(col("ds")) - 1), j =>
