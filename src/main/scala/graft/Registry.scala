@@ -12,9 +12,12 @@ object Registry {
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
       queries.TextQueries3.queries ++ queries.TextQueries4.queries ++
       queries.TextQueries5.queries ++ queries.TextQueries6.queries ++
+      queries.TextQueries7.queries ++
+      queries.GraphQueries.queries ++
       queries.VectorQueries.queries ++ queries.VectorQueries2.queries ++
       queries.EventQueries.queries ++
       queries.EventQueries2.queries ++
+      queries.EventQueries3.queries ++
       queries.MultimodalQueries.queries
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+
+/** Graph analytics round 2 (round 8): fixed-round label propagation
+  * (q177) and integer-exact HITS (q178). Both follow the q106 PageRank
+  * discipline — every per-round reduction is over integers (mins /
+  * path-count sums), so the result is associative, partitioning-
+  * independent, and hash-matches a fully unrolled SQL oracle. Float
+  * HITS (with per-round L2 normalization) could never hash-match; the
+  * unnormalized power iteration counts weighted paths instead, which
+  * preserves the RANKING the normalized scores would give (scaling is
+  * monotone) while staying in BIGINT.
+  */
+object GraphQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q177: 3-round synchronous min-label propagation over the
+    //      SPARSE co-order graph (orders with ≤ 3 distinct parts only
+    //      — the full co-order graph is so dense it collapses to one
+    //      label in 2 rounds, leaving nothing to verify) — the
+    //      partial-convergence community probe: after k rounds a label
+    //      is the min node id within k hops, so the label histogram
+    //      measures contraction speed. One shuffle per round keyed by
+    //      the neighbor end — the PageRank dataflow — with the
+    //      adjacency checkpointed once and superseded label rounds
+    //      released in-loop (operators.LabelProp). ----
+    GraftQuery(
+      "q177_label_propagation",
+      (s, d) => {
+        val pairs = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .where(size(col("ps")) <= 3)
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+              y => struct(x.as("u"), y.as("v"))))))
+            .as("e"))
+          .select(col("e.u"), col("e.v")).distinct()
+        val labels = graft.operators.LabelProp.propagate(pairs, rounds = 3)
+        labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        small AS (SELECT l_orderkey FROM op GROUP BY l_orderkey HAVING count(*) <= 3),
+        ops AS (SELECT op.* FROM op JOIN small USING (l_orderkey)),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM ops a JOIN ops b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u s, v t FROM e UNION ALL SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM adj),
+        l1 AS (SELECT a.s AS node, least(min(ls.label), min(lt.label)) AS label
+               FROM adj a JOIN l0 ls ON ls.node = a.s JOIN l0 lt ON lt.node = a.t
+               GROUP BY a.s),
+        l2 AS (SELECT a.s AS node, least(min(ls.label), min(lt.label)) AS label
+               FROM adj a JOIN l1 ls ON ls.node = a.s JOIN l1 lt ON lt.node = a.t
+               GROUP BY a.s),
+        l3 AS (SELECT a.s AS node, least(min(ls.label), min(lt.label)) AS label
+               FROM adj a JOIN l2 ls ON ls.node = a.s JOIN l2 lt ON lt.node = a.t
+               GROUP BY a.s)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM l3 GROUP BY label
+      """)),
+
+    // ---- q178: HITS hubs/authorities on the customer→supplier
+    //      purchase graph (distinct (o_custkey, l_suppkey) via the
+    //      order join), two unnormalized power-iteration rounds:
+    //      auth1 = in-degree, hub1 = Σ auth1 over a customer's
+    //      suppliers, auth2 = Σ hub1 over a supplier's customers —
+    //      exact BIGINT path counts. Two sparse matvecs = two
+    //      shuffles; the supplier-keyed score frames are dimension-
+    //      sized and broadcast back for the final report. ----
+    GraftQuery(
+      "q178_hits_paths",
+      (s, d) => {
+        val edges = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").as("c"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey").as("p")),
+            Seq("o_orderkey"))
+          .select(col("c"), col("p")).distinct()
+          // referenced by all three matvec stages — materialize the
+          // order⋈lineitem distinct once; the final plan still
+          // references the checkpoint, so the consumer's
+          // Lineage.release(result) frees it
+          .localCheckpoint(true)
+        val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).as("auth1"))
+        val hub1 = edges.join(broadcast(auth1), Seq("p"))
+          .groupBy(col("c")).agg(sum(col("auth1")).as("hub1"))
+        val auth2 = edges.join(hub1, Seq("c"))
+          .groupBy(col("p")).agg(sum(col("hub1")).as("auth2"))
+        auth2.join(broadcast(auth1), Seq("p"))
+          .orderBy(col("auth2").desc, col("p"))
+          .limit(15)
+          .select(col("p").as("supp"), col("auth1"), col("auth2"))
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey p
+                   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        a1 AS (SELECT p, CAST(count(*) AS BIGINT) auth1 FROM e GROUP BY p),
+        h1 AS (SELECT e.c, CAST(sum(a1.auth1) AS BIGINT) hub1
+               FROM e JOIN a1 USING (p) GROUP BY e.c),
+        a2 AS (SELECT e.p, CAST(sum(h1.hub1) AS BIGINT) auth2
+               FROM e JOIN h1 USING (c) GROUP BY e.p)
+        SELECT a2.p AS supp, a1.auth1, a2.auth2
+        FROM a2 JOIN a1 USING (p)
+        ORDER BY auth2 DESC, p LIMIT 15
+      """))
+  )
+}

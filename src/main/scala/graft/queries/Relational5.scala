@@ -18,7 +18,7 @@ object Relational5 {
     * Shared by q104 (dedups in its adjacency build) and q106 (applies
     * .distinct() — PageRank degrees must not count duplicate edges).
     */
-  private def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     // the interpreted lambda chain is NOT the bottleneck here: a
     // codegen bit-packed pair kernel was measured IDENTICAL (±0.1 s) at
     // sf0.1 — the cost is the groupBy/distinct shuffles, which any

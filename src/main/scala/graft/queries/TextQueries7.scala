@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Text/corpus round 7 (round 8, third session): Zipf coverage curve
+  * (q174), size-proportional systematic sampling (q175), and dominant-
+  * language-per-source mode report (q179). All integer arithmetic
+  * (counts, cumulative sums, ppm shares by truncating division) — the
+  * established hash-match discipline.
+  */
+object TextQueries7 {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q174: Zipf coverage curve — what share of all tokens the
+    //      top-1/10/100/1000 terms cover (the "how head-heavy is this
+    //      corpus" curation diagnostic; a boilerplate-heavy crawl
+    //      shows extreme head mass). Scale shape: one map-side-
+    //      combined groupBy for term counts (checkpointed once, read
+    //      by both the total and the top-k), a DISTRIBUTED top-1000
+    //      (TakeOrdered — no global sort of the vocabulary), then the
+    //      rank/cumsum window runs on just those 1000 rows in one
+    //      partition. Coverage is ppm by truncating division. ----
+    GraftQuery(
+      "q174_zipf_coverage",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val total = counts.agg(sum(col("n")).as("total"))
+        val top = counts.orderBy(col("n").desc, col("tok")).limit(1000)
+        val ord = Window.orderBy(col("n").desc, col("tok"))
+        top
+          .withColumn("rank", row_number().over(ord).cast("long"))
+          .withColumn("cum",
+            sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          // curve anchors adapted to the fixture vocabulary (31
+          // distinct tokens — synthetic text); at web-corpus scale
+          // these would be 1/10/100/1000 against the same top-k plan
+          .where(col("rank").isin(1L, 3L, 10L, 30L))
+          .crossJoin(broadcast(total))
+          .select(col("rank"), col("tok").as("term"), col("n"), col("cum"),
+            expr("cast(1000000 * cum div total as bigint)").as("coverage_ppm"))
+      },
+      Some("""
+        WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                   FROM documents),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) n FROM t GROUP BY tok),
+        tot AS (SELECT sum(n) total FROM c),
+        r AS (SELECT tok, n,
+                row_number() OVER (ORDER BY n DESC, tok) rank,
+                sum(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) cum
+              FROM c)
+        SELECT CAST(rank AS BIGINT) AS rank, tok AS term, n,
+          CAST(cum AS BIGINT) AS cum,
+          CAST(1000000 * cum // total AS BIGINT) AS coverage_ppm
+        FROM r, tot WHERE rank IN (1, 3, 10, 30)
+      """)),
+
+    // ---- q175: size-proportional systematic sampling — ~50 docs
+    //      picked where the cumulative character count (in doc_id
+    //      order) crosses a stride boundary, so selection probability
+    //      is proportional to length with zero randomness (the
+    //      deterministic counterpart to weighted reservoir sampling;
+    //      rerunnable, auditable, and integer-exact). Scale shape: the
+    //      global running sum is a two-phase distributed prefix sum —
+    //      per-bucket subtotals (one small aggregate), bucket offsets
+    //      via a window over the BUCKET list (1024× smaller than the
+    //      data; the only single-partition step), broadcast back, and
+    //      the intra-bucket running sum partitioned by bucket. No
+    //      global sort of the documents table. ----
+    GraftQuery(
+      "q175_systematic_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("bkt", expr("doc_id div 1024"))
+        val b = docs.groupBy(col("bkt")).agg(sum(col("n_chars")).as("bsum"))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val off = b.select(col("bkt"),
+          coalesce(sum(col("bsum")).over(wOff), lit(0L)).as("off"),
+          sum(col("bsum")).over(wTot).as("total"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.join(broadcast(off), Seq("bkt"))
+          .withColumn("cum", sum(col("n_chars")).over(wIn) + col("off"))
+          .withColumn("step", greatest(expr("total div 50"), lit(1L)))
+          .where(expr("cum div step > (cum - n_chars) div step"))
+          .select(col("doc_id"), col("n_chars"), col("cum"))
+      },
+      Some("""
+        WITH c AS (SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) cum,
+                     sum(n_chars) OVER () total
+                   FROM documents)
+        SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum
+        FROM c
+        WHERE cum // greatest(total // 50, 1) > (cum - n_chars) // greatest(total // 50, 1)
+      """)),
+
+    // ---- q179: dominant language per source — the per-group mode
+    //      with a deterministic tie-break (count desc, then language
+    //      name), plus its corpus share in ppm. One map-side-combined
+    //      groupBy; the per-source window runs over |sources|×|langs|
+    //      rows, not the corpus. ----
+    GraftQuery(
+      "q179_dominant_lang",
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("lang"))
+        val t = Window.partitionBy(col("source"))
+        c.withColumn("r", row_number().over(w))
+          .withColumn("tot", sum(col("n")).over(t))
+          .where(col("r") === 1)
+          .select(col("source"), col("lang").as("dominant_lang"), col("n"),
+            expr("cast(1000000 * n div tot as bigint)").as("share_ppm"))
+      },
+      Some("""
+        WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) n
+                   FROM documents GROUP BY source, lang),
+        r AS (SELECT source, lang, n,
+                row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) r,
+                sum(n) OVER (PARTITION BY source) tot
+              FROM c)
+        SELECT source, lang AS dominant_lang, n,
+          CAST(1000000 * n // tot AS BIGINT) AS share_ppm
+        FROM r WHERE r = 1
+      """))
+  )
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{Registry, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+/** Round-8 third-session queries (q174-q179): internal-consistency
+  * assertions at sf0.001. Cross-engine value equality is the DuckDB
+  * oracle's job (Verify/selfcheck).
+  */
+class NewQueries8cSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q174: coverage is monotone in rank and the rank-1 term is the modal token") {
+    val rows = Registry.byName("q174_zipf_coverage").run(spark, sf)
+      .orderBy(col("rank")).collect()
+    assert(rows.nonEmpty && rows.head.getLong(rows.head.fieldIndex("rank")) == 1L)
+    val cov = rows.map(r => r.getLong(r.fieldIndex("coverage_ppm")))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      s"coverage must be nondecreasing: ${cov.mkString(",")}")
+    assert(cov.forall(c => c > 0 && c <= 1000000))
+    // rank-1 term really is the most frequent token
+    val counts = graft.core.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().orderBy(col("count").desc, col("tok")).head()
+    assert(rows.head.getString(rows.head.fieldIndex("term")) == counts.getString(0))
+  }
+
+  test("q175: stride boundaries are each crossed by exactly one selected doc") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = docs.map(_._2).sum
+    val step = math.max(total / 50, 1L)
+    var cum = 0L
+    val expected = docs.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      if (cum / step > before / step) Some(id) else None
+    }.toSeq
+    val got = Registry.byName("q175_systematic_sample").run(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == expected.sorted, s"selected ${got.size} vs expected ${expected.size}")
+    assert(got.size >= 40 && got.size <= 51, s"~50 samples expected, got ${got.size}")
+  }
+
+  test("q176: every event lands in exactly 4 hopping windows") {
+    val out = Registry.byName("q176_events_hopping").run(spark, sf)
+    val nTotal = out.agg(sum("n")).head().getLong(0)
+    val nEvents = graft.core.Tables.events(spark, sf).count()
+    assert(nTotal == 4 * nEvents, s"$nTotal != 4 * $nEvents")
+  }
+
+  test("q177: label histogram partitions the node set and labels are node-id minima") {
+    val out = Registry.byName("q177_label_propagation").run(spark, sf).collect()
+    val nNodes = out.map(r => r.getLong(r.fieldIndex("n_nodes"))).sum
+    // the query's own graph: co-order pairs from orders with ≤ 3
+    // distinct parts (the sparse subgraph — the full graph collapses
+    // to one label and would hide a histogram bug)
+    val op = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val small = op.groupBy("l_orderkey").count().where(col("count") <= 3)
+      .select("l_orderkey")
+    val ops = op.join(small, Seq("l_orderkey"))
+    val edges = ops.alias("a").join(ops.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v")).distinct()
+    val nodeIds = edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(nNodes == nodeIds.size, s"histogram covers $nNodes of ${nodeIds.size} nodes")
+    // every surviving label is a real node id (labels are min-ids)
+    val labels = out.map(r => r.getLong(r.fieldIndex("label"))).toSet
+    assert(labels.subsetOf(nodeIds))
+    // (at sf0.001 even the sparse graph collapses to one label in 3
+    // rounds; the multi-label histogram is exercised by the sf0.01
+    // oracle — 20 labels — and sf0.1 — 230)
+  }
+
+  test("q178: auth1 is the in-degree and auth2 dominates ordering deterministically") {
+    val out = Registry.byName("q178_hits_paths").run(spark, sf).collect()
+    assert(out.length <= 15 && out.nonEmpty)
+    val a2 = out.map(r => r.getLong(r.fieldIndex("auth2")))
+    assert(a2.zip(a2.tail).forall { case (a, b) => a >= b }, "auth2 must be desc")
+    // recompute in-degree for the reported suppliers
+    val e = graft.core.Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.core.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")), Seq("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (p, a1) = (r.getLong(r.fieldIndex("supp")), r.getLong(r.fieldIndex("auth1")))
+      assert(e(p) == a1, s"supplier $p auth1 $a1 != in-degree ${e(p)}")
+    }
+  }
+
+  test("q179: one dominant language per source, share consistent with totals") {
+    val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
+    val perSource = out.groupBy(_.getString(0))
+    assert(perSource.values.forall(_.length == 1), "exactly one row per source")
+    out.foreach { r =>
+      val share = r.getLong(r.fieldIndex("share_ppm"))
+      assert(share > 0 && share <= 1000000)
+    }
+  }
+}
