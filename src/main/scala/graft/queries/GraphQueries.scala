@@ -108,6 +108,76 @@ object GraphQueries {
         SELECT a2.p AS supp, a1.auth1, a2.auth2
         FROM a2 JOIN a1 USING (p)
         ORDER BY auth2 DESC, p LIMIT 15
+      """)),
+
+    // ---- q180: market-basket lift — top part pairs by
+    //      lift = P(u,v) / (P(u)·P(v)), the association-rule kernel,
+    //      in exact parts-per-billion (decimal(38,0) cross-multiplied:
+    //      1e9·co·N / (cu·cv) overflows int64 at sf0.1, and HUGEINT /
+    //      decimal is what both engines agree on). Support floor
+    //      co ≥ 2 prunes the noise pairs BEFORE the per-part count
+    //      joins; the per-part counts are dimension-sized and
+    //      broadcast. coOrderPairs' in-array expansion means one
+    //      shuffle for the co-counts — no lineitem self-join. ----
+    GraftQuery(
+      "q180_basket_lift",
+      (s, d) => {
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint(true)
+        val n = op.select(countDistinct(col("l_orderkey")).as("n"))
+        val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        val co = Relational5.coOrderPairs(s, d)
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+          .where(col("co") >= 2)
+        co.join(broadcast(cnt.select(col("l_partkey").as("u"), col("c").as("cu"))), Seq("u"))
+          .join(broadcast(cnt.select(col("l_partkey").as("v"), col("c").as("cv"))), Seq("v"))
+          .crossJoin(broadcast(n))
+          .withColumn("lift_ppb",
+            expr("cast(cast(1000000000 as decimal(38,0)) * co * n div (cu * cv) as bigint)"))
+          .orderBy(col("lift_ppb").desc, col("u"), col("v"))
+          .limit(20)
+          .select(col("u"), col("v"), col("co"), col("cu"), col("cv"), col("lift_ppb"))
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) n FROM op),
+        cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) c FROM op GROUP BY l_partkey),
+        co AS (SELECT a.l_partkey u, b.l_partkey v, CAST(count(*) AS BIGINT) co
+               FROM op a JOIN op b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT co.u, co.v, co.co, cu.c AS cu, cv.c AS cv,
+          CAST(CAST(1000000000 AS HUGEINT) * co.co * n.n // (cu.c * cv.c) AS BIGINT)
+            AS lift_ppb
+        FROM co JOIN cnt cu ON cu.l_partkey = co.u
+                JOIN cnt cv ON cv.l_partkey = co.v, n
+        ORDER BY lift_ppb DESC, co.u, co.v LIMIT 20
+      """)),
+
+    // ---- q181: exact degree distribution of the co-order graph —
+    //      the first thing anyone profiles about a graph before
+    //      choosing join strategies (max degree bounds the triangle /
+    //      CC skew). Two map-side-combined aggregates; row count is
+    //      bounded by the max degree, not the node count. ----
+    GraftQuery(
+      "q181_degree_distribution",
+      (s, d) => {
+        val e = Relational5.coOrderPairs(s, d).distinct()
+        val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("degree"))
+        deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (SELECT x, CAST(count(*) AS BIGINT) degree
+                FROM (SELECT u x FROM e UNION ALL SELECT v FROM e) t
+                GROUP BY x)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
       """))
   )
 }

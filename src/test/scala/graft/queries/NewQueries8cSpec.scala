@@ -94,6 +94,32 @@ class NewQueries8cSpec extends SparkTestBase {
     }
   }
 
+  test("q180: lift is symmetric-consistent and support floor holds") {
+    val out = Registry.byName("q180_basket_lift").run(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("co")) >= 2, "support floor")
+      val (co, cu, cv) = (r.getLong(r.fieldIndex("co")),
+        r.getLong(r.fieldIndex("cu")), r.getLong(r.fieldIndex("cv")))
+      assert(co <= cu && co <= cv, "co-count bounded by either part's count")
+      assert(r.getLong(r.fieldIndex("lift_ppb")) > 0)
+    }
+    val lifts = out.map(_.getLong(5))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "desc order")
+  }
+
+  test("q181: degree distribution accounts for every node and handshake sum is even") {
+    val out = Registry.byName("q181_degree_distribution").run(spark, sf).collect()
+    val nNodes = out.map(r => r.getLong(r.fieldIndex("n_nodes"))).sum
+    val e = Relational5.coOrderPairs(spark, sf).distinct()
+    val n = e.select(col("u").as("x")).union(e.select(col("v").as("x"))).distinct().count()
+    assert(nNodes == n)
+    // handshake lemma: sum of degrees = 2 |E|
+    val degSum = out.map(r =>
+      r.getLong(r.fieldIndex("degree")) * r.getLong(r.fieldIndex("n_nodes"))).sum
+    assert(degSum == 2 * e.count(), s"degree sum $degSum != 2|E|")
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
