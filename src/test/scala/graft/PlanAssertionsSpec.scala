@@ -184,4 +184,43 @@ class PlanAssertionsSpec extends SparkTestBase {
     val scanCount = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("lineitem"))
     assert(scanCount <= 4, s"expected <= 4 lineitem scans (row-local fusion), got $scanCount:\n${p.take(1500)}")
   }
+
+  test("q174: top-k is the distributed TakeOrdered; the cumsum window runs after it") {
+    val p = plan("q174_zipf_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-1000 terms must be a distributed top-k, not a global sort of the vocabulary")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row total must broadcast")
+  }
+
+  test("q175: prefix sum is two-phase — the only unpartitioned window is over buckets") {
+    val p = plan("q175_systematic_sample")
+    // the intra-bucket window is partitioned; the bucket-offset window
+    // is the single-partition step, over 1024x fewer rows
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast back onto the document stream")
+    assert(!p.contains("SortMergeJoin"),
+      "documents must not shuffle to meet the bucket-offset table")
+  }
+
+  test("q178/q180: dimension-sized score/count frames broadcast; no cartesian") {
+    val p1 = plan("q178_hits_paths")
+    assert(p1.contains("BroadcastHashJoin"), "auth1 (|suppliers| rows) must broadcast")
+    val p2 = plan("q180_basket_lift")
+    assert(p2.contains("BroadcastHashJoin"), "per-part counts must broadcast onto the pairs")
+    assert(!p2.contains("CartesianProduct"),
+      "in-array pair expansion must replace the order self-join (the 1-row N broadcast is a BNLJ)")
+  }
+
+  test("q176: hopping windows expand map-side — one aggregate, no self-join of events") {
+    val p = plan("q176_events_hopping")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "window assignment must be the map-side explode inside window(), not a join")
+    assert(p.contains("Expand"),
+      "the 4-per-event window assignment must be the map-side Expand before the aggregate")
+    // formatted explain prints each scan twice (tree line + detail
+    // header) — 2 lines = ONE physical scan, events is the only input
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"events must scan once, got $scans lines:\n${p.take(1200)}")
+  }
 }
