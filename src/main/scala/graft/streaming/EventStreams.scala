@@ -72,6 +72,28 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) window counts — q176's streaming counterpart:
+    * each event lands in win/hop overlapping windows, assigned
+    * map-side by window()'s Expand (no self-join), so the state store
+    * holds win/hop entries per (bucket, type) and a window finalizes
+    * `watermark` after its END like any other windowed aggregate.
+    * In batch the identical plan computes the full history (the spec
+    * asserts stream ≡ batch).
+    */
+  def hoppingCounts(
+      events: DataFrame,
+      win: String = "1 hour",
+      hop: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, hop), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Gap-based sessions via the built-in session_window — the
     * groupBy-native formulation of the q45 window-function
     * sessionization (a spec asserts the two agree on session counts).

@@ -41,6 +41,30 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  test("hopping window counts: stream over files == batch, 4 windows per event") {
+    val batchEvents = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val staged = java.nio.file.Files.createTempDirectory("graft_hop").toString
+    batchEvents.repartition(4).write.mode("overwrite").parquet(staged)
+
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val q = EventStreams.hoppingCounts(streamed)
+      .writeStream.format("memory").queryName("hopping_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hopping_sink")
+    val want = EventStreams.hoppingCounts(batchEvents)
+    assertSameRows(
+      got.withColumn("sum_value", round($"sum_value", 6)),
+      want.withColumn("sum_value", round($"sum_value", 6)))
+    // 1h windows every 15min: each event contributes to exactly 4
+    assert(got.agg(sum($"n")).head().getLong(0) == 4 * batchEvents.count())
+  }
+
   test("stream-static enrichment join: stream over files == batch") {
     val batchEvents = Tables.events(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
