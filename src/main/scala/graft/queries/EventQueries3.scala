@@ -44,6 +44,59 @@ object EventQueries3 {
           count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM b GROUP BY 1
+      """)),
+
+    // ---- q182: A/B experiment readout — users assigned to a variant
+    //      by the deterministic `k` prop of their FIRST event (ties on
+    //      (ts, event_id) — the corpus-wide first-touch idiom),
+    //      conversion = any later-or-equal purchase. Counts and ppm
+    //      rates are exact integers; the assignment table is one
+    //      per-user window pass, the conversion flag one semi-join.
+    //      No per-event JSON UDF: get_json_object is the codegen'd
+    //      builtin, evaluated once per user (the first event), not per
+    //      event. ----
+    GraftQuery(
+      "q182_ab_test",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val assign = Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("ts").as("first_ts"),
+            (get_json_object(col("props"), "$.k").cast("long") % 2).as("variant"))
+        val converted = Tables.events(s, d)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        val conv = assign.join(converted, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("variant"))
+          .agg(max(when(col("ts") >= col("first_ts"), 1L).otherwise(0L))
+            .as("is_conv"))
+        conv.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(coalesce(col("is_conv"), lit(0L))).as("n_converted"))
+          .withColumn("cvr_ppm",
+            expr("cast(1000000 * n_converted div n_users as bigint)"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT user_id, ts AS first_ts,
+            CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS variant
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) rn
+                FROM events) t
+          WHERE rn = 1),
+        conv AS (
+          SELECT a.user_id, a.variant,
+            max(CASE WHEN e.ts >= a.first_ts THEN 1 ELSE 0 END) AS is_conv
+          FROM a LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'purchase') e
+            ON e.user_id = a.user_id
+          GROUP BY a.user_id, a.variant)
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(COALESCE(is_conv, 0)) AS BIGINT) AS n_converted,
+          CAST(1000000 * sum(COALESCE(is_conv, 0)) // count(*) AS BIGINT) AS cvr_ppm
+        FROM conv GROUP BY variant
       """))
   )
 }

@@ -716,6 +716,39 @@ object Relational6 {
                 OR o_totalprice > 1000000000 THEN 1 ELSE 0 END), count(*)
             FROM orders
         ) r
+      """)),
+
+    // ---- q183: Benford first-digit audit over order totals — the
+    //      classic fabricated-data screen. The leading digit comes
+    //      from integer cents (floor(x·100) is one IEEE double op,
+    //      identical both engines; the bigint's decimal string is
+    //      engine-independent — no float log10, no double
+    //      formatting). One map-side-combined 9-group aggregate;
+    //      share in ppm by truncating division. ----
+    GraftQuery(
+      "q183_benford_digits",
+      (s, d) => {
+        val digit = substring(
+          col("cents").cast("string"), 1, 1).cast("long").as("digit")
+        val t = org.apache.spark.sql.expressions.Window.partitionBy()
+        Tables.orders(s, d)
+          .where(col("o_totalprice") > 0)
+          .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .select(digit)
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("total", sum(col("n")).over(t))
+          .select(col("digit"), col("n"),
+            expr("cast(1000000 * n div total as bigint)").as("share_ppm"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders WHERE o_totalprice > 0),
+        g AS (SELECT digit, CAST(count(*) AS BIGINT) n FROM c GROUP BY digit)
+        SELECT digit, n,
+          CAST(1000000 * n // (SELECT sum(n) FROM g) AS BIGINT) AS share_ppm
+        FROM g
       """))
   )
 }

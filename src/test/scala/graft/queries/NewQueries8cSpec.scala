@@ -120,6 +120,32 @@ class NewQueries8cSpec extends SparkTestBase {
     assert(degSum == 2 * e.count(), s"degree sum $degSum != 2|E|")
   }
 
+  test("q182: variants partition the user base and conversions are bounded") {
+    val out = Registry.byName("q182_ab_test").run(spark, sf).collect()
+    assert(out.length == 2, s"expected variants {0,1}, got ${out.length} rows")
+    val nUsers = out.map(r => r.getLong(r.fieldIndex("n_users"))).sum
+    assert(nUsers == graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_converted")) <= r.getLong(r.fieldIndex("n_users")))
+      val ppm = r.getLong(r.fieldIndex("cvr_ppm"))
+      assert(ppm >= 0 && ppm <= 1000000)
+    }
+  }
+
+  test("q183: first digits are 1-9 and shares sum to ~1e6") {
+    val out = Registry.byName("q183_benford_digits").run(spark, sf).collect()
+    val digits = out.map(r => r.getLong(r.fieldIndex("digit")))
+    assert(digits.forall(d => d >= 1 && d <= 9), s"bad digits: ${digits.mkString(",")}")
+    assert(digits.distinct.length == digits.length)
+    val shares = out.map(r => r.getLong(r.fieldIndex("share_ppm"))).sum
+    // truncating division loses at most (k-1) ppm across k groups
+    assert(shares > 1000000 - 9 && shares <= 1000000, s"shares sum $shares")
+    val nTotal = out.map(r => r.getLong(r.fieldIndex("n"))).sum
+    assert(nTotal == graft.core.Tables.orders(spark, sf)
+      .where(col("o_totalprice") > 0).count())
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
