@@ -97,6 +97,58 @@ object EventQueries3 {
           CAST(sum(COALESCE(is_conv, 0)) AS BIGINT) AS n_converted,
           CAST(1000000 * sum(COALESCE(is_conv, 0)) // count(*) AS BIGINT) AS cvr_ppm
         FROM conv GROUP BY variant
+      """)),
+
+    // ---- q184: daily bounce rate — share of 30-minute-gap sessions
+    //      (the q45 definition) containing exactly one event, by
+    //      session-start day. Session ids come from the running sum of
+    //      the gap flags inside ONE per-user window pass (same keyed
+    //      exchange as the sessionize family); everything after is
+    //      map-side-combined aggregation. Rates in exact ppm. ----
+    GraftQuery(
+      "q184_bounce_rate",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sessions = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_session")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+        sessions
+          .groupBy(to_date(col("start_ts")).cast("string").as("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounced"))
+          .withColumn("bounce_ppm",
+            expr("cast(1000000 * n_bounced div n_sessions as bigint)"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts, 1) OVER w IS NULL
+                   OR ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sid AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+        sess AS (
+          SELECT user_id, sid, count(*) n_events, min(ts) start_ts
+          FROM sid GROUP BY user_id, sid)
+        SELECT strftime(CAST(start_ts AS DATE), '%Y-%m-%d') AS day,
+          CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+          CAST(1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) // count(*)
+            AS BIGINT) AS bounce_ppm
+        FROM sess GROUP BY 1
       """))
   )
 }

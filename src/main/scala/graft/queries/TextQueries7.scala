@@ -134,6 +134,34 @@ object TextQueries7 {
         SELECT source, lang AS dominant_lang, n,
           CAST(1000000 * n // tot AS BIGINT) AS share_ppm
         FROM r WHERE r = 1
+      """)),
+
+    // ---- q185: duplicate-cluster size histogram — the "how
+    //      duplicated is this corpus" readout that sizes a dedup pass
+    //      before running it (group_size 1 = unique docs; the tail is
+    //      the boilerplate). Spark groups by md5(text) so the
+    //      shuffle carries 16-byte keys, not document bodies — the
+    //      100 TB shape; the oracle groups by the text itself
+    //      (identical counts unless md5 collides, which the oracle
+    //      comparison would catch). Row count is bounded by the max
+    //      cluster size. ----
+    GraftQuery(
+      "q185_dup_size_histogram",
+      (s, d) => {
+        val sizes = Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("group_size"))
+        sizes.groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"))
+          .select(col("group_size"), col("n_groups"),
+            (col("group_size") * col("n_groups")).as("n_docs"))
+      },
+      Some("""
+        WITH g AS (SELECT text, CAST(count(*) AS BIGINT) group_size
+                   FROM documents GROUP BY text)
+        SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(group_size * count(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY group_size
       """))
   )
 }

@@ -146,6 +146,27 @@ class NewQueries8cSpec extends SparkTestBase {
       .where(col("o_totalprice") > 0).count())
   }
 
+  test("q184: sessions reconcile with q45's per-user session counts") {
+    val out = Registry.byName("q184_bounce_rate").run(spark, sf)
+    val nSessions = out.agg(sum("n_sessions")).head().getLong(0)
+    val q45 = Registry.byName("q45_events_sessionize").run(spark, sf)
+    val want = q45.agg(sum("n_sessions")).head().getLong(0)
+    assert(nSessions == want, s"q184 total sessions $nSessions != q45 $want")
+    out.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_bounced")) <= r.getLong(r.fieldIndex("n_sessions")))
+    }
+  }
+
+  test("q185: histogram accounts for every document") {
+    val out = Registry.byName("q185_dup_size_histogram").run(spark, sf).collect()
+    val nDocs = out.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    assert(nDocs == graft.core.Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_docs")) ==
+        r.getLong(r.fieldIndex("group_size")) * r.getLong(r.fieldIndex("n_groups")))
+    }
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
