@@ -178,6 +178,46 @@ object GraphQueries {
                 GROUP BY x)
         SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
         FROM deg GROUP BY degree
+      """)),
+
+    // ---- q186: global clustering coefficient — 3·triangles / wedges,
+    //      the one-number "how cliquish" summary (with q181's degree
+    //      profile, the two standard graph health checks). The
+    //      triangle side reuses operators.Triangles (per-vertex counts
+    //      sum to exactly 3T); wedges are Σ d(d−1)/2 from one degree
+    //      aggregate. All-integer, ppm by truncating division; the
+    //      oracle recounts triangles naively (orientation-invariant
+    //      result, the q104 precedent). ----
+    GraftQuery(
+      "q186_clustering_coefficient",
+      (s, d) => {
+        // one pair expansion feeds both sides (triangles + degrees) —
+        // unstaged, the groupBy/explode/distinct would run twice
+        val e = Relational5.coOrderPairs(s, d).distinct().localCheckpoint(true)
+        val tri3 = graft.operators.Triangles.triangleCounts(e)
+          .agg(sum(col("n_triangles")).as("n_tri3"))
+        val wedges = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+          .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        tri3.crossJoin(wedges)
+          .select(col("n_tri3"), col("n_wedges"),
+            expr("cast(1000000 * n_tri3 div n_wedges as bigint)").as("coeff_ppm"))
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        t AS (SELECT CAST(3 * count(*) AS BIGINT) n_tri3
+              FROM e e1 JOIN e e2 ON e2.u = e1.v
+                        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        deg AS (SELECT x, count(*) d
+                FROM (SELECT u x FROM e UNION ALL SELECT v FROM e) q
+                GROUP BY x),
+        w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) n_wedges FROM deg)
+        SELECT n_tri3, n_wedges,
+          CAST(1000000 * n_tri3 // n_wedges AS BIGINT) AS coeff_ppm
+        FROM t, w
       """))
   )
 }

