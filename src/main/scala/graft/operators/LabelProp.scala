@@ -45,10 +45,13 @@ object LabelProp {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = adj.select(col("s").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    // the init checkpoint is inside the try: if ITS job fails, the
+    // already-materialized adj blocks must not outlive the call
+    var labels: DataFrame = null
     try {
+      labels = adj.select(col("s").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
       for (_ <- 1 to rounds) {
         // min label over the open neighborhood; least() with the node's
         // own label makes the round closed-neighborhood (labels only
@@ -66,7 +69,8 @@ object LabelProp {
       }
     } catch {
       case e: Throwable =>
-        Lineage.release(labels); Lineage.release(adj); throw e
+        if (labels != null) Lineage.release(labels)
+        Lineage.release(adj); throw e
     }
     // the final labels are materialized (eager checkpoint) — the
     // adjacency's blocks are no longer referenced by anything

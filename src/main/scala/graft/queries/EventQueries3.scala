@@ -64,7 +64,11 @@ object EventQueries3 {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("user_id"), col("ts").as("first_ts"),
-            (get_json_object(col("props"), "$.k").cast("long") % 2).as("variant"))
+            // malformed-tolerant per the q27/q51 idiom: get_json_object
+            // nulls on bad JSON, try_cast nulls on non-numeric k (ANSI
+            // cast would throw); a null variant forms its own group
+            (expr("try_cast(get_json_object(props, '$.k') as long)") % 2)
+              .as("variant"))
         val converted = Tables.events(s, d)
           .where(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"))
@@ -81,7 +85,9 @@ object EventQueries3 {
       Some("""
         WITH a AS (
           SELECT user_id, ts AS first_ts,
-            CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS variant
+            CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2
+            END AS variant
           FROM (SELECT *, row_number() OVER
                   (PARTITION BY user_id ORDER BY ts, event_id) rn
                 FROM events) t

@@ -31,15 +31,7 @@ object GraphQueries {
     GraftQuery(
       "q177_label_propagation",
       (s, d) => {
-        val pairs = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .where(size(col("ps")) <= 3)
-          .select(explode(flatten(transform(col("ps"), (x, i) =>
-            transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-              y => struct(x.as("u"), y.as("v"))))))
-            .as("e"))
-          .select(col("e.u"), col("e.v")).distinct()
+        val pairs = Relational5.coOrderPairs(s, d, maxParts = 3).distinct()
         val labels = graft.operators.LabelProp.propagate(pairs, rounds = 3)
         labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
       },

@@ -18,19 +18,28 @@ object Relational5 {
     * Shared by q104 (dedups in its adjacency build) and q106 (applies
     * .distinct() — PageRank degrees must not count duplicate edges).
     */
-  private[queries] def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def coOrderPairs(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      maxParts: Int = Int.MaxValue) = {
     // the interpreted lambda chain is NOT the bottleneck here: a
     // codegen bit-packed pair kernel was measured IDENTICAL (±0.1 s) at
     // sf0.1 — the cost is the groupBy/distinct shuffles, which any
     // formulation pays
-    Tables.lineitem(s, d)
+    val grouped = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // maxParts bounds the per-order expansion (q177's sparse-subgraph
+    // variant); unbounded callers skip the filter entirely
+    val bounded =
+      if (maxParts == Int.MaxValue) grouped
+      else grouped.where(size(col("ps")) <= maxParts)
+    bounded
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.as("u"), y.as("v"))))))
         .as("e"))
       .select(col("e.u"), col("e.v"))
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 

@@ -15,13 +15,15 @@ import graft.operators.IncrementalAgg
   *
   * Exactly-once across crashes: the raw landing is keyed by the
   * micro-batch id — each batch OVERWRITES its own
-  * `raw/<BatchCol>=<id>/` directory, so a foreachBatch replay (crash
-  * in either window: after landing before refresh, or after refresh
-  * before the checkpoint commit) rewrites the same bytes and the
-  * refresh recomputes the same partitions to the same result. The
-  * batch-id directory becomes a partition column `__batch` on raw
-  * reads; aggregations key on their own partition column and never see
-  * it unless they select it.
+  * `raw/<BatchCol>=<id>/<partitionCol>=<v>/` tree, so a foreachBatch
+  * replay (crash in either window: after landing before refresh, or
+  * after refresh before the checkpoint commit) rewrites the same bytes
+  * and the refresh recomputes the same partitions to the same result.
+  * The nested layout matters at scale: the refresh filters raw on the
+  * touched partitions, and the `<partitionCol>=` subdirectories let
+  * that filter prune directories — a 3-day backfill reads 3 days of
+  * every landed batch, not the whole history. Raw reads drop the
+  * `__batch` column before the caller's aggregation sees it.
   */
 object MetricsStore {
 
@@ -47,16 +49,33 @@ object MetricsStore {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          // deterministic per-batch landing: replays overwrite in place
-          batch.write.mode("overwrite")
-            .parquet(s"$rawDir/$BatchCol=$batchId")
-          val raw = spark.read.parquet(rawDir).drop(BatchCol)
-          IncrementalAgg
-            .refresh(spark, raw, batch, aggDir, partitionCol)(agg)
-            .get // surface refresh failures to the stream (retry/restart)
-        }
+        // one evaluation of the micro-batch source: the empty check,
+        // the landing write, and the refresh's touched-set collect
+        // all read the cached rows, not the input files three times
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            // deterministic per-batch landing, sub-partitioned by the
+            // aggregate's partition column so the refresh's touched-day
+            // filter DIRECTORY-PRUNES the raw history (without it every
+            // trigger's raw read is O(total history)); replays
+            // overwrite the same __batch dir in place
+            batch.write.mode("overwrite").partitionBy(partitionCol)
+              .parquet(s"$rawDir/$BatchCol=$batchId")
+            // explicit schema: partition columns take the STREAM's
+            // types (dir-name inference would re-type a string day as
+            // DATE and drift the store schema batch-to-batch)
+            val rawSchema = org.apache.spark.sql.types.StructType(
+              batch.schema.fields :+
+                org.apache.spark.sql.types.StructField(
+                  BatchCol, org.apache.spark.sql.types.LongType))
+            val raw = spark.read.schema(rawSchema).parquet(rawDir).drop(BatchCol)
+            IncrementalAgg
+              .refresh(spark, raw, batch, aggDir, partitionCol)(agg)
+              .get // surface refresh failures to the stream (retry/restart)
+          }
+        } finally batch.unpersist()
         ()
       }
       .start()

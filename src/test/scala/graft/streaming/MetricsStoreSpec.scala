@@ -78,9 +78,16 @@ class MetricsStoreSpec extends SparkTestBase {
     val (rawDir, aggDir) = (s"$root/raw", s"$root/agg")
 
     // simulate foreachBatch body running twice for the same batch id
+    // (mirrors the sink's landing layout: day-sub-partitioned, typed
+    // raw read)
     def body(batchId: Long): Unit = {
-      events.write.mode("overwrite").parquet(s"$rawDir/${MetricsStore.BatchCol}=$batchId")
-      val raw = spark.read.parquet(rawDir).drop(MetricsStore.BatchCol)
+      events.write.mode("overwrite").partitionBy("day")
+        .parquet(s"$rawDir/${MetricsStore.BatchCol}=$batchId")
+      val rawSchema = org.apache.spark.sql.types.StructType(
+        events.schema.fields :+ org.apache.spark.sql.types.StructField(
+          MetricsStore.BatchCol, org.apache.spark.sql.types.LongType))
+      val raw = spark.read.schema(rawSchema).parquet(rawDir)
+        .drop(MetricsStore.BatchCol)
       graft.operators.IncrementalAgg
         .refresh(spark, raw, events, aggDir, "day")(aggFn).get
     }
