@@ -749,6 +749,101 @@ object Relational6 {
         SELECT digit, n,
           CAST(1000000 * n // (SELECT sum(n) FROM g) AS BIGINT) AS share_ppm
         FROM g
+      """)),
+
+    // ---- q187: per-group OLS trend slope in exact rational form —
+    //      daily revenue trend per order priority as the integer pair
+    //      (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) plus the micro-slope by
+    //      truncating division (identical semantics both engines —
+    //      probed: DuckDB `//` truncates toward zero like Spark
+    //      `div`). regr_slope() is one float op away, but floats
+    //      can't hash-match; the rational form is exact at any scale
+    //      (decimal(38,0)/HUGEINT products — int64 would overflow
+    //      ~100× above sf0.1). One map-side-combined aggregate per
+    //      level after the daily rollup. ----
+    GraftQuery(
+      "q187_trend_slopes",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("day"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy(col("o_orderpriority"), col("day"))
+          .agg(sum(col("cents")).as("y"))
+          .withColumn("x",
+            datediff(col("day"), lit("1996-01-01").cast("date")).cast("long"))
+        daily.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+            sum(expr("cast(x as decimal(38,0)) * x")).as("sx2"))
+          .select(col("o_orderpriority"), col("n_days"),
+            expr("cast(cast(n_days as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy as bigint)")
+              .as("slope_num"),
+            expr("cast(cast(n_days as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx as bigint)")
+              .as("slope_den"),
+            expr("cast((cast(1000000 as decimal(38,0)) * (cast(n_days as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)) div (cast(n_days as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx) as bigint)")
+              .as("slope_micro"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderpriority, CAST(o_orderdate AS DATE) dy,
+            sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+          FROM orders GROUP BY 1, 2),
+        xy AS (
+          SELECT o_orderpriority,
+            CAST(date_diff('day', DATE '1996-01-01', dy) AS BIGINT) x, y
+          FROM daily),
+        g AS (
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) n_days,
+            sum(CAST(x AS HUGEINT)) sx, sum(CAST(y AS HUGEINT)) sy,
+            sum(CAST(x AS HUGEINT) * y) sxy, sum(CAST(x AS HUGEINT) * x) sx2
+          FROM xy GROUP BY 1)
+        SELECT o_orderpriority, n_days,
+          CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+          CAST(n_days * sx2 - sx * sx AS BIGINT) AS slope_den,
+          CAST(CAST(1000000 AS HUGEINT) * (n_days * sxy - sx * sy)
+            // (n_days * sx2 - sx * sx) AS BIGINT) AS slope_micro
+        FROM g
+      """)),
+
+    // ---- q188: longest consecutive-active-day streak per user,
+    //      reported as a histogram — the gaps-and-islands kernel
+    //      (island id = epoch_day − row_number is constant exactly on
+    //      consecutive runs). One per-user window pass over DISTINCT
+    //      active days, then two map-side-combined aggregates; the
+    //      histogram is bounded by the longest streak, not the user
+    //      count. ----
+    GraftQuery(
+      "q188_longest_streak",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("day"))
+        val streaks = days
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        streaks.groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+          .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) dy FROM events),
+        isl AS (
+          SELECT user_id,
+            date_diff('day', DATE '1970-01-01', dy)
+              - row_number() OVER (PARTITION BY user_id ORDER BY dy) AS grp
+          FROM days),
+        streaks AS (
+          SELECT user_id, grp, CAST(count(*) AS BIGINT) len
+          FROM isl GROUP BY user_id, grp),
+        mx AS (SELECT user_id, max(len) max_streak FROM streaks GROUP BY user_id)
+        SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
+        FROM mx GROUP BY max_streak
       """))
   )
 }

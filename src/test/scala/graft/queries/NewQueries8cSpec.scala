@@ -176,6 +176,29 @@ class NewQueries8cSpec extends SparkTestBase {
     assert(ppm >= 0 && ppm <= 1000000)
   }
 
+  test("q187: slope rational reduces to the denominator-scaled micro slope") {
+    val out = Registry.byName("q187_trend_slopes").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (num, den, micro) = (r.getLong(r.fieldIndex("slope_num")),
+        r.getLong(r.fieldIndex("slope_den")), r.getLong(r.fieldIndex("slope_micro")))
+      assert(den > 0, "x values must vary within each priority")
+      assert(micro == BigInt(1000000) * num / den,
+        s"micro $micro != 1e6*$num/$den")
+    }
+  }
+
+  test("q188: streak histogram covers every active user; streaks bound the active-day count") {
+    val out = Registry.byName("q188_longest_streak").run(spark, sf).collect()
+    val nUsers = out.map(r => r.getLong(r.fieldIndex("n_users"))).sum
+    val events = graft.core.Tables.events(spark, sf)
+    assert(nUsers == events.select("user_id").distinct().count())
+    val maxStreak = out.map(r => r.getLong(r.fieldIndex("max_streak"))).max
+    val maxDays = events.select(col("user_id"), to_date(col("ts"))).distinct()
+      .groupBy("user_id").count().agg(max("count")).head().getLong(0)
+    assert(maxStreak <= maxDays, "a streak cannot exceed a user's active-day count")
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
