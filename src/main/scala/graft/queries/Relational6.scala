@@ -844,6 +844,43 @@ object Relational6 {
         mx AS (SELECT user_id, max(len) max_streak FROM streaks GROUP BY user_id)
         SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
         FROM mx GROUP BY max_streak
+      """)),
+
+    // ---- q190: shipping-latency SLA percentiles by order month —
+    //      p50/p90/p99 of lineitem ship delay (days after order),
+    //      exact interpolated order statistics per month via the
+    //      sort-based many-group kernel (operators.Quantiles, the
+    //      q155/q171 scale path: one window pass, only interpolation
+    //      anchors leave the sort stage). Day diffs are exact
+    //      integers; quantile_cont interpolation bit-matches. ----
+    GraftQuery(
+      "q190_latency_percentiles",
+      (s, d) => {
+        val delays = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate")),
+            Seq("o_orderkey"))
+          .select(
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+              .cast("long").as("delay_days"))
+        graft.operators.Quantiles
+          .gridPercentiles(delays, Seq("month"), "delay_days", Seq(0.5, 0.9, 0.99))
+          .select(col("month"), col("n"),
+            col("pct")(0).as("p50"), col("pct")(1).as("p90"), col("pct")(2).as("p99"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+            CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_days
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        SELECT month, CAST(count(*) AS BIGINT) AS n,
+          quantile_cont(delay_days, 0.5) AS p50,
+          quantile_cont(delay_days, 0.9) AS p90,
+          quantile_cont(delay_days, 0.99) AS p99
+        FROM d GROUP BY month
       """))
   )
 }

@@ -162,6 +162,51 @@ object TextQueries7 {
         SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
           CAST(group_size * count(*) AS BIGINT) AS n_docs
         FROM g GROUP BY group_size
+      """)),
+
+    // ---- q189: quantile-normalized quality blending — each doc's
+    //      quality (n_chars proxy) mapped to its WITHIN-SOURCE
+    //      percentile rank, then bucketed into global deciles. This is
+    //      how heterogeneous sources mix without one source's scale
+    //      dominating the blend (rank normalization is the
+    //      distribution-free fix). Rank ppm is exact integer
+    //      (row_number ties broken by doc_id both engines); one
+    //      window pass partitioned BY SOURCE — no global sort. ----
+    GraftQuery(
+      "q189_quantile_normalized",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val t = Window.partitionBy(col("source"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(t))
+          .withColumn("pct_ppm",
+            expr("cast(1000000 * (r - 1) div greatest(n - 1, 1) as bigint)"))
+          .withColumn("decile", least(expr("pct_ppm div 100000"), lit(9L)))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source, n_chars,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS BIGINT) r,
+            CAST(count(*) OVER (PARTITION BY source) AS BIGINT) n
+          FROM documents),
+        p AS (
+          SELECT source, n_chars,
+            least(CAST(1000000 * (r - 1) // greatest(n - 1, 1) AS BIGINT)
+              // 100000, 9) AS decile
+          FROM r)
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM p GROUP BY decile
       """))
   )
 }

@@ -199,6 +199,36 @@ class NewQueries8cSpec extends SparkTestBase {
     assert(maxStreak <= maxDays, "a streak cannot exceed a user's active-day count")
   }
 
+  test("q189: deciles cover all docs; decile bounds are ordered") {
+    val out = Registry.byName("q189_quantile_normalized").run(spark, sf)
+      .orderBy(col("decile")).collect()
+    val nDocs = out.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    assert(nDocs == graft.core.Tables.documents(spark, sf).count())
+    val mins = out.map(r => r.getLong(r.fieldIndex("min_chars")))
+    // rank normalization is monotone within a source, so decile min
+    // bounds must be nondecreasing overall only per source — but the
+    // global min of decile k+1 can't be below the global min of decile 0
+    assert(mins.head == mins.min)
+    out.foreach { r =>
+      val d = r.getLong(r.fieldIndex("decile"))
+      assert(d >= 0 && d <= 9)
+    }
+  }
+
+  test("q190: per-month percentiles are ordered and n reconciles with the join") {
+    val out = Registry.byName("q190_latency_percentiles").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(r.fieldIndex("p50")),
+        r.getDouble(r.fieldIndex("p90")), r.getDouble(r.fieldIndex("p99")))
+      assert(p50 <= p90 && p90 <= p99, s"percentiles out of order: $p50 $p90 $p99")
+      // (the synthetic fixture contains ship dates BEFORE order dates
+      // — negative delays are real data here, not an error)
+    }
+    val nTotal = out.map(r => r.getLong(r.fieldIndex("n"))).sum
+    assert(nTotal == graft.core.Tables.lineitem(spark, sf).count())
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
