@@ -155,6 +155,52 @@ object EventQueries3 {
           CAST(1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) // count(*)
             AS BIGINT) AS bounce_ppm
         FROM sess GROUP BY 1
+      """)),
+
+    // ---- q191: time-weighted average value per event type (TWAP) —
+    //      each reading holds until the user's NEXT event, so its
+    //      weight is that interval; the per-type mean is
+    //      Σ(value·gap)/Σ(gap). The finance/metrics aggregation a
+    //      plain AVG silently gets wrong when sampling is uneven. One
+    //      per-user window pass for the gaps (lead), then one
+    //      map-side-combined aggregate. Exact: value in floored
+    //      micro-units, gaps in epoch micros, products in
+    //      decimal(38,0)/HUGEINT, mean by truncating division. Last
+    //      event per user has no successor — zero weight, dropped
+    //      identically both engines. ----
+    GraftQuery(
+      "q191_twap_by_type",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            floor(col("value") * 1000000).cast("long").as("v_micro"))
+          .withColumn("gap_us",
+            (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))))
+          .where(col("gap_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(v_micro as decimal(38,0)) * gap_us")).as("wsum"),
+            sum(col("gap_us")).as("gsum"))
+          .select(col("event_type"), col("n"),
+            expr("cast(wsum div gsum as bigint)").as("twap_micro"),
+            col("gsum").as("total_us"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT event_type,
+            CAST(floor(value * 1000000) AS BIGINT) v_micro,
+            epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+          FROM events),
+        k AS (SELECT * FROM g WHERE gap_us IS NOT NULL)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(v_micro AS HUGEINT) * gap_us)
+            // sum(CAST(gap_us AS HUGEINT)) AS BIGINT) AS twap_micro,
+          CAST(sum(gap_us) AS BIGINT) AS total_us
+        FROM k GROUP BY event_type
       """))
   )
 }

@@ -881,6 +881,95 @@ object Relational6 {
           quantile_cont(delay_days, 0.9) AS p90,
           quantile_cont(delay_days, 0.99) AS p99
         FROM d GROUP BY month
+      """)),
+
+    // ---- q192: RFM segmentation — every customer quartiled on
+    //      Recency (latest order), Frequency (order count), Monetary
+    //      (lifetime cents), then segment sizes. The classic CRM
+    //      cohorting; the workload shape is three ntile windows over
+    //      the CUSTOMER DIMENSION (not the fact table) with
+    //      deterministic custkey tie-breaks, so both engines quartile
+    //      identically. ≤64 output rows. ----
+    GraftQuery(
+      "q192_rfm_segments",
+      (s, d) => {
+        val per = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        def quart(order: org.apache.spark.sql.Column*) =
+          ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        per
+          .withColumn("r", quart(col("last_day").desc, col("o_custkey")).cast("long"))
+          .withColumn("f", quart(col("freq").desc, col("o_custkey")).cast("long"))
+          .withColumn("m", quart(col("cents").desc, col("o_custkey")).cast("long"))
+          .groupBy(col("r"), col("f"), col("m"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("segment_cents"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT o_custkey, max(CAST(o_orderdate AS DATE)) last_day,
+            CAST(count(*) AS BIGINT) freq,
+            sum(CAST(floor(o_totalprice * 100) AS BIGINT)) cents
+          FROM orders GROUP BY o_custkey),
+        q AS (
+          SELECT cents,
+            CAST(ntile(4) OVER (ORDER BY last_day DESC, o_custkey) AS BIGINT) r,
+            CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) f,
+            CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) m
+          FROM per)
+        SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+          CAST(sum(cents) AS BIGINT) AS segment_cents
+        FROM q GROUP BY r, f, m
+      """)),
+
+    // ---- q193: Pareto concentration — the smallest customer set
+    //      covering 80% of revenue, plus where the fixture actually
+    //      sits on the 80/20 curve. One desc sort + running sum over
+    //      the customer DIMENSION (orders already aggregated away);
+    //      the crossing rank is found with integer cross-multiplied
+    //      comparison (cum·5 ≥ total·4), no percent floats. ----
+    GraftQuery(
+      "q193_pareto_customers",
+      (s, d) => {
+        val per = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cents").desc, col("o_custkey"))
+        val t = org.apache.spark.sql.expressions.Window.partitionBy()
+        per
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("total", sum(col("cents")).over(t))
+          .withColumn("n_customers", count(lit(1)).over(t))
+          .where(col("cum") * 5 >= col("total") * 4)
+          .groupBy(col("n_customers"), col("total"))
+          .agg(min(col("rk")).as("k80"))
+          .select(col("n_customers"), col("k80"),
+            expr("cast(1000000 * k80 div n_customers as bigint)").as("k80_share_ppm"),
+            col("total").as("total_cents"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) cents
+          FROM orders GROUP BY o_custkey),
+        r AS (
+          SELECT cents,
+            CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) rk,
+            sum(cents) OVER (ORDER BY cents DESC, o_custkey
+              ROWS UNBOUNDED PRECEDING) cum,
+            sum(cents) OVER () total,
+            CAST(count(*) OVER () AS BIGINT) n_customers
+          FROM per)
+        SELECT n_customers, CAST(min(rk) AS BIGINT) AS k80,
+          CAST(1000000 * min(rk) // n_customers AS BIGINT) AS k80_share_ppm,
+          CAST(min(total) AS BIGINT) AS total_cents
+        FROM r WHERE cum * 5 >= total * 4
+        GROUP BY n_customers
       """))
   )
 }

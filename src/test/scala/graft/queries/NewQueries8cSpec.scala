@@ -229,6 +229,53 @@ class NewQueries8cSpec extends SparkTestBase {
     assert(nTotal == graft.core.Tables.lineitem(spark, sf).count())
   }
 
+  test("q191: TWAP lies within each type's value range and weights sum to user spans") {
+    val out = Registry.byName("q191_twap_by_type").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bounds = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(min(floor(col("value") * 1000000)).as("lo"),
+        max(floor(col("value") * 1000000)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val t = r.getString(r.fieldIndex("event_type"))
+      val twap = r.getLong(r.fieldIndex("twap_micro"))
+      val (lo, hi) = bounds(t)
+      // the weighted mean of per-event floored values is bounded by
+      // the global floored min/max (weights are positive)
+      assert(twap >= lo && twap <= hi, s"$t twap $twap outside [$lo,$hi]")
+    }
+  }
+
+  test("q192: quartile segments partition the customer base") {
+    val out = Registry.byName("q192_rfm_segments").run(spark, sf).collect()
+    val n = out.map(r => r.getLong(r.fieldIndex("n_customers"))).sum
+    assert(n == graft.core.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+    out.foreach { r =>
+      Seq("r", "f", "m").foreach { c =>
+        val v = r.getLong(r.fieldIndex(c)); assert(v >= 1 && v <= 4)
+      }
+    }
+  }
+
+  test("q193: the 80% crossing rank is tight — rank k80-1 covers under 80%") {
+    val r = Registry.byName("q193_pareto_customers").run(spark, sf).head()
+    val (n, k80) = (r.getLong(r.fieldIndex("n_customers")), r.getLong(r.fieldIndex("k80")))
+    assert(k80 >= 1 && k80 <= n)
+    // recompute: top-(k80-1) customers must cover < 80%, top-k80 >= 80%
+    val cents = graft.core.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("c"))
+      .orderBy(col("c").desc, col("o_custkey"))
+      .collect().map(_.getLong(1))
+    val total = cents.sum
+    val cumK = cents.take(k80.toInt).sum
+    assert(cumK * 5 >= total * 4, "k80 must cover >= 80%")
+    if (k80 > 1) assert(cents.take(k80.toInt - 1).sum * 5 < total * 4,
+      "k80 must be the MINIMAL crossing rank")
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
