@@ -201,6 +201,46 @@ object EventQueries3 {
             // sum(CAST(gap_us AS HUGEINT)) AS BIGINT) AS twap_micro,
           CAST(sum(gap_us) AS BIGINT) AS total_us
         FROM k GROUP BY event_type
+      """)),
+
+    // ---- q195: new-vs-returning weekly split — per ISO week, how
+    //      many active users are first-timers vs returning (the
+    //      growth-vs-retention headline every product dashboard
+    //      leads with). First-seen week per user is one aggregate
+    //      (dimension-sized, broadcast back); weekly active is the
+    //      distinct (user, week) set. All integers. ----
+    GraftQuery(
+      "q195_new_vs_returning",
+      (s, d) => {
+        val weekly = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .distinct()
+        val first = weekly.groupBy(col("user_id"))
+          .agg(min(col("week")).as("first_week"))
+        weekly.join(broadcast(first), Seq("user_id"))
+          // flag BEFORE the groupBy: the group key is aliased to the
+          // same name as the input column, and a post-alias reference
+          // would be ambiguous
+          .withColumn("is_new",
+            when(col("week") === col("first_week"), 1L).otherwise(0L))
+          .groupBy(col("week").cast("string").as("week"))
+          .agg(sum(col("is_new")).as("n_new"),
+            (count(lit(1)) - sum(col("is_new"))).as("n_returning"))
+      },
+      Some("""
+        WITH weekly AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) wk
+          FROM events),
+        fw AS (
+          SELECT user_id, min(wk) first_wk FROM weekly GROUP BY user_id)
+        SELECT strftime(w.wk, '%Y-%m-%d') AS week,
+          CAST(sum(CASE WHEN w.wk = f.first_wk THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          CAST(sum(CASE WHEN w.wk <> f.first_wk THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_returning
+        FROM weekly w JOIN fw f USING (user_id)
+        GROUP BY 1
       """))
   )
 }

@@ -970,6 +970,48 @@ object Relational6 {
           CAST(min(total) AS BIGINT) AS total_cents
         FROM r WHERE cum * 5 >= total * 4
         GROUP BY n_customers
+      """)),
+
+    // ---- q194: hierarchical percent-of-parent rollup — each nation's
+    //      revenue share WITHIN its region (the drill-down report
+    //      shape: child value + share of parent in one row). Fact
+    //      aggregates to the customer's nation first (one shuffle),
+    //      the dim joins broadcast, and the share window runs over the
+    //      25-row nation dimension. Exact cents, ppm share. ----
+    GraftQuery(
+      "q194_region_share",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+            Seq("o_custkey"))
+          .groupBy(col("c_nationkey")).agg(sum(col("cents")).as("cents"))
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"), col("n_regionkey"))
+          .join(Tables.region(s, d)
+            .select(col("r_regionkey").as("n_regionkey"), col("r_name")),
+            Seq("n_regionkey"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+        rev.join(broadcast(dim), Seq("c_nationkey"))
+          .withColumn("region_cents", sum(col("cents")).over(w))
+          .select(col("r_name"), col("n_name"), col("cents"),
+            expr("cast(1000000 * cents div region_cents as bigint)").as("share_ppm"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT c.c_nationkey, sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_nationkey),
+        j AS (
+          SELECT r.r_name, n.n_name, rev.cents,
+            sum(rev.cents) OVER (PARTITION BY r.r_name) region_cents
+          FROM rev JOIN nation n ON n.n_nationkey = rev.c_nationkey
+                   JOIN region r ON r.r_regionkey = n.n_regionkey)
+        SELECT r_name, n_name, CAST(cents AS BIGINT) AS cents,
+          CAST(1000000 * cents // region_cents AS BIGINT) AS share_ppm
+        FROM j
       """))
   )
 }

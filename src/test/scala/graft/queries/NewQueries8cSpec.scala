@@ -276,6 +276,29 @@ class NewQueries8cSpec extends SparkTestBase {
       "k80 must be the MINIMAL crossing rank")
   }
 
+  test("q194: nation shares sum to ~1e6 within each region") {
+    val out = Registry.byName("q194_region_share").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (region, rows) =>
+      val sum = rows.map(r => r.getLong(r.fieldIndex("share_ppm"))).sum
+      assert(sum > 1000000 - rows.length && sum <= 1000000,
+        s"region $region shares sum $sum")
+    }
+  }
+
+  test("q195: first week of every user is counted new exactly once; totals reconcile") {
+    val out = Registry.byName("q195_new_vs_returning").run(spark, sf).collect()
+    val totalNew = out.map(r => r.getLong(r.fieldIndex("n_new"))).sum
+    val events = graft.core.Tables.events(spark, sf)
+    assert(totalNew == events.select("user_id").distinct().count(),
+      "every user is new in exactly one week")
+    val totalActive = out.map(r => r.getLong(r.fieldIndex("n_new")) +
+      r.getLong(r.fieldIndex("n_returning"))).sum
+    val weeklyDistinct = events.select(col("user_id"),
+      date_trunc("week", col("ts"))).distinct().count()
+    assert(totalActive == weeklyDistinct)
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
