@@ -241,6 +241,44 @@ object EventQueries3 {
             AS n_returning
         FROM weekly w JOIN fw f USING (user_id)
         GROUP BY 1
+      """)),
+
+    // ---- q196: peak sliding-window load — the highest event count
+    //      any 5-minute window ever saw, with when it happened (the
+    //      capacity-planning number). Events bucket to minutes (one
+    //      map-side-combined aggregate over a BOUNDED time-series
+    //      domain), the 5-minute rolling sum runs as a RANGE frame
+    //      over the minute series, and the peak is a distributed
+    //      top-1. Ties break on the window start. ----
+    GraftQuery(
+      "q196_peak_rate",
+      (s, d) => {
+        val perMin = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 60000000").as("m"))
+          .groupBy(col("m")).agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("m")).rangeBetween(-4, 0)
+        perMin
+          .withColumn("win5", sum(col("n")).over(w))
+          .orderBy(col("win5").desc, col("m"))
+          .limit(1)
+          .select(
+            date_format(to_timestamp(col("m") * 60), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start_minute"),
+            col("win5").as("peak_5min_events"))
+      },
+      Some("""
+        WITH perMin AS (
+          SELECT epoch_us(ts) // 60000000 AS m, CAST(count(*) AS BIGINT) n
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT m, sum(n) OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING
+            AND CURRENT ROW) win5
+          FROM perMin)
+        SELECT strftime(make_timestamp(m * 60000000), '%Y-%m-%d %H:%M:%S')
+            AS window_start_minute,
+          CAST(win5 AS BIGINT) AS peak_5min_events
+        FROM r ORDER BY win5 DESC, m LIMIT 1
       """))
   )
 }

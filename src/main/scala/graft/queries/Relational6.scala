@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.core.Tables
+import graft.functions.Exact.dec2
 import graft.functions.Sketches
 import graft.functions.TextFunctions.hash60
 
@@ -1012,6 +1013,79 @@ object Relational6 {
         SELECT r_name, n_name, CAST(cents AS BIGINT) AS cents,
           CAST(1000000 * cents // region_cents AS BIGINT) AS share_ppm
         FROM j
+      """)),
+
+    // ---- q197: month-over-month top movers — the parts whose revenue
+    //      changed most vs the previous month (the "what happened"
+    //      BI drill). Monthly part revenue (one shuffle), lag within
+    //      each part's month series, distributed top-10 by absolute
+    //      delta with (part, month) tie-breaks. Exact cents. ----
+    GraftQuery(
+      "q197_top_movers",
+      (s, d) => {
+        val monthly = Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+            floor(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount"))) * 100)
+              .cast("long").as("cents"))
+          .groupBy(col("l_partkey"), col("month"))
+          .agg(sum(col("cents")).as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey")).orderBy(col("month"))
+        monthly
+          .withColumn("prev", lag(col("cents"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .withColumn("delta", col("cents") - col("prev"))
+          .orderBy(abs(col("delta")).desc, col("l_partkey"), col("month"))
+          .limit(10)
+          .select(col("l_partkey").as("part"), col("month"),
+            col("prev").as("prev_cents"), col("cents").as("cur_cents"),
+            col("delta"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+            sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+              * 100) AS BIGINT)) AS cents
+          FROM lineitem GROUP BY 1, 2),
+        d AS (
+          SELECT l_partkey, month, cents,
+            lag(cents, 1) OVER (PARTITION BY l_partkey ORDER BY month) prev
+          FROM m)
+        SELECT l_partkey AS part, month,
+          CAST(prev AS BIGINT) AS prev_cents,
+          CAST(cents AS BIGINT) AS cur_cents,
+          CAST(cents - prev AS BIGINT) AS delta
+        FROM d WHERE prev IS NOT NULL
+        ORDER BY abs(cents - prev) DESC, l_partkey, month LIMIT 10
+      """)),
+
+    // ---- q198: basket brand-diversity histogram — distinct brands
+    //      per order, then how many orders sit at each diversity
+    //      level (the assortment breadth readout). The 25-brand part
+    //      dimension broadcasts onto the fact scan; two map-side-
+    //      combined aggregates after. ----
+    GraftQuery(
+      "q198_basket_diversity",
+      (s, d) => {
+        val perOrder = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+            Seq("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("p_brand")).as("n_brands"))
+        perOrder.groupBy(col("n_brands"))
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT l.l_orderkey, CAST(count(DISTINCT p.p_brand) AS BIGINT) n_brands
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          GROUP BY l.l_orderkey)
+        SELECT n_brands, CAST(count(*) AS BIGINT) AS n_orders
+        FROM per GROUP BY n_brands
       """))
   )
 }

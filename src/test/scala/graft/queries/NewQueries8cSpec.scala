@@ -299,6 +299,37 @@ class NewQueries8cSpec extends SparkTestBase {
     assert(totalActive == weeklyDistinct)
   }
 
+  test("q196: the peak window dominates every minute's own count") {
+    val r = Registry.byName("q196_peak_rate").run(spark, sf).head()
+    val peak = r.getLong(r.fieldIndex("peak_5min_events"))
+    val maxMinute = graft.core.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 60000000").as("m"))
+      .groupBy("m").count().agg(max("count")).head().getLong(0)
+    assert(peak >= maxMinute, "a 5-minute window contains its busiest minute")
+    assert(peak <= 5 * maxMinute, "a 5-minute window holds at most 5 busiest minutes")
+  }
+
+  test("q197: movers are sorted by |delta| and deltas reconcile") {
+    val out = Registry.byName("q197_top_movers").run(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val deltas = out.map(r => math.abs(r.getLong(r.fieldIndex("delta"))))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("cur_cents")) - r.getLong(r.fieldIndex("prev_cents"))
+        == r.getLong(r.fieldIndex("delta")))
+    }
+  }
+
+  test("q198: diversity histogram accounts for every order") {
+    val out = Registry.byName("q198_basket_diversity").run(spark, sf).collect()
+    val n = out.map(r => r.getLong(r.fieldIndex("n_orders"))).sum
+    assert(n == graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count())
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_brands")) >= 1)
+    }
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
