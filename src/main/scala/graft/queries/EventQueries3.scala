@@ -262,8 +262,10 @@ object EventQueries3 {
           .withColumn("win5", sum(col("n")).over(w))
           .orderBy(col("win5").desc, col("m"))
           .limit(1)
+          // the trailing frame at row m covers minutes [m-4, m] — the
+          // window STARTS four minutes before the anchor row
           .select(
-            date_format(to_timestamp(col("m") * 60), "yyyy-MM-dd HH:mm:ss")
+            date_format(to_timestamp((col("m") - 4) * 60), "yyyy-MM-dd HH:mm:ss")
               .as("window_start_minute"),
             col("win5").as("peak_5min_events"))
       },
@@ -275,7 +277,7 @@ object EventQueries3 {
           SELECT m, sum(n) OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING
             AND CURRENT ROW) win5
           FROM perMin)
-        SELECT strftime(make_timestamp(m * 60000000), '%Y-%m-%d %H:%M:%S')
+        SELECT strftime(make_timestamp((m - 4) * 60000000), '%Y-%m-%d %H:%M:%S')
             AS window_start_minute,
           CAST(win5 AS BIGINT) AS peak_5min_events
         FROM r ORDER BY win5 DESC, m LIMIT 1

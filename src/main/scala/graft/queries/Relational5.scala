@@ -15,8 +15,13 @@ object Relational5 {
     * pairs in-array — a self-join on l_orderkey costs two extra
     * shuffles of the lineitem scan and recomputes the distinct per join
     * leg (measured 2-3 s slower at sf0.1 for an identical edge set).
-    * Shared by q104 (dedups in its adjacency build) and q106 (applies
-    * .distinct() — PageRank degrees must not count duplicate edges).
+    * Shared contract: duplicate pairs across orders are RETAINED (q104
+    * dedups in its adjacency build; q180 counts them as co-occurrence
+    * support); callers needing a simple edge set apply `.distinct()`
+    * (q106 PageRank, q177 label propagation via `maxParts`, q181
+    * degrees, q186 clustering coefficient). Any change to ordering,
+    * dedup, or pair orientation here must be audited against ALL of
+    * those callers.
     */
   private[queries] def coOrderPairs(
       s: org.apache.spark.sql.SparkSession, d: String,

@@ -45,7 +45,31 @@ object MetricsStore {
       rawDir: String,
       aggDir: String,
       partitionCol: String,
-      checkpoint: String)(agg: DataFrame => DataFrame): StreamingQuery =
+      checkpoint: String)(agg: DataFrame => DataFrame): StreamingQuery = {
+    // one-time (per stream start) layout audit: a raw store written by
+    // a flat landing (files directly under __batch=N/) cannot be read
+    // together with the sub-partitioned layout — Spark's partition
+    // discovery throws an opaque 'Conflicting directory structures'
+    // on EVERY trigger. Name the state up front instead.
+    var layoutChecked = false
+    def assertLayout(spark: org.apache.spark.sql.SparkSession): Unit =
+      if (!layoutChecked) {
+        val root = new org.apache.hadoop.fs.Path(rawDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val flat = fs.listStatus(root)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(BatchCol + "="))
+            .flatMap(st => fs.listStatus(st.getPath))
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          require(flat.isEmpty,
+            s"$rawDir contains flat-layout batches (parquet files directly under " +
+              s"$BatchCol= dirs, e.g. ${flat.headOption.map(_.getPath).getOrElse("")}) — " +
+              s"written before the $partitionCol-sub-partitioned landing. Mixed " +
+              "depths break Spark partition discovery; migrate the old batches " +
+              s"(rewrite each with partitionBy($partitionCol)) or start a fresh rawDir.")
+        }
+        layoutChecked = true
+      }
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -56,6 +80,7 @@ object MetricsStore {
         try {
           if (!batch.isEmpty) {
             val spark = batch.sparkSession
+            assertLayout(spark)
             // deterministic per-batch landing, sub-partitioned by the
             // aggregate's partition column so the refresh's touched-day
             // filter DIRECTORY-PRUNES the raw history (without it every
@@ -79,4 +104,5 @@ object MetricsStore {
         ()
       }
       .start()
+  }
 }

@@ -70,6 +70,28 @@ class MetricsStoreSpec extends SparkTestBase {
     }
   }
 
+  test("a legacy flat-layout raw store is refused with a named error") {
+    val events = withDay(Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value"))
+      .where($"day" < "2024-01-03")
+    val root = java.nio.file.Files.createTempDirectory("graft_mlegacy").toString
+    // simulate a pre-sub-partitioning landing: files directly under __batch=0/
+    events.write.mode("overwrite").parquet(s"$root/raw/${MetricsStore.BatchCol}=0")
+
+    val staged = s"$root/in"
+    events.write.mode("overwrite").parquet(staged)
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = MetricsStore.metricsStoreSink(
+      streamed, s"$root/raw", s"$root/agg", "day", s"$root/ckpt")(aggFn)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("flat-layout"),
+      s"expected the named layout refusal, got: $msg")
+  }
+
   test("a replayed batch rewrites its landing in place — no double count") {
     val events = withDay(Tables.events(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value"))
