@@ -1086,6 +1086,57 @@ object Relational6 {
           GROUP BY l.l_orderkey)
         SELECT n_brands, CAST(count(*) AS BIGINT) AS n_orders
         FROM per GROUP BY n_brands
+      """)),
+
+    // ---- q199: customers above their nation's average spend — the
+    //      correlated-subquery classic, decorrelated to one nation-
+    //      level aggregate broadcast back (no per-row subquery). The
+    //      above-average test is integer cross-multiplied
+    //      (cents·n > total — no float average), so the count is
+    //      exact. ----
+    GraftQuery(
+      "q199_above_nation_avg",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+            Seq("o_custkey"))
+        val nat = spend.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("total_cents"))
+        spend.join(broadcast(nat), Seq("c_nationkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+            Seq("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(max(col("n_cust")).as("n_customers"),
+            sum(when(expr("cast(cents as decimal(38,0)) * n_cust > total_cents"), 1L)
+              .otherwise(0L)).as("n_above"))
+          .withColumn("above_ppm",
+            expr("cast(1000000 * n_above div n_customers as bigint)"))
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o.o_custkey, c.c_nationkey,
+            sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY o.o_custkey, c.c_nationkey),
+        nat AS (
+          SELECT c_nationkey, CAST(count(*) AS BIGINT) n_cust,
+            sum(cents) total_cents
+          FROM spend GROUP BY c_nationkey)
+        SELECT n.n_name,
+          CAST(max(nat.n_cust) AS BIGINT) AS n_customers,
+          CAST(sum(CASE WHEN CAST(s.cents AS HUGEINT) * nat.n_cust > nat.total_cents
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+          CAST(1000000 * sum(CASE WHEN CAST(s.cents AS HUGEINT) * nat.n_cust
+                     > nat.total_cents THEN 1 ELSE 0 END)
+               // max(nat.n_cust) AS BIGINT) AS above_ppm
+        FROM spend s JOIN nat USING (c_nationkey)
+             JOIN nation n ON n.n_nationkey = s.c_nationkey
+        GROUP BY n.n_name
       """))
   )
 }

@@ -207,6 +207,64 @@ object TextQueries7 {
           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
           min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM p GROUP BY decile
+      """)),
+
+    // ---- q200: per-source corpus datasheet — the one-page "datasheet
+    //      for datasets" row a curation pipeline publishes per source:
+    //      volume, exact-duplicate rate, language breadth and
+    //      dominant-language share, and length stats, all exact
+    //      integers in one pass over the documents table (dup counts
+    //      via 16-byte md5 group keys, the q185 shuffle discipline).
+    //      Composes the q33/q179/q163 kernels into the report users
+    //      actually consume. ----
+    GraftQuery(
+      "q200_source_datasheet",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+        val domShare = {
+          val c = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+          val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("lang"))
+          c.withColumn("r", row_number().over(w)).where(col("r") === 1)
+            .select(col("source"), col("n").as("n_dominant"))
+        }
+        base.join(broadcast(domShare), Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            expr("cast(1000000 * (n_docs - n_unique) div n_docs as bigint)")
+              .as("dup_ppm"),
+            col("n_langs"),
+            expr("cast(1000000 * n_dominant div n_docs as bigint)")
+              .as("dominant_lang_ppm"),
+            expr("cast(total_chars div n_docs as bigint)").as("mean_chars"),
+            col("min_chars"), col("max_chars"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT source, CAST(count(*) AS BIGINT) n_docs,
+            CAST(count(DISTINCT md5(text)) AS BIGINT) n_unique,
+            CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+            sum(n_chars) total_chars,
+            min(n_chars) min_chars, max(n_chars) max_chars
+          FROM documents GROUP BY source),
+        dom AS (
+          SELECT source, n AS n_dominant FROM (
+            SELECT source, lang, CAST(count(*) AS BIGINT) n,
+              row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) r
+            FROM documents GROUP BY source, lang) t
+          WHERE r = 1)
+        SELECT b.source, b.n_docs, b.n_unique,
+          CAST(1000000 * (b.n_docs - b.n_unique) // b.n_docs AS BIGINT) AS dup_ppm,
+          b.n_langs,
+          CAST(1000000 * d.n_dominant // b.n_docs AS BIGINT) AS dominant_lang_ppm,
+          CAST(b.total_chars // b.n_docs AS BIGINT) AS mean_chars,
+          b.min_chars, b.max_chars
+        FROM base b JOIN dom d USING (source)
       """))
   )
 }

@@ -330,6 +330,32 @@ class NewQueries8cSpec extends SparkTestBase {
     }
   }
 
+  test("q199: above-average counts are positive and below the customer total") {
+    val out = Registry.byName("q199_above_nation_avg").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, above) = (r.getLong(r.fieldIndex("n_customers")),
+        r.getLong(r.fieldIndex("n_above")))
+      // someone is always strictly above unless every customer spends
+      // exactly the mean; never ALL are above it
+      assert(above >= 0 && above < n, s"${r.getString(0)}: $above of $n")
+    }
+  }
+
+  test("q200: datasheet invariants hold per source") {
+    val out = Registry.byName("q200_source_datasheet").run(spark, sf).collect()
+    val nTotal = out.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    assert(nTotal == graft.core.Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (n, u) = (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_unique")))
+      assert(u <= n && u >= 1)
+      val (lo, mean, hi) = (r.getLong(r.fieldIndex("min_chars")),
+        r.getLong(r.fieldIndex("mean_chars")), r.getLong(r.fieldIndex("max_chars")))
+      assert(lo <= mean && mean <= hi)
+      assert(r.getLong(r.fieldIndex("dominant_lang_ppm")) > 0)
+    }
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
