@@ -43,6 +43,24 @@ class LabelPropSpec extends SparkTestBase {
     assert(m == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("at convergence (rounds >= diameter) labels agree with Components on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      // sparse random graph: ~n edges, node ids offset per trial so
+      // labels can't accidentally match across trials
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong + trial * 100,
+        rnd.nextInt(n).toLong + trial * 100)).distinct
+      val lp = labelsOf(edges, rounds = 12) // >> the sparse-random diameter (deterministic seed)
+      val cc = Components
+        .connectedComponents(edges.toDF("u", "v"), "u", "v")
+        .as[(Long, Long)].collect().toMap
+      // Components labels by min node id per component; fully-converged
+      // min-label propagation must produce the identical map
+      assert(lp == cc, s"trial $trial: label prop and CC disagree")
+    }
+  }
+
   test("no checkpoint blocks survive after releasing the result") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val out = LabelProp.propagate(Seq((1L, 2L), (2L, 3L)).toDF("u", "v"), rounds = 3)
