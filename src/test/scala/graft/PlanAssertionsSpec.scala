@@ -212,6 +212,29 @@ class PlanAssertionsSpec extends SparkTestBase {
       "in-array pair expansion must replace the order self-join (the 1-row N broadcast is a BNLJ)")
   }
 
+  test("q197: top movers end in a distributed top-k, not a global sort") {
+    val p = plan("q197_top_movers")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the 10 biggest deltas must use the distributed top-k")
+  }
+
+  test("q199/q194: nation-level aggregates broadcast back; the fact never sort-merges dims") {
+    val p1 = plan("q199_above_nation_avg")
+    assert(p1.contains("BroadcastHashJoin"), "nation stats (25 rows) must broadcast")
+    val p2 = plan("q194_region_share")
+    assert(p2.contains("BroadcastHashJoin"), "the nation/region dim must broadcast")
+    assert(!p2.contains("CartesianProduct"))
+  }
+
+  test("q200: the datasheet reads documents at most twice (base stats + dominant lang)") {
+    val p = plan("q200_source_datasheet")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    // formatted explain prints each physical scan twice (tree + detail)
+    assert(scans <= 4, s"expected <= 2 physical scans of documents, got $scans lines")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source dominant-language table must broadcast")
+  }
+
   test("q176: hopping windows expand map-side — one aggregate, no self-join of events") {
     val p = plan("q176_events_hopping")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
