@@ -281,6 +281,55 @@ object EventQueries3 {
             AS window_start_minute,
           CAST(win5 AS BIGINT) AS peak_5min_events
         FROM r ORDER BY win5 DESC, m LIMIT 1
+      """)),
+
+    // ---- q202: click→purchase conversion by hour of day — for every
+    //      click, did a purchase follow within the hour (the
+    //      tolerance-bounded forward as-of, operators.AsOfJoin — same
+    //      one-shuffle union+window plan as q110/q129), rolled up by
+    //      the click's local hour. Rates in exact ppm; the oracle
+    //      replicates the as-of with the q110 following-frame idiom
+    //      plus the tolerance cut. ----
+    GraftQuery(
+      "q202_conversion_by_hour",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+        val purchases = ev.where(col("event_type") === "purchase")
+        graft.operators.AsOfJoin.forwardWithin(
+            clicks, purchases, "user_id", "ts", "ts", "event_id",
+            // the result carries leftTime ("ts") already — listing it
+            // in leftCols again would duplicate the column
+            leftCols = Seq("event_id"), tolerance = expr("INTERVAL 1 HOUR"))
+          .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(when(col("asof_event_id").isNotNull, 1L).otherwise(0L))
+              .as("n_converted"))
+          .withColumn("cvr_ppm",
+            expr("cast(1000000 * n_converted div n_clicks as bigint)"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, ts, event_id, event_type FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        w AS (
+          SELECT user_id, ts, event_id, event_type,
+            first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id
+                    ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+                             CASE WHEN event_type = 'purchase' THEN event_id END
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pts
+          FROM ev)
+        SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+          CAST(count(*) AS BIGINT) AS n_clicks,
+          CAST(sum(CASE WHEN next_pts IS NOT NULL
+                     AND next_pts <= ts + INTERVAL 1 HOUR
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+          CAST(1000000 * sum(CASE WHEN next_pts IS NOT NULL
+                     AND next_pts <= ts + INTERVAL 1 HOUR
+                   THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS cvr_ppm
+        FROM w WHERE event_type = 'click'
+        GROUP BY 1
       """))
   )
 }

@@ -1137,6 +1137,72 @@ object Relational6 {
         FROM spend s JOIN nat USING (c_nationkey)
              JOIN nation n ON n.n_nationkey = s.c_nationkey
         GROUP BY n.n_name
+      """)),
+
+    // ---- q201: autocorrelation of the daily order series at lags 1
+    //      and 7 — the seasonality detector (lag-7 high = weekly
+    //      cycle), in the q187 exact-rational discipline: Pearson
+    //      moments over (y_t, y_{t+k}) pairs as decimal(38,0)/HUGEINT
+    //      integers, and the SQUARED correlation in ppm (the square
+    //      clears the irrational sqrt; the sign rides separately).
+    //      The lead windows run over the BOUNDED daily series (~2 400
+    //      rows), not the fact table. ----
+    GraftQuery(
+      "q201_autocorrelation",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("dy"))
+          .agg(count(lit(1)).as("y"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("dy"))
+        def lagged(k: Int) = daily
+          .withColumn("ynext", lead(col("y"), k).over(w))
+          .where(col("ynext").isNotNull)
+          .select(lit(k.toLong).as("lag"), col("y").as("x"), col("ynext"))
+        lagged(1).unionAll(lagged(7))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("x")).as("sx"), sum(col("ynext")).as("sy"),
+            sum(expr("cast(x as decimal(38,0)) * ynext")).as("sxy"),
+            sum(expr("cast(x as decimal(38,0)) * x")).as("sx2"),
+            sum(expr("cast(ynext as decimal(38,0)) * ynext")).as("sy2"))
+          .select(col("lag"), col("n_pairs"),
+            expr("cast(cast(n_pairs as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy as bigint)")
+              .as("cov_num"),
+            expr("""cast(
+              (cast(1000000 as decimal(38,0))
+                * (cast(n_pairs as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)
+                * (cast(n_pairs as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy))
+              div ((cast(n_pairs as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx)
+                 * (cast(n_pairs as decimal(38,0)) * sy2 - cast(sy as decimal(38,0)) * sy))
+              as bigint)""").as("corr2_ppm"),
+            expr("cast(case when cast(n_pairs as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy < 0 then -1 else 1 end as bigint)")
+              .as("direction"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) dy, CAST(count(*) AS BIGINT) y
+          FROM orders GROUP BY 1),
+        l AS (
+          SELECT 1 AS lag, y AS x, lead(y, 1) OVER (ORDER BY dy) AS ynext FROM daily
+          UNION ALL
+          SELECT 7, y, lead(y, 7) OVER (ORDER BY dy) FROM daily),
+        k AS (SELECT * FROM l WHERE ynext IS NOT NULL),
+        g AS (
+          SELECT lag, CAST(count(*) AS BIGINT) n_pairs,
+            sum(CAST(x AS HUGEINT)) sx, sum(CAST(ynext AS HUGEINT)) sy,
+            sum(CAST(x AS HUGEINT) * ynext) sxy,
+            sum(CAST(x AS HUGEINT) * x) sx2,
+            sum(CAST(ynext AS HUGEINT) * ynext) sy2
+          FROM k GROUP BY lag)
+        SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+          CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+          CAST(CAST(1000000 AS HUGEINT) * (n_pairs * sxy - sx * sy)
+            * (n_pairs * sxy - sx * sy)
+            // ((n_pairs * sx2 - sx * sx) * (n_pairs * sy2 - sy * sy))
+            AS BIGINT) AS corr2_ppm,
+          CAST(CASE WHEN n_pairs * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
+            AS direction
+        FROM g
       """))
   )
 }

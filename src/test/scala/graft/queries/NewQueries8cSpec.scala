@@ -356,6 +356,28 @@ class NewQueries8cSpec extends SparkTestBase {
     }
   }
 
+  test("q201: corr2 is a valid squared correlation and covariance sign matches") {
+    val out = Registry.byName("q201_autocorrelation").run(spark, sf).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L))
+    out.foreach { r =>
+      val c2 = r.getLong(r.fieldIndex("corr2_ppm"))
+      assert(c2 >= 0 && c2 <= 1000000, s"corr2_ppm $c2 outside [0, 1e6]")
+      val dir = r.getLong(r.fieldIndex("direction"))
+      val num = r.getLong(r.fieldIndex("cov_num"))
+      assert(dir == (if (num < 0) -1L else 1L))
+    }
+  }
+
+  test("q202: converted clicks never exceed clicks; 24 hour buckets at most") {
+    val out = Registry.byName("q202_conversion_by_hour").run(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 24)
+    out.foreach { r =>
+      val h = r.getLong(r.fieldIndex("hour_of_day"))
+      assert(h >= 0 && h <= 23)
+      assert(r.getLong(r.fieldIndex("n_converted")) <= r.getLong(r.fieldIndex("n_clicks")))
+    }
+  }
+
   test("q179: one dominant language per source, share consistent with totals") {
     val out = Registry.byName("q179_dominant_lang").run(spark, sf).collect()
     val perSource = out.groupBy(_.getString(0))
