@@ -298,9 +298,10 @@ object EventQueries3 {
         val purchases = ev.where(col("event_type") === "purchase")
         graft.operators.AsOfJoin.forwardWithin(
             clicks, purchases, "user_id", "ts", "ts", "event_id",
-            // the result carries leftTime ("ts") already — listing it
-            // in leftCols again would duplicate the column
-            leftCols = Seq("event_id"), tolerance = expr("INTERVAL 1 HOUR"))
+            // the result carries user_id + ts already, and nothing
+            // downstream reads the click's event_id — an empty
+            // leftCols keeps the one-shuffle union row narrow
+            leftCols = Seq(), tolerance = expr("INTERVAL 1 HOUR"))
           .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
           .agg(count(lit(1)).as("n_clicks"),
             sum(when(col("asof_event_id").isNotNull, 1L).otherwise(0L))
@@ -314,7 +315,10 @@ object EventQueries3 {
           WHERE event_type IN ('click', 'purchase')),
         w AS (
           SELECT user_id, ts, event_id, event_type,
-            first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+            -- null-payload purchases can't be picked by the as-of
+            -- (its payload picker skips them); skip them here too
+            first_value(CASE WHEN event_type = 'purchase' AND event_id IS NOT NULL
+                        THEN ts END IGNORE NULLS)
               OVER (PARTITION BY user_id
                     ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
                              CASE WHEN event_type = 'purchase' THEN event_id END

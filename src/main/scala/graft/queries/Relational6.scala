@@ -1198,7 +1198,7 @@ object Relational6 {
           CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
           CAST(CAST(1000000 AS HUGEINT) * (n_pairs * sxy - sx * sy)
             * (n_pairs * sxy - sx * sy)
-            // ((n_pairs * sx2 - sx * sx) * (n_pairs * sy2 - sy * sy))
+            // NULLIF((n_pairs * sx2 - sx * sx) * (n_pairs * sy2 - sy * sy), 0)
             AS BIGINT) AS corr2_ppm,
           CAST(CASE WHEN n_pairs * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS BIGINT)
             AS direction
