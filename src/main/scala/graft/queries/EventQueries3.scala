@@ -35,8 +35,13 @@ object EventQueries3 {
             col("n"), col("sum_value")),
       Some("""
         WITH k AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        -- floor-align via the floored-modulo idiom (((x % d) + d) % d):
+        -- DuckDB's // truncates toward zero, which would diverge from
+        -- Spark's floor-aligning window() for pre-1970 (negative-epoch)
+        -- timestamps (advice r8)
         b AS (SELECT make_timestamp(
-                epoch_us(ts) // 900000000 * 900000000
+                epoch_us(ts)
+                  - ((epoch_us(ts) % 900000000) + 900000000) % 900000000
                   - CAST(i AS BIGINT) * 900000000) AS ws,
                 value
               FROM events CROSS JOIN k)
@@ -207,8 +212,9 @@ object EventQueries3 {
     //      many active users are first-timers vs returning (the
     //      growth-vs-retention headline every product dashboard
     //      leads with). First-seen week per user is one aggregate
-    //      (dimension-sized, broadcast back); weekly active is the
-    //      distinct (user, week) set. All integers. ----
+    //      (user-cardinality — joined back without a broadcast hint,
+    //      AQE decides); weekly active is the distinct (user, week)
+    //      set. All integers. ----
     GraftQuery(
       "q195_new_vs_returning",
       (s, d) => {
@@ -218,7 +224,11 @@ object EventQueries3 {
           .distinct()
         val first = weekly.groupBy(col("user_id"))
           .agg(min(col("week")).as("first_week"))
-        weekly.join(broadcast(first), Seq("user_id"))
+        // no broadcast hint: `first` is user-cardinality (fact-scale,
+        // not a dimension) — forcing a broadcast risks driver memory
+        // at larger SFs; AQE picks broadcast when it actually fits
+        // (advice r8)
+        weekly.join(first, Seq("user_id"))
           // flag BEFORE the groupBy: the group key is aliased to the
           // same name as the input column, and a post-alias reference
           // would be ambiguous

@@ -186,11 +186,14 @@ object GraphQueries {
         // one pair expansion feeds both sides (triangles + degrees) —
         // unstaged, the groupBy/explode/distinct would run twice
         val e = Relational5.coOrderPairs(s, d).distinct().localCheckpoint(true)
+        // coalesce(…, 0): on a triangle-free/empty graph sum over zero
+        // rows is NULL while the oracle's 3*count(*) is 0 — keep the
+        // degenerate inputs convergent too (advice r8)
         val tri3 = graft.operators.Triangles.triangleCounts(e)
-          .agg(sum(col("n_triangles")).as("n_tri3"))
+          .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("n_tri3"))
         val wedges = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
           .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-          .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+          .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
         tri3.crossJoin(wedges)
           .select(col("n_tri3"), col("n_wedges"),
             expr("cast(1000000 * n_tri3 div n_wedges as bigint)").as("coeff_ppm"))
@@ -206,7 +209,7 @@ object GraphQueries {
         deg AS (SELECT x, count(*) d
                 FROM (SELECT u x FROM e UNION ALL SELECT v FROM e) q
                 GROUP BY x),
-        w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) n_wedges FROM deg)
+        w AS (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) n_wedges FROM deg)
         SELECT n_tri3, n_wedges,
           CAST(1000000 * n_tri3 // n_wedges AS BIGINT) AS coeff_ppm
         FROM t, w

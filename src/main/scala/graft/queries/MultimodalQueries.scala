@@ -234,8 +234,11 @@ object MultimodalQueries {
     //      a 9×8 binary PPM, plus a PLANTED near-duplicate (last char
     //      rotated one printable step → at most one grayscale cell
     //      moves → Hamming ≤ 1). Multimodal.dHash64 decodes and hashes
-    //      for real; pairs are the exact Hamming ≤ 8 self-join at
-    //      fixture scale (banded candidates at corpus scale). The
+    //      for real; pairs come from dHashPairs' 9-band pigeonhole
+    //      self-join — LOSSLESS for hd ≤ 8 (any qualifying pair agrees
+    //      on ≥ 1 of 9 disjoint bands), so the naive all-pairs oracle
+    //      is exactly equivalent while the Spark side never goes
+    //      O(N²) in media count. The
     //      oracle recomputes every hash from ascii() codes and must
     //      agree on media count, pair count, planted-pair recovery, and
     //      the xor-fold of all hashes — a single differing bit anywhere
@@ -261,11 +264,7 @@ object MultimodalQueries {
             ppm(perturbed).as("payload"), lit("ppm").as("format"), lit("").as("path")))
           .as[Multimodal.MediaRecord]
         val ph = Multimodal.dHash64(media).localCheckpoint(true)
-        val pairs = ph.as("a").crossJoin(ph.as("b"))
-          .where(col("a.media_id") < col("b.media_id"))
-          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-            expr("bit_count(a.phash ^ b.phash)").as("hd"))
-          .where(col("hd") <= 8)
+        val pairs = Multimodal.dHashPairs(ph, maxHamming = 8)
         val stats = ph.agg(count(lit(1)).as("n_media"),
           expr("bit_xor(phash)").as("phash_xor"))
         pairs.agg(count(lit(1)).as("n_pairs"),

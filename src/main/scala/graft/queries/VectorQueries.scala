@@ -518,6 +518,76 @@ object VectorQueries {
           CAST(sum(vec_id) AS BIGINT) AS id_checksum, leak.n_leaked
         FROM sp CROSS JOIN leak
         GROUP BY split, leak.n_leaked
+      """)),
+
+    // ---- q203: the PRODUCTION leakage-safe split — q154's chain with
+    //      the pair source swapped to the APPROXIMATE kernel
+    //      (nearDupPairsApprox: LSH bucket candidates → exact cosine
+    //      verify, never O(N²)), so the end-to-end composition that
+    //      would actually run at 100 TB is itself oracle-gated: the
+    //      DuckDB SQL embeds the identical plane literals (q94/q95
+    //      technique), re-derives the approximate pair set, and runs
+    //      the same closure + cluster-hash split + leak audit.
+    //      Staging discipline: connectedComponents RELEASES its
+    //      argument's checkpoint blocks once its edge set is persisted,
+    //      so the audit join reads a SEPARATE eager checkpoint taken
+    //      before components run; the rebase first frees the LSH
+    //      bucket stage the raw plan would otherwise pin. ----
+    GraftQuery(
+      "q203_leakage_split_approx",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = graft.operators.Lineage.rebase(
+          Similarity.nearDupPairsApprox(emb, "vec_id", "embedding", tau = 0.4,
+              tables = 8, bits = 4)
+            .select(col("id_a"), col("id_b")))
+        val pairsAudit = pairs.localCheckpoint(true)
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+        val assigned = emb.select(col("vec_id"))
+          .join(comp.select(col("node").as("vec_id"), col("component")), Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("cluster"))
+          .withColumn("_m", pmod(graft.functions.TextFunctions.hash60(
+            concat(col("cluster").cast("string"), lit(":split"))), lit(10L)))
+          .withColumn("split",
+            when(col("_m") <= 7, "train").when(col("_m") === 8, "val").otherwise("test"))
+        val leak = pairsAudit
+          .join(assigned.select(col("vec_id").as("id_a"), col("split").as("_sa")), Seq("id_a"))
+          .join(assigned.select(col("vec_id").as("id_b"), col("split").as("_sb")), Seq("id_b"))
+          .agg(coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)), lit(0L))
+            .as("n_leaked"))
+        assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            sum(col("vec_id")).as("id_checksum"))
+          .crossJoin(broadcast(leak))
+      },
+      Some(s"""
+        WITH RECURSIVE ${approxPairsCtes(tau = 0.4, tables = 8, bits = 4, dims = 64)},
+        prs AS (SELECT id_a, id_b FROM aprs),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT reach.node, edges.d FROM reach JOIN edges ON edges.s = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        sp AS (
+          SELECT vec_id, cluster,
+            CASE WHEN m <= 7 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split
+          FROM (
+            SELECT n.vec_id, coalesce(c.component, n.vec_id) AS cluster,
+              CAST(concat('0x', substr(md5(CAST(coalesce(c.component, n.vec_id) AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 10 AS m
+            FROM e n LEFT JOIN comp c ON c.node = n.vec_id) t),
+        leak AS (
+          SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaked
+          FROM prs p JOIN sp a ON a.vec_id = p.id_a JOIN sp b ON b.vec_id = p.id_b)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+          CAST(sum(vec_id) AS BIGINT) AS id_checksum, leak.n_leaked
+        FROM sp CROSS JOIN leak
+        GROUP BY split, leak.n_leaked
       """))
   )
 }

@@ -66,7 +66,11 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), win), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        // exact-decimal sum: raw double sums are addition-order-
+        // dependent, so stream and batch (q176's sumExact6) would only
+        // agree after rounding (advice r8)
+        graft.functions.Exact.sumExact6(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -88,7 +92,11 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), win, hop), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        // exact-decimal sum: raw double sums are addition-order-
+        // dependent, so stream and batch (q176's sumExact6) would only
+        // agree after rounding (advice r8)
+        graft.functions.Exact.sumExact6(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),

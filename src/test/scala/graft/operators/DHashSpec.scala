@@ -60,4 +60,43 @@ class DHashSpec extends SparkTestBase {
     val got = hashOf((1L, gradientPpm(), "ppm"), (2L, Array[Byte](1, 2, 3), "mystery"))
     assert(got.keySet == Set(1L))
   }
+
+  test("dHashPairs banding is lossless: identical to the all-pairs scan") {
+    // 40 base hashes; each spawns a near-dup with k ≤ 10 flipped bits
+    // (some beyond the hd≤8 cut, so the filter is exercised both ways)
+    // plus 120 unrelated random hashes (expected hd ≈ 32, no pairs)
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.tabulate(40)(i => (i.toLong, rnd.nextLong()))
+    val dups = bases.map { case (id, h) =>
+      val k = rnd.nextInt(11)
+      val flipped = Iterator.continually(rnd.nextInt(64)).distinct.take(k)
+        .foldLeft(h)((acc, b) => acc ^ (1L << b))
+      (id + 1000L, flipped)
+    }
+    val noise = Seq.tabulate(120)(i => (5000L + i, rnd.nextLong()))
+    val all = bases ++ dups ++ noise
+    val got = Multimodal.dHashPairs(all.toDF("media_id", "phash"), maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 8
+    } yield (ia, ib, hd)).toSet
+    assert(want.nonEmpty, "fixture must contain qualifying pairs")
+    assert(want.exists(_._3 > 0), "fixture must contain non-identical qualifying pairs")
+    assert(got == want)
+  }
+
+  test("dHashPairs plan has no cartesian join") {
+    val hashed = Seq((1L, 7L), (2L, 7L), (3L, -1L)).toDF("media_id", "phash")
+    val pairs = Multimodal.dHashPairs(hashed, maxHamming = 8)
+    assert(!graft.plans.PlanLint.lint(pairs).exists(_.kind == "cartesian-join"))
+    assert(pairs.as[(Long, Long, Int)].collect().toSet == Set((1L, 2L, 0)))
+  }
+
+  test("dHashPairs maxHamming=0 degenerates to an exact-equality join") {
+    val hashed = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("media_id", "phash")
+    val got = Multimodal.dHashPairs(hashed, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
 }
