@@ -116,7 +116,10 @@ object Bench {
     // reported (contract `reruns` map = the discarded first attempt),
     // and the faster one is used — a rerun can itself hit contention,
     // so min() rather than trust-the-second. ----
-    val historyPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "BENCH_HISTORY.txt")
+    // default path is SF-stamped: one history per data scale, or a
+    // scale-up run would poison the sf0.1 baselines (and vice versa)
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY",
+      s"BENCH_HISTORY_${new java.io.File(sfDir).getName}.txt")
     val HistoryKeep = 8
     val history: Map[String, Seq[Double]] =
       try {

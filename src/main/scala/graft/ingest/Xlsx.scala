@@ -29,6 +29,68 @@ object Xlsx {
       headerRow: Int = 2): Workbook =
     Workbook.fromGrid(spark, readGrid(path, sheetName), headerRow)
 
+  /** Distributed directory ingest — S1/S2 at fleet scale. The single-
+    * file `readWorkbook` is driver-side by design (the reference needs
+    * ~5 files, `main.py:17`); a directory of thousands of workbooks
+    * would serialize on the driver, so here workbook BYTES flow through
+    * `spark.read.format("binaryFile")` and each executor parses its
+    * files with the same StAX pipeline (`readGridBytes`) — the driver
+    * opens exactly ONE file (the lexicographically first) to fix the
+    * output schema. Per-file A1 metadata survives as a `_a1` column
+    * beside `_source_path` provenance (N7: metadata is captured per
+    * file, not once per run).
+    *
+    * All files must share the header row; a mismatch fails loudly with
+    * the offending path (house fail-loud style, cf. N3/D4) rather than
+    * silently aligning columns by position.
+    */
+  def readWorkbooks(
+      spark: SparkSession, dir: String, sheetName: String,
+      headerRow: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(dir)
+      .select(col("path"), col("content"))
+    val first = bin.orderBy(col("path")).limit(1).collect()
+    require(first.nonEmpty, s"no .xlsx files under $dir")
+    val firstPath = first(0).getAs[String]("path")
+    val headGrid = readGridBytes(
+      first(0).getAs[Array[Byte]]("content"), sheetName, firstPath)
+    require(headGrid.size > headerRow,
+      s"$firstPath: grid has ${headGrid.size} rows, header expected at $headerRow")
+    val header = headGrid(headerRow).map(c => Option(c).getOrElse("").trim)
+    val width = header.size
+    val headerB = spark.sparkContext.broadcast(header)
+
+    // typed mapPartitions carries (path, a1, padded cells); the final
+    // SELECT fans the array into named columns inside Catalyst
+    val parsed = bin.as[(String, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (path, bytes) =>
+        val grid = readGridBytes(bytes, sheetName, path)
+        require(grid.size > headerRow,
+          s"$path: grid has ${grid.size} rows, header expected at $headerRow")
+        val h = grid(headerRow).map(c => Option(c).getOrElse("").trim)
+        require(h == headerB.value,
+          s"$path: header ${h.mkString("|")} does not match the directory's " +
+            s"first workbook ($firstPath): ${headerB.value.mkString("|")}")
+        val a1 = grid.headOption.flatMap(_.headOption).getOrElse("")
+        grid.drop(headerRow + 1).zipWithIndex.map { case (r, i) =>
+          val extras = r.drop(h.size).filter(c => c != null && c.nonEmpty)
+          require(extras.isEmpty,
+            s"$path row ${headerRow + 2 + i} has ${extras.size} value(s) beyond " +
+              s"the ${h.size}-column header: ${extras.take(3).mkString(", ")}")
+          val padded = r.padTo(h.size, null: String)
+            .map(c => if (c == null || c.isEmpty) null else c)
+          (path, a1, padded)
+        }
+      }
+    }
+    parsed.select(
+      col("_1").as("_source_path") +: col("_2").as("_a1") +:
+        (0 until width).map(i => col("_3")(i).as(header(i))): _*)
+  }
+
   /** The reference's glob step (S1): every file with `ext` under `dir`,
     * sorted for deterministic processing order. */
   def glob(dir: String, ext: String = ".xlsx"): Seq[String] = {
@@ -45,12 +107,62 @@ object Xlsx {
         case e: java.io.IOException =>
           throw new IllegalArgumentException(s"$path is not a readable xlsx: ${e.getMessage}", e)
       }
+    try readParts(new FileParts(zip), sheetName)
+    finally zip.close()
+  }
+
+  /** Parse the named sheet from workbook BYTES — the executor-side
+    * entry for distributed ingest: no filesystem access, no temp file.
+    * The zip directory is materialized once into an in-memory part map
+    * (config-shaped workbooks, not bulk data), then the identical StAX
+    * pipeline runs.
+    */
+  def readGridBytes(
+      bytes: Array[Byte], sheetName: String,
+      sourceName: String = "<bytes>"): Seq[Seq[String]] = {
+    val entries = Map.newBuilder[String, Array[Byte]]
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
     try {
-      val shared = readSharedStrings(zip)
-      val dateStyles = readDateStyles(zip)
-      val sheetPart = resolveSheetPart(zip, sheetName)
-      readSheet(zip, sheetPart, shared, dateStyles)
-    } finally zip.close()
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && e.getName.startsWith("xl/"))
+          entries += e.getName -> zin.readAllBytes()
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } catch {
+      case ex: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"$sourceName is not a readable xlsx: ${ex.getMessage}", ex)
+    } finally zin.close()
+    readParts(new BytesParts(entries.result(), sourceName), sheetName)
+  }
+
+  private def readParts(parts: Parts, sheetName: String): Seq[Seq[String]] = {
+    val shared = readSharedStrings(parts)
+    val dateStyles = readDateStyles(parts)
+    val sheetPart = resolveSheetPart(parts, sheetName)
+    readSheet(parts, sheetPart, shared, dateStyles)
+  }
+
+  /** Random-access view over a workbook's zip parts: a ZipFile for a
+    * local path (driver), or a pre-read entry map for bytes that
+    * arrived through `binaryFile` on an executor.
+    */
+  private sealed trait Parts {
+    def open(name: String): Option[java.io.InputStream]
+    def describe: String
+  }
+  private final class FileParts(zip: ZipFile) extends Parts {
+    def open(name: String): Option[java.io.InputStream] =
+      Option(zip.getEntry(name)).map(zip.getInputStream)
+    def describe: String = zip.getName
+  }
+  private final class BytesParts(
+      entries: Map[String, Array[Byte]], val describe: String) extends Parts {
+    def open(name: String): Option[java.io.InputStream] =
+      entries.get(name).map(new java.io.ByteArrayInputStream(_))
   }
 
   /** Built-in OOXML numFmtIds that render as dates/times (ECMA-376
@@ -90,8 +202,8 @@ object Xlsx {
     * `<numFmt>` codes are classified by [[isDateFormatCode]]; only the
     * `<cellXfs>` list maps cell `s` indexes (cellStyleXfs does not).
     */
-  private def readDateStyles(zip: ZipFile): IndexedSeq[Boolean] =
-    withPart(zip, "xl/styles.xml") { r =>
+  private def readDateStyles(parts: Parts): IndexedSeq[Boolean] =
+    withPart(parts, "xl/styles.xml") { r =>
       val customDate = mutable.Map.empty[Int, Boolean]
       val flags = mutable.ArrayBuffer.empty[Boolean]
       var inCellXfs = false
@@ -145,9 +257,8 @@ object Xlsx {
     f
   }
 
-  private def withPart[A](zip: ZipFile, name: String)(f: XMLStreamReader => A): Option[A] =
-    Option(zip.getEntry(name)).map { e =>
-      val in = zip.getInputStream(e)
+  private def withPart[A](parts: Parts, name: String)(f: XMLStreamReader => A): Option[A] =
+    parts.open(name).map { in =>
       val r = factory.createXMLStreamReader(in)
       try f(r) finally { r.close(); in.close() }
     }
@@ -155,8 +266,8 @@ object Xlsx {
   /** sharedStrings.xml: each <si> is one string — concatenate every <t>
     * inside it (plain or rich-text runs), EXCLUDING phonetic guides
     * (<rPh>/<phoneticPr> furigana would otherwise corrupt the value). */
-  private def readSharedStrings(zip: ZipFile): IndexedSeq[String] =
-    withPart(zip, "xl/sharedStrings.xml") { r =>
+  private def readSharedStrings(parts: Parts): IndexedSeq[String] =
+    withPart(parts, "xl/sharedStrings.xml") { r =>
       val out = mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var inSi = false
@@ -186,8 +297,8 @@ object Xlsx {
     }.getOrElse(IndexedSeq.empty)
 
   /** workbook.xml (sheet name → r:id) + workbook.xml.rels (r:id → part). */
-  private def resolveSheetPart(zip: ZipFile, sheetName: String): String = {
-    val rid = withPart(zip, "xl/workbook.xml") { r =>
+  private def resolveSheetPart(parts: Parts, sheetName: String): String = {
+    val rid = withPart(parts, "xl/workbook.xml") { r =>
       var found: Option[String] = None
       while (r.hasNext && found.isEmpty) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
@@ -200,8 +311,8 @@ object Xlsx {
       }
       found
     }.flatten.getOrElse(
-      throw new IllegalArgumentException(s"sheet '$sheetName' not found in ${zip.getName}"))
-    val target = withPart(zip, "xl/_rels/workbook.xml.rels") { r =>
+      throw new IllegalArgumentException(s"sheet '$sheetName' not found in ${parts.describe}"))
+    val target = withPart(parts, "xl/_rels/workbook.xml.rels") { r =>
       var found: Option[String] = None
       while (r.hasNext && found.isEmpty) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
@@ -218,10 +329,10 @@ object Xlsx {
     * values resolved per cell type, gaps null-filled.
     */
   private def readSheet(
-      zip: ZipFile, part: String, shared: IndexedSeq[String],
+      parts: Parts, part: String, shared: IndexedSeq[String],
       dateStyles: IndexedSeq[Boolean] = IndexedSeq.empty): Seq[Seq[String]] = {
     case class Cell(row: Int, colIdx: Int, value: String)
-    val cells = withPart(zip, part) { r =>
+    val cells = withPart(parts, part) { r =>
       val out = mutable.ArrayBuffer.empty[Cell]
       // streaming writers may omit the optional r attributes: track the
       // current row index and a per-row column cursor as fallbacks

@@ -116,6 +116,71 @@ class XlsxSpec extends SparkTestBase {
     assert(e.getMessage.contains("Nope"))
   }
 
+  // per-file variant of the fixture: distinct A1 banner + one distinct
+  // data row, same header — the N-file directory shape
+  private def variantXlsx(dir: String, fname: String, banner: String, area: String): Unit = {
+    val shared = sharedXml.replace("Coverage September 2023 to August 2024", banner)
+    val sheet = sheet2Xml.replace("camden", area)
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet xmlns="x"><sheetData/></worksheet>""",
+      "xl/worksheets/sheet2.xml" -> sheet))
+    java.nio.file.Files.move(java.nio.file.Paths.get(p),
+      java.nio.file.Paths.get(dir, fname))
+  }
+
+  test("distributed N-file ingest == sequential per-file reads, A1 preserved per file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dist").toString
+    val files = Seq(("a.xlsx", "Coverage A", "camden"),
+      ("b.xlsx", "Coverage B", "barnet"), ("c.xlsx", "Coverage C", "enfield"))
+    files.foreach { case (f, banner, area) => variantXlsx(dir, f, banner, area) }
+
+    val got = Xlsx.readWorkbooks(spark, dir, "Local_authority")
+    // distributed rows == the union of driver-side per-file reads
+    val want = Xlsx.glob(dir).flatMap { p =>
+      val wb = Xlsx.readWorkbook(spark, p, "Local_authority")
+      wb.data.collect().map(r => (wb.a1, r.toSeq))
+    }.toSet
+    val gotSet = got.collect()
+      .map(r => (r.getAs[String]("_a1"), r.toSeq.drop(2))).toSet
+    assert(gotSet == want)
+    // per-file A1 metadata survives, one value per source file (N7)
+    val a1ByFile = got.select($"_source_path", $"_a1").distinct().collect()
+      .map(r => (new java.io.File(r.getString(0)).getName, r.getString(1))).toMap
+    assert(a1ByFile == Map("a.xlsx" -> "Coverage A", "b.xlsx" -> "Coverage B",
+      "c.xlsx" -> "Coverage C"))
+    // schema: provenance + the shared header
+    assert(got.columns.toSeq == Seq("_source_path", "_a1",
+      "Local authority", "Year 8 females: Number", "Year 8 females: Number vaccinated"))
+  }
+
+  test("distributed ingest fails loudly on a header-mismatched workbook") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_mism").toString
+    variantXlsx(dir, "a.xlsx", "Coverage A", "camden")
+    // b.xlsx renames a header cell: si[2] text differs
+    val shared = sharedXml.replace("Year 8 females: Number<",
+      "Year 8 MALES: Number<")
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet xmlns="x"><sheetData/></worksheet>""",
+      "xl/worksheets/sheet2.xml" -> sheet2Xml))
+    java.nio.file.Files.move(java.nio.file.Paths.get(p),
+      java.nio.file.Paths.get(dir, "b.xlsx"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Xlsx.readWorkbooks(spark, dir, "Local_authority").collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("does not match the directory's first workbook"),
+      s"expected the named header-mismatch error, got: $msg")
+  }
+
   test("cells without r attributes fall back to row/column cursors") {
     // streaming writers (e.g. write-only modes) may omit r on rows/cells
     val sheet =
