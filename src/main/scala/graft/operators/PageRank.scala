@@ -43,6 +43,12 @@ object PageRank {
     * before hash-relation overhead. Above it the loop switches to the
     * co-partitioned shuffle formulation (identical arithmetic — the
     * fixed-point design makes the two branches bit-identical).
+    *
+    * Measured (r9, PrBench, co-order graph, 3 iters, warm): sf0.1
+    * (~40 k vertices) broadcast 2.8-2.9 s vs shuffle 2.3-3.4 s —
+    * noise-overlapped; sf1 (~200 k vertices) broadcast 9.1-10.1 s vs
+    * shuffle 9.9-13.8 s — broadcast ahead. The gate's default
+    * (broadcast below 4M) is the measured right choice at both scales.
     */
   private val BroadcastMaxVertices = 4L * 1000 * 1000
 
@@ -101,18 +107,32 @@ object PageRank {
         Lineage.release(vertices0)
         r
       }
-    val outDeg = a.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     def attach(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
+    // Degree FUSED into the vertex table once: the rank table carries
+    // (vertex, deg, rank) through the loop, so each iteration's
+    // per-source contribution is a PROJECTION (rank div deg) instead of
+    // a rank⋈degree join — one fewer join + broadcast build per round
+    // (measured ~0.5 s/round at sf0.1). Dangling vertices carry deg
+    // NULL and are filtered from contributions (they emit no mass —
+    // identical semantics to the inner join they replace).
+    val vd = vertices
+      .join(attach(a.groupBy(col("src")).agg(count(lit(1)).as("deg"))),
+        vertices("vertex") === col("src"), "left")
+      .select(col("vertex"), col("deg"))
+      .localCheckpoint()
+    // the vertex checkpoint is superseded by vd (nothing else reads it,
+    // and vd's truncated plan would hide its blocks from later release)
+    Lineage.release(vertices)
     val base = Scale * 15L / 100L / n // teleport term, truncating like every step
-    var rank = vertices.withColumn("rank", lit(Scale / n))
+    var rank = vd.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {
       // `div` (integer division), NOT `/`: Spark's `/` on longs returns
       // DOUBLE, whose rounding would reintroduce the very
       // order/engine-dependence the fixed-point design removes.
       val perSrc = rank
-        .join(attach(outDeg), rank("vertex") === outDeg("src"))
-        .select(col("src"), expr("rank div deg").as("c"))
+        .where(col("deg").isNotNull)
+        .select(col("vertex").as("src"), expr("rank div deg").as("c"))
       val contrib = a.join(attach(perSrc), "src")
         .select(col("dst").as("vertex"), col("c"))
         .groupBy(col("vertex")).agg(sum(col("c")).as("s"))
@@ -123,11 +143,11 @@ object PageRank {
       // sf0.1). For iteration counts where plan depth itself becomes a
       // problem (≫10), add a localCheckpoint every ~8 rounds — the
       // Components-loop pattern.
-      rank = vertices
+      rank = vd
         .join(attach(contrib), Seq("vertex"), "left")
-        .select(col("vertex"),
+        .select(col("vertex"), col("deg"),
           expr(s"$base + (coalesce(s, 0L) * 85) div 100").as("rank"))
     }
-    rank
+    rank.select(col("vertex"), col("rank"))
   }
 }
