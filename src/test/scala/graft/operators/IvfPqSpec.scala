@@ -35,6 +35,42 @@ class IvfPqSpec extends SparkTestBase {
     } finally IvfPq.release(ix)
   }
 
+  test("exact refine stage: refined recall dominates unrefined at the same index") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ix = IvfPq.build(emb, "vec_id", "embedding", nCentroids = 16)
+    try {
+      val pool = IvfPq.probe(ix, queries, "vec_id", "embedding", k = 40, nProbe = 8)
+        .localCheckpoint(true)
+      val plain = pool.where($"rank" <= 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val refined = Similarity
+        .refineExact(pool, emb, queries, "vec_id", "embedding", k = 10, depth = 40)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val rPlain = (exact & plain).size.toDouble / exact.size
+      val rRef = (exact & refined).size.toDouble / exact.size
+      info(f"recall@10: unrefined $rPlain%.2f refined $rRef%.2f (depth 40)")
+      // refinement can only reorder WITHIN the pool: it never loses an
+      // exact hit the pool already contains, so dominance is structural
+      assert(rRef >= rPlain, s"refined $rRef < unrefined $rPlain")
+      // every refined neighbor must come from the ADC pool
+      assert(refined.subsetOf(
+        pool.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet))
+      // refined sims are EXACT: they match the brute-force values on
+      // the intersection (same prep, same dot — bit-identical)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+        .collect().map { case (q, n, s) => (q, n) -> s }.toMap
+      val refSims = Similarity
+        .refineExact(pool, emb, queries, "vec_id", "embedding", k = 10, depth = 40)
+        .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)].collect()
+      refSims.foreach { case (q, n, s) =>
+        bf.get((q, n)).foreach(e => assert(e == s, s"sim mismatch for ($q,$n)")) }
+    } finally IvfPq.release(ix)
+  }
+
   test("residual PQ beats raw PQ at the same code budget") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where($"vec_id" < 10)
