@@ -292,13 +292,18 @@ object Dedup {
       // q36/q79); kept because the recompute it prevents grows with the
       // corpus while the banded table stays 4 rows/doc.
       .localCheckpoint()
+    // filter BEFORE distinct (the dHashPairs discipline): hamming is a
+    // pure function of the pair, so order doesn't change results — but
+    // it moves the Hamming verify into the codegen'd join stage and
+    // shrinks the distinct's shuffle from the candidate set to the
+    // qualifying pairs.
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash near-dup pairs: 4×16-bit bands → bucket join → Hamming
