@@ -11,6 +11,7 @@ Usage: python3 dev/oraclebench.py <verify_out_dir> <sf_dir> [threads] [timeout_s
   are exponential-ish in data size and would otherwise run for hours.
 """
 import json
+import os
 import sys
 import threading
 import time
@@ -25,7 +26,10 @@ def main():
     con = duckdb.connect()
     con.execute(f"SET threads = {threads}")
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset directory
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     total = 0.0
     per = {}

@@ -9,6 +9,7 @@ Usage: python3 dev/selfcheck.py <verify_out_dir> <sf_dir>
   where <verify_out_dir> was produced by `sbt "runMain graft.Verify <sf_dir> <out>"`.
 """
 import json
+import os
 import math
 import sys
 
@@ -36,8 +37,15 @@ def main():
     con = duckdb.connect()
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
     for t in tables:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset directory
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional 3rd arg (dev only): comma-separated subset of query names
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:

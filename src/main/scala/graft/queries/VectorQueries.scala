@@ -588,6 +588,62 @@ object VectorQueries {
           CAST(sum(vec_id) AS BIGINT) AS id_checksum, leak.n_leaked
         FROM sp CROSS JOIN leak
         GROUP BY split, leak.n_leaked
+      """)),
+
+    // ---- q204: approximate k-NN GRAPH over the whole corpus — every
+    //      vector's top-5 among its LSH-bucket candidates (the
+    //      building block under kNN-graph clustering and graph-ANN
+    //      indexes). All-points, so candidates come from the bucket
+    //      SELF-join, never a probe-set broadcast. Oracle replicates
+    //      the plane literals (q94) with the tau filter disabled
+    //      (τ = −2 keeps every scored candidate), then ranks per
+    //      query — the approximate graph hash-matches bit-for-bit. ----
+    GraftQuery(
+      "q204_knn_graph",
+      (s, d) => Similarity.knnGraph(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 5, tables = 8, bits = 4),
+      Some(s"""
+        WITH ${approxPairsCtes(tau = -2.0, tables = 8, bits = 4, dims = 64)},
+        sym AS (
+          SELECT id_a AS query_id, id_b AS neighbor_id, sim FROM aprs
+          UNION ALL SELECT id_b, id_a, sim FROM aprs),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+          FROM sym)
+        SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rank
+        FROM ranked WHERE rk <= 5
+      """)),
+
+    // ---- q205: HARD-NEGATIVE mining for contrastive training — each
+    //      anchor's top-3 most-similar vectors with a DIFFERENT label
+    //      (confusable but differently-labeled: what a contrastive
+    //      loss needs to see). The label filter runs BEFORE the
+    //      per-anchor window, so this is the top-3 of the negatives,
+    //      not a post-filtered top-3 of everything. Same replicated-
+    //      plane oracle as q204 plus the label join. ----
+    GraftQuery(
+      "q205_hard_negatives",
+      (s, d) => Similarity.hardNegatives(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", k = 3),
+      Some(s"""
+        WITH ${approxPairsCtes(tau = -2.0, tables = 8, bits = 4, dims = 64)},
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        sym AS (
+          SELECT id_a AS query_id, id_b AS neighbor_id, sim FROM aprs
+          UNION ALL SELECT id_b, id_a, sim FROM aprs),
+        neg AS (
+          SELECT s.query_id, s.neighbor_id, s.sim, ln.label AS neg_label
+          FROM sym s
+          JOIN lbl lq ON lq.vec_id = s.query_id
+          JOIN lbl ln ON ln.vec_id = s.neighbor_id
+          WHERE lq.label <> ln.label),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim, neg_label,
+            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+          FROM neg)
+        SELECT query_id, neighbor_id, sim, neg_label, CAST(rk AS BIGINT) AS rank
+        FROM ranked WHERE rk <= 3
       """))
   )
 }

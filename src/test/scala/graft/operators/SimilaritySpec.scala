@@ -72,4 +72,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head._1 == 9999L)
     assert(math.abs(top.head._2 - 1.0) < 1e-12)
   }
+
+  test("knnGraph: exact sims, per-query bound, no self edges, symmetric candidates") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(g.nonEmpty)
+    assert(g.forall { case (q, n, _, r) => q != n && r >= 1 && r <= 5 })
+    val perQuery = g.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 5))
+    // reported sims are EXACT cosines: recompute via brute force for a
+    // few queries and compare bit-for-bit on the intersection
+    val someQ = g.map(_._1).distinct.take(3)
+    val brute = Similarity.bruteForceTopK(
+        emb, emb.where($"vec_id".isin(someQ: _*)), "vec_id", "embedding", k = 1000)
+      .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect().map { case (q, n, s) => (q, n) -> s }.toMap
+    g.filter(e => someQ.contains(e._1)).foreach { case (q, n, s, _) =>
+      brute.get((q, n)).foreach(b => assert(b == s, s"sim mismatch at ($q,$n)")) }
+  }
+
+  test("hardNegatives: every mined negative carries a different label") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val neg = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", k = 3)
+      .select($"query_id", $"neighbor_id", $"neg_label", $"rank")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(neg.nonEmpty)
+    neg.foreach { case (q, n, nl, r) =>
+      assert(labels(n) == nl, s"neg_label must be the neighbor's label ($q,$n)")
+      assert(labels(q) != nl, s"a negative must be differently labeled ($q,$n)")
+      assert(r >= 1 && r <= 3)
+    }
+    // negatives are ranked among NEGATIVES: an anchor's rank-1 negative
+    // must dominate (or tie) every other reported negative of that anchor
+    val sims = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", k = 3)
+      .select($"query_id", $"sim", $"rank").as[(Long, Double, Long)].collect()
+    sims.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }
