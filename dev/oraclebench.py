@@ -34,6 +34,16 @@ def main():
     total = 0.0
     per = {}
     n_timeouts = 0
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(f"SET threads = {threads}")
+        for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        return c
+
     for name, sql in sorted(oracle.items()):
         timer = None
         if timeout is not None:
@@ -46,8 +56,31 @@ def main():
             per[name] = round(dt, 3)
             total += dt
         except duckdb.InterruptException:
-            per[name] = {"timeout": timeout}
-            n_timeouts += 1
+            dt = time.monotonic() - t0
+            if timeout is not None and dt < timeout * 0.9:
+                # timer-race artifact: a PREVIOUS query's interrupt fired
+                # after its fetchall but before cancel, landing on this
+                # (innocent) query — retry once on a fresh connection
+                # rather than record a spurious sub-timeout "timeout"
+                con = fresh_con()
+                timer.cancel()
+                timer = threading.Timer(timeout, con.interrupt)
+                timer.start()
+                t0 = time.monotonic()
+                try:
+                    con.sql(sql).fetchall()
+                    dt = time.monotonic() - t0
+                    per[name] = round(dt, 3)
+                    total += dt
+                except duckdb.InterruptException:
+                    per[name] = {"timeout": timeout}
+                    n_timeouts += 1
+                    con = fresh_con()
+            else:
+                per[name] = {"timeout": timeout}
+                n_timeouts += 1
+                # interrupted connections can carry state; start clean
+                con = fresh_con()
         finally:
             if timer is not None:
                 timer.cancel()

@@ -113,9 +113,10 @@ object Bench {
     // Plain-text `name sec sec ...` lines, most recent last, capped —
     // a format that can't fail to parse. A row slower than 2× its
     // history median gets ONE re-run after hygiene; both timings are
-    // reported (contract `reruns` map = the discarded first attempt),
-    // and the faster one is used — a rerun can itself hit contention,
-    // so min() rather than trust-the-second. ----
+    // reported (contract `reruns` map = the discarded SLOWER attempt,
+    // first or second), and the faster successful one is used — a
+    // rerun can itself hit contention, so min() rather than
+    // trust-the-second. ----
     // default path is SF-stamped: one history per data scale, or a
     // scale-up run would poison the sf0.1 baselines (and vice versa)
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY",
@@ -147,15 +148,22 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
-    def timeOnce(q: GraftQuery): Double = {
+    // returns (seconds, succeeded): a fast failure must NOT become a
+    // history baseline (a 0.3 s time-to-error median would flag every
+    // healthy run as a >2× outlier forever) nor be "healed" by min()
+    // into a published timing
+    def timeOnce(q: GraftQuery): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try {
-        val df = q.run(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        graft.operators.Lineage.release(df, blocking = true)
-      }
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          val df = q.run(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          graft.operators.Lineage.release(df, blocking = true)
+          true
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val results = selected.map { q =>
@@ -183,7 +191,7 @@ object Bench {
       // timeOnce: noop-sink execution with the plan-referenced
       // checkpoint release INSIDE the timed region — a query's storage
       // cost is part of its cost (see Lineage.release).
-      val dt0 = timeOnce(q)
+      val (dt0, ok0) = timeOnce(q)
       // Leak check AFTER the plan-referenced release: anything still
       // registered is storage the query staged and then dropped from its
       // final plan — a genuine leak Lineage.release can't see. Loud, not
@@ -205,31 +213,35 @@ object Bench {
       //   bled into q35's 3 s → 16 s swing). The blocking wait costs
       //   milliseconds and lands outside the timed region.
       hygiene()
-      // Self-healing re-run: only when history says this row is a >2×
-      // outlier, and only for queries WITHOUT a staged build (a prepare
-      // slot was consumed by the first run; re-running would rebuild
-      // inline and time a different shape). One re-run, min() wins.
+      // Self-healing re-run: only when the FIRST attempt succeeded and
+      // history says it is a >2× outlier, and only for queries WITHOUT
+      // a staged build (a prepare slot was consumed by the first run;
+      // re-running would rebuild inline and time a different shape).
+      // One re-run; the faster SUCCESSFUL attempt wins.
       val hist = history.get(q.name).filter(_.nonEmpty).map(median)
       val rerun: Option[Double] =
-        if (buildSec.isEmpty && hist.exists(m => dt0 > 2 * m && dt0 - m > 0.5)) {
+        if (ok0 && buildSec.isEmpty && hist.exists(m => dt0 > 2 * m && dt0 - m > 0.5)) {
           System.err.println(String.format(java.util.Locale.ROOT,
             "[bench-rerun] %s %.2fs > 2x history median %.2fs — re-running once",
             q.name, Double.box(dt0), Double.box(hist.get)))
-          val second = timeOnce(q)
+          val (second, ok2) = timeOnce(q)
           hygiene()
-          Some(second)
+          if (ok2) Some(second) else None
         } else None
       val dt = rerun.fold(dt0)(math.min(dt0, _))
-      // first attempt only lands in `reruns` when it was discarded
-      val discarded = rerun.map(_ => if (dt == dt0) rerun.get else dt0)
-        .filter(_ != dt)
-      (q.name, dt, la0, leaked, buildSec, discarded)
+      // `reruns` carries the DISCARDED attempt — the slower of the two,
+      // whichever ran first (the forensics `load` sample belongs to the
+      // first attempt either way; readers must not assume order)
+      val discarded = rerun.map(math.max(dt0, _)).filter(_ != dt)
+      (q.name, dt, la0, leaked, buildSec, discarded, ok0 || rerun.isDefined)
     }
     // Persist the rolling history (used values, most recent last,
     // capped) so the NEXT run has a per-query baseline to heal against.
+    // Failed attempts are excluded: a time-to-error is not a baseline.
     try {
-      val merged = results.foldLeft(history) { case (h, (k, v, _, _, _, _)) =>
-        h.updated(k, (h.getOrElse(k, Seq.empty) :+ v).takeRight(HistoryKeep))
+      val merged = results.foldLeft(history) { case (h, (k, v, _, _, _, _, ok)) =>
+        if (!ok) h
+        else h.updated(k, (h.getOrElse(k, Seq.empty) :+ v).takeRight(HistoryKeep))
       }
       val lines = merged.toSeq.sortBy(_._1).map { case (k, vs) =>
         k + " " + vs.map(num).mkString(" ")
@@ -241,14 +253,14 @@ object Bench {
       System.err.println(s"[bench] history write failed: ${e.getMessage}") }
     // Bench forensics: host load average sampled before each query, so a
     // regression can be separated from host contention after the fact.
-    val loads = results.map { case (k, _, la, _, _, _) => "\"" + k + "\":" + num2(la) }
+    val loads = results.map { case (k, _, la, _, _, _, _) => "\"" + k + "\":" + num2(la) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench-load] $loads")
     // The stderr forensics die with the session log; the per-query
     // (seconds, load, leaked-RDD, build) tuples also go to a local file
     // that survives the run, so a later reader can separate host
     // contention from plan regressions without the original console.
-    val forensics = results.map { case (k, v, la, lk, b, rr) =>
+    val forensics = results.map { case (k, v, la, lk, b, rr, _) =>
       "\"" + k + "\":{\"sec\":" + num(v) + ",\"load\":" + num2(la) + ",\"leaked\":" + lk +
         b.map(x => ",\"build\":" + num(x)).getOrElse("") +
         rr.map(x => ",\"rerun_discarded\":" + num(x)).getOrElse("") + "}"
@@ -269,21 +281,21 @@ object Bench {
     // so the WHOLE line fits in the driver's 2 KB output tail — rounds 1-3
     // all recorded `parsed: null` because the ~3.5 KB full-name line
     // overflowed that window and the parse failed.
-    val full = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     System.err.println(s"[bench-full] $full")
     def queriesJson(fmt: Double => String) = shortIds.zip(results)
-      .map { case (id, (_, v, _, _, _, _)) => "\"" + id + "\":" + fmt(v) }
+      .map { case (id, (_, v, _, _, _, _, _)) => "\"" + id + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // builds: the staged index-build seconds for the split queries —
     // reported beside the probe numbers and INCLUDED in the total, so
     // the split is visible without flattering the sum.
     val buildsJson = shortIds.zip(results)
-      .collect { case (id, (_, _, _, _, Some(b), _)) => "\"" + id + "\":" + num(b) }
+      .collect { case (id, (_, _, _, _, Some(b), _, _)) => "\"" + id + "\":" + num(b) }
       .mkString("{", ",", "}")
     // reruns: self-healed rows — the DISCARDED first attempt, so the
     // contract line shows both what was published and what was seen.
     val rerunsJson = shortIds.zip(results)
-      .collect { case (id, (_, _, _, _, _, Some(d))) => "\"" + id + "\":" + num(d) }
+      .collect { case (id, (_, _, _, _, _, Some(d), _)) => "\"" + id + "\":" + num(d) }
       .mkString("{", ",", "}")
     val total = num(results.map(_._2).sum + results.flatMap(_._5).sum)
     val leakTotal = results.map(_._4).sum
@@ -303,7 +315,7 @@ object Bench {
     // (the complete map is always in the forensics file).
     val topFallbacks = Seq(60, 40, 20).iterator.map { n =>
       val top = shortIds.zip(results).sortBy(-_._2._2).take(n)
-        .map { case (id, (_, v, _, _, _, _)) => "\"" + id + "\":" + num1(v) }
+        .map { case (id, (_, v, _, _, _, _, _)) => "\"" + id + "\":" + num1(v) }
         .mkString("{", ",", "}")
       line(top)
     }

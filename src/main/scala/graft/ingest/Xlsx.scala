@@ -47,16 +47,21 @@ object Xlsx {
   def readWorkbooks(
       spark: SparkSession, dir: String, sheetName: String,
       headerRow: Int = 2): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, min}
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(dir)
       .select(col("path"), col("content"))
-    val first = bin.orderBy(col("path")).limit(1).collect()
-    require(first.nonEmpty, s"no .xlsx files under $dir")
-    val firstPath = first(0).getAs[String]("path")
-    val headGrid = readGridBytes(
-      first(0).getAs[Array[Byte]]("content"), sheetName, firstPath)
+    // schema probe reads ONE file's bytes: min over a content-pruned
+    // path projection first, then fetch just that file — ordering the
+    // full (path, content) rows would drag every workbook's bytes
+    // through the probe and double the directory I/O
+    val firstPathRow = bin.agg(min(col("path"))).collect()
+    val firstPath = if (firstPathRow.isEmpty) null else firstPathRow(0).getString(0)
+    require(firstPath != null, s"no .xlsx files under $dir")
+    val firstBytes = bin.where(col("path") === firstPath)
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    val headGrid = readGridBytes(firstBytes, sheetName, firstPath)
     require(headGrid.size > headerRow,
       s"$firstPath: grid has ${headGrid.size} rows, header expected at $headerRow")
     val header = headGrid(headerRow).map(c => Option(c).getOrElse("").trim)

@@ -351,13 +351,18 @@ object Multimodal {
     val base = 64 / numBands
     val widths = Seq.tabulate(numBands)(b => if (b < 64 % numBands) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    // full-width band (maxHamming=0, one 64-bit band): (1L << 64) is a
+    // mod-64 shift in Scala, so the naive mask would be ZERO — every
+    // hash in one bucket, the equi-join silently degenerating to an
+    // all-pairs cross product at corpus scale
+    def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
     // mask after the arithmetic shift: sign-extension of the top band
     // is cut off by the band-width mask
     val banded = hashed.select(col(idCol).as("media_id"), col(hashCol).as("phash"),
         explode(array((0 until numBands).map { b =>
           struct(lit(b).as("band"),
             shiftright(col(hashCol), offsets(b))
-              .bitwiseAND(lit((1L << widths(b)) - 1)).as("bsig"))
+              .bitwiseAND(lit(mask(widths(b)))).as("bsig"))
         }: _*)).as("bs"))
       .select(col("media_id"), col("phash"), col("bs.band"), col("bs.bsig"))
       // staged: both self-join sides would re-run the upstream decode

@@ -89,8 +89,19 @@ object ScaleUp {
   def scaleTable(
       spark: SparkSession, srcDir: String, table: String, copies: Int): DataFrame = {
     val base = spark.read.parquet(s"$srcDir/$table.parquet")
-    def off(c: String, o: Long, i: Int): org.apache.spark.sql.Column =
+    // fail loud if the base's keys don't fit under their offsets —
+    // e.g. re-scaling an already-scaled dir: shifted copies would
+    // silently collide and corrupt the join graph the doc promises
+    val checked = scala.collection.mutable.Set.empty[String]
+    def off(c: String, o: Long, i: Int): org.apache.spark.sql.Column = {
+      if (copies > 1 && checked.add(c)) {
+        val mx = base.agg(max(col(c))).head().getLong(0)
+        require(mx < o,
+          s"$table.$c max $mx >= offset $o — copies would collide " +
+            "(is the source already a scaled fixture?)")
+      }
       (col(c) + lit(o * i)).as(c)
+    }
     table match {
       case "region" | "nation" => base
       case "customer" => replicate(copies)(i => base.select(
