@@ -18,11 +18,16 @@ class PartitionIndependenceSpec extends SparkTestBase {
 
   // heavy-shuffle integer-exact representatives across families:
   // graph iteration, basket lift, rational slopes, TWAP, Pareto,
-  // autocorrelation, systematic sampling, HITS
+  // autocorrelation, systematic sampling, HITS — plus the round-9
+  // additions (approx dedup chain with closure + cluster-hash split,
+  // banded dHash pairs, kNN graph, hard negatives: the kNN rows carry
+  // exact sequential-fold cosines, deterministic by construction)
   private val slice = Seq(
     "q177_label_propagation", "q180_basket_lift", "q187_trend_slopes",
     "q191_twap_by_type", "q193_pareto_customers", "q201_autocorrelation",
-    "q175_systematic_sample", "q178_hits_paths")
+    "q175_systematic_sample", "q178_hits_paths",
+    "q203_leakage_split_approx", "q159_image_phash_dedup",
+    "q204_knn_graph", "q205_hard_negatives")
 
   test("results are identical under shuffle.partitions = 2, 5, 13") {
     val conf = spark.conf
