@@ -131,7 +131,7 @@ object Xlsx {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory && e.getName.startsWith("xl/"))
+        if (!e.isDirectory && isConsumedPart(e.getName))
           entries += e.getName -> zin.readAllBytes()
         zin.closeEntry()
         e = zin.getNextEntry
@@ -143,6 +143,17 @@ object Xlsx {
     } finally zin.close()
     readParts(new BytesParts(entries.result(), sourceName), sheetName)
   }
+
+  /** Only the zip parts the StAX pipeline actually reads are buffered
+    * into executor memory: shared strings, styles, the workbook index +
+    * its rels, and the worksheet grids. A media-heavy workbook (images
+    * under xl/media can dwarf the XML) would otherwise roughly TRIPLE
+    * its per-task footprint on top of binaryFile's content bytes.
+    */
+  private def isConsumedPart(name: String): Boolean =
+    name == "xl/sharedStrings.xml" || name == "xl/styles.xml" ||
+      name == "xl/workbook.xml" || name.startsWith("xl/_rels/") ||
+      name.startsWith("xl/worksheets/")
 
   private def readParts(parts: Parts, sheetName: String): Seq[Seq[String]] = {
     val shared = readSharedStrings(parts)

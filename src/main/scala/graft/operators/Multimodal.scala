@@ -325,17 +325,37 @@ object Multimodal {
   }
 
   /** EXACT Hamming-≤`maxHamming` pair enumeration over 64-bit
-    * perceptual hashes WITHOUT the O(N²) cross join: split the hash
-    * into `maxHamming + 1` disjoint bit bands — by pigeonhole any pair
-    * with ≤ maxHamming differing bits agrees bit-for-bit on at least
-    * one band — equi-join on (band, band bits), verify the full
-    * distance, dedup. Unlike SimHash's fixed 4-band candidates
-    * (`Dedup.hammingBandPairs`, which trades recall for speed at
-    * hamming > bands−1), this banding is LOSSLESS: the output is
-    * identical to the all-pairs scan, so an oracle may stay naive.
-    * Work is proportional to colliding-band groups, not N²; the join
-    * shuffles on (band, bsig) — the formulation that survives a
-    * 100 TB media corpus.
+    * perceptual hashes WITHOUT the O(N²) cross join, via a TWO-LEVEL
+    * pigeonhole: split the hash into `⌈(maxHamming+1)/3⌉` wide bands —
+    * any pair with ≤ maxHamming differing bits has SOME band with
+    * ≤ 2 diffs (all bands ≥ 3 would sum past maxHamming) — and detect
+    * band-hd ≤ 2 by a symmetric 1-bit multi-probe equi-join: each row
+    * emits its band signature plus every 1-bit perturbation of it, and
+    * two ≤1-bit-perturbed signatures meet iff the band hd is ≤ 2
+    * (diff of weight d ≤ 2 splits as e ⊕ p with wt(e), wt(p) ≤ 1).
+    * Every candidate's full distance is then verified in-row, so the
+    * banding is LOSSLESS: the output is identical to the all-pairs
+    * scan and an oracle may stay naive. Unlike SimHash's fixed 4-band
+    * candidates (`Dedup.hammingBandPairs`, which trades recall for
+    * speed at hamming > bands−1), nothing here is approximate.
+    *
+    * Why two levels: the round-9 single-level banding (9 exact bands
+    * of 7-8 bits) prunes random pairs only ~15× — an O(N²/15)
+    * candidate term that measured 13.9 s at sf1 and compounds at
+    * 100×. Three ~21-bit bands at probe radius 1 collide with
+    * probability ~Σ 2·C(w,2)/2^w ≈ 1/1600 — ~100× fewer candidates —
+    * while the probe table stays 67 rows/hash (3 + 64 one-bit masks),
+    * linear in N. The candidate term is still Θ(N²/const) (any
+    * lossless Hamming join over a fixed 64-bit hash has one); the
+    * constant is what moved. Radius adapts: maxHamming < 3 keeps the
+    * exact-band scheme (probe radius 0, maxHamming+1 bands), which
+    * degenerates to the plain signature equi-join at maxHamming = 0.
+    *
+    * Skew note: g identical hashes still produce Θ(g²) verified
+    * candidates (they are real output pairs); the probe multiplicity
+    * only inflates the pre-distinct duplicate factor for hd ≤ 2
+    * pairs, which the verify-before-distinct shuffle already bounds
+    * to survivors.
     *
     * Input: (idCol: long, hashCol: long) — `dHash64`'s shape.
     * Output: (id_a, id_b, hd) with id_a < id_b, hd ≤ maxHamming.
@@ -347,7 +367,12 @@ object Multimodal {
       hashCol: String = "phash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming=$maxHamming: need bands of >=2 bits for the bucket join to prune")
-    val numBands = maxHamming + 1
+    // per-side probe radius: 1-bit probes detect band-hd <= 2, so bands
+    // can be 3x wider; below maxHamming = 3 the exact-band split already
+    // has <= 3 bands and probing would only add rows
+    val probeRadius = if (maxHamming >= 3) 1 else 0
+    val numBands = math.max(1,
+      math.ceil((maxHamming + 1).toDouble / (2 * probeRadius + 1)).toInt)
     val base = 64 / numBands
     val widths = Seq.tabulate(numBands)(b => if (b < 64 % numBands) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
@@ -356,18 +381,24 @@ object Multimodal {
     // hash in one bucket, the equi-join silently degenerating to an
     // all-pairs cross product at corpus scale
     def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
+    // (band, xorMask) probe set: the exact signature plus, at radius 1,
+    // every single-bit perturbation of it
+    val probes: Seq[(Int, Long)] = (0 until numBands).flatMap { b =>
+      (b, 0L) +: (if (probeRadius == 1) (0 until widths(b)).map(i => (b, 1L << i))
+                  else Seq.empty)
+    }
     // mask after the arithmetic shift: sign-extension of the top band
     // is cut off by the band-width mask
     val banded = hashed.select(col(idCol).as("media_id"), col(hashCol).as("phash"),
-        explode(array((0 until numBands).map { b =>
+        explode(array(probes.map { case (b, m) =>
           struct(lit(b).as("band"),
             shiftright(col(hashCol), offsets(b))
-              .bitwiseAND(lit(mask(widths(b)))).as("bsig"))
+              .bitwiseAND(lit(mask(widths(b)))).bitwiseXOR(lit(m)).as("bsig"))
         }: _*)).as("bs"))
       .select(col("media_id"), col("phash"), col("bs.band"), col("bs.bsig"))
       // staged: both self-join sides would re-run the upstream decode
       // + hash pipeline (the hammingBandPairs discipline); the banded
-      // table is numBands rows/hash while the decode grows with bytes
+      // table is |probes| rows/hash while the decode grows with bytes
       .localCheckpoint()
     // filter BEFORE distinct: hd is a pure function of the pair, so the
     // two orders are identical — but the candidate set is

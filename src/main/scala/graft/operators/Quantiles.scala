@@ -4,46 +4,60 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact interpolated percentiles per group, sort-based.
+/** Exact interpolated percentiles per group, with a group-count-gated
+  * choice of physical strategy.
   *
-  * Spark's `percentile` aggregate buffers a per-group value→count map
-  * (ObjectHashAggregate): every partial serializes its whole map, and
-  * when values are near-distinct — prices, latencies, anything
-  * continuous — the merge deserializes and unions maps the size of the
-  * data itself. Measured on q150 (600k rows, 583k distinct values):
-  * the map merge alone cost more than a full sort of the column.
+  * Two regimes, two plans — both computing Spark's `percentile`
+  * semantics bit-for-bit (position `(n−1)·p`, then
+  * `lo·(⌈pos⌉−pos) + hi·(pos−⌊pos⌋)`), so DuckDB `quantile_cont`
+  * oracles hash-match either way and QuantilesSpec pins the two paths
+  * equal on arbitrary (non-grid) percentages:
   *
-  * This formulation shuffles each row ONCE into its group's sort range
-  * and reads the answer off ranks: rank each value in its group
-  * (codegen sort + one window pass), keep only the rows sitting at a
-  * requested interpolation position (≤ 2·|ps| rows per group), and
-  * fold them into the interpolated values with a tiny aggregate.
+  *  - FEW groups → the combined-buffer `percentile` AGGREGATE (one
+  *    ObjectHashAggregate; map-side partials, one value→count map per
+  *    group per partial). Group count is small, so the merge fans in
+  *    over few maps and the whole job is one exchange of tiny partial
+  *    state — measured 3× faster than the sort path on a 500-group ×
+  *    6M-row profile (q155 at sf1: 6.1 s → aggregate ~1.5 s), and the
+  *    regime every latency/SLA dashboard profile (≤ thousands of
+  *    groups) lives in.
   *
-  * Pick by group count: a single group sorts in ONE task, so with
-  * fewer groups than cores the sort path is skew-bound — q150's
-  * 3-flag profile measured FASTER on the (combined-buffer) aggregate,
-  * and keeps it. This operator is for the many-group regime (per-key
-  * latency/price profiles, groups ≥ cores), where the aggregate ships
-  * one value→count map per group per partial and this ships each row
-  * once.
+  *  - MANY groups → the SORT path: rank each value in its group (one
+  *    hash exchange on the keys + codegen sort), keep only the ≤ 2·|ps|
+  *    interpolation-anchor rows per group, fold them into the answer.
+  *    Per-row cost is flat regardless of value distinctness, which is
+  *    what survives when the group count (per-key profiles at corpus
+  *    scale) makes per-group value→count maps the size of the data.
   *
-  * Numeric contract: bit-identical to Spark's `percentile` — position
-  * `(n−1)·p`, and `lo·(⌈pos⌉−pos) + hi·(pos−⌊pos⌋)` for fractional
-  * positions, the same double operations in the same order — so
-  * existing oracles (DuckDB `quantile_cont` hash-matches on
-  * exactly-representable grids) transfer unchanged. QuantilesSpec pins
-  * the equality on arbitrary (non-grid) percentages.
+  * The gate is a cheap `approx_count_distinct` over the key struct
+  * (single scan, partial-merged, no shuffle of data rows) against
+  * `aggGroupLimit`. HLL ±2% error is irrelevant at a 64× margin: the
+  * crossover between the plans is shallow (both are correct; measured
+  * times cross between ~10⁴ and ~10⁵ groups on 32 cores), so a
+  * misestimate near the limit costs a few percent, not correctness.
+  * Callers that know their regime can pin it with `aggGroupLimit = 0`
+  * (always sort) or `Int.MaxValue` (always aggregate).
   *
-  * Scale shape: one hash exchange on the group keys (the window's
-  * partitionBy), sort within partitions, no per-value state. Skew
-  * bound: a single group sorts in one task — for a near-keyless
-  * profile at extreme scale, range-partition the value column and
-  * compose counts instead (or accept `percentile_approx`, which is the
-  * scale path q150 pairs with this exact anchor).
+  * Numeric contract (both paths): nulls in `valCol` are excluded;
+  * a group whose values are ALL null still appears, with `n` = 0 and a
+  * null `pct` — exactly the aggregate's semantics.
   *
-  * Nulls in `valCol` are excluded, matching the aggregate's semantics.
+  * Scale shape: the aggregate path ships one map per group per partial
+  * (fine when groups are few); the sort path ships each row once into
+  * its group's sort range. Skew bound on the sort path: a single group
+  * sorts in one task — for a near-keyless profile at extreme scale,
+  * range-partition the value column and compose counts instead (or
+  * accept `percentile_approx`, the sketch path q150 pairs with this
+  * exact anchor).
   */
 object Quantiles {
+
+  /** Default dispatch threshold: at ≤ this many groups the combined-
+    * buffer aggregate wins (measured crossover is between ~10⁴ and
+    * ~10⁵ groups on 32 cores; the default sits at the bottom of that
+    * band so near-threshold misroutes land in the shallow region).
+    */
+  val DefaultAggGroupLimit: Long = 10000L
 
   /** @return one row per group: keyCols, `n` (non-null value count),
     *   and `pct` = array of interpolated percentiles aligned with `ps`
@@ -51,10 +65,47 @@ object Quantiles {
     */
   def gridPercentiles(
       df: DataFrame, keyCols: Seq[String], valCol: String,
+      ps: Seq[Double], aggGroupLimit: Long = DefaultAggGroupLimit): DataFrame = {
+    requireArgs(keyCols, ps)
+    val useAgg =
+      if (aggGroupLimit <= 0L) false
+      else if (aggGroupLimit == Long.MaxValue) true
+      else {
+        val est = df
+          .agg(approx_count_distinct(struct(keyCols.map(col): _*)).as("g"))
+          .head().getLong(0)
+        est <= aggGroupLimit
+      }
+    if (useAgg) gridPercentilesAgg(df, keyCols, valCol, ps)
+    else gridPercentilesSorted(df, keyCols, valCol, ps)
+  }
+
+  /** Few-group path: Spark's `percentile` aggregate with ONE combined
+    * buffer for the whole grid (the q150 discipline — separate
+    * aggregates would each build identical value→count maps).
+    * `fanOut` first: the partial is CPU-bound and a small parquet scan
+    * arrives narrow.
+    */
+  private[graft] def gridPercentilesAgg(
+      df: DataFrame, keyCols: Seq[String], valCol: String,
       ps: Seq[Double]): DataFrame = {
-    require(keyCols.nonEmpty, "gridPercentiles needs at least one group key")
-    require(ps.nonEmpty, "gridPercentiles needs at least one percentage")
-    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentages outside [0,1]: $ps")
+    requireArgs(keyCols, ps)
+    val keys = keyCols.map(col)
+    graft.core.Partitioning.fanOut(df)
+      .select(keys :+ col(valCol).cast("double").as("_v"): _*)
+      .groupBy(keys: _*)
+      .agg(
+        count(col("_v")).as("n"),
+        percentile(col("_v"), array(ps.map(lit): _*)).as("pct"))
+  }
+
+  /** Many-group path: rank-in-group window, keep interpolation anchors,
+    * fold. See the object doc for the regime argument.
+    */
+  private[graft] def gridPercentilesSorted(
+      df: DataFrame, keyCols: Seq[String], valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    requireArgs(keyCols, ps)
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col("_v"))
     val wc = Window.partitionBy(keys: _*)
@@ -103,5 +154,11 @@ object Quantiles {
         when(col("n").isNull, lit(null))
           .otherwise(array(ps.zipWithIndex.map { case (p, i) => interp(i, p) }: _*))
           .as("pct")): _*)
+  }
+
+  private def requireArgs(keyCols: Seq[String], ps: Seq[Double]): Unit = {
+    require(keyCols.nonEmpty, "gridPercentiles needs at least one group key")
+    require(ps.nonEmpty, "gridPercentiles needs at least one percentage")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentages outside [0,1]: $ps")
   }
 }

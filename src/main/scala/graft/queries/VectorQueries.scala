@@ -103,31 +103,52 @@ object VectorQueries {
   private def foldSql(vExpr: String, wExpr: String, dims: Int): String =
     s"list_reduce(list_transform(generate_series(1, $dims), i -> $vExpr[i] * $wExpr[i]), (a, b) -> a + b)"
 
-  private def bucketSql(vExpr: String, t: Int, bits: Int, dims: Int): String =
-    (0 until bits).map(p =>
-      s"(CASE WHEN ${foldSql(vExpr, s"(${planeLitSql(t, p, dims)})", dims)} > 0 THEN ${1 << p} ELSE 0 END)")
+  /** AUTO-SIZED signature width, in SQL: `nb` counts the corpus and
+    * `ab` replicates Similarity.autoBits' integer derivation exactly
+    * (smallest b in [1, AutoMaxBits] with 2^b·targetBucket ≥ n, else
+    * AutoMaxBits) — so the oracle tracks the engine's derived width at
+    * ANY scale factor without editing SQL. Pure integer arithmetic on
+    * both sides: no float log2 rounding to diverge on.
+    */
+  private def autoBitsCtes: String =
+    s"""nb AS (SELECT count(*) AS n FROM embeddings),
+       ab AS (SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << p) * ${Similarity.AutoTargetBucket} >= nb.n THEN p END), ${Similarity.AutoMaxBits}) AS b
+              FROM generate_series(1, ${Similarity.AutoMaxBits}) t(p), nb)"""
+
+  /** Dynamic-width bucket: plane literals are embedded for ALL
+    * AutoMaxBits planes per table, each term guarded FIRST by
+    * `p >= ab.b` so DuckDB short-circuits the folds beyond the derived
+    * width (the engine computes exactly `b` planes; the guarded sum is
+    * the same value).
+    */
+  private def bucketSqlDyn(vExpr: String, t: Int, dims: Int): String =
+    (0 until Similarity.AutoMaxBits).map(p =>
+      s"(CASE WHEN $p >= ab.b THEN 0 WHEN ${foldSql(vExpr, s"(${planeLitSql(t, p, dims)})", dims)} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
 
-  /** UNION ALL legs computing (vec_id, v, tbl, bucket) per hash table —
-    * requires a CTE `e(vec_id, v)` in scope.
-    */
-  private def bucketLegsSql(tables: Int, bits: Int, dims: Int): String =
+  private def bucketLegsSqlDyn(tables: Int, dims: Int): String =
     (0 until tables).map(t =>
-      s"SELECT vec_id, v, $t AS tbl, ${bucketSql("v", t, bits, dims)} AS bucket FROM e")
+      s"SELECT vec_id, v, $t AS tbl, ${bucketSqlDyn("v", t, dims)} AS bucket FROM e, ab")
       .mkString("\nUNION ALL\n")
 
   /** CTE chain replicating Similarity.nearDupPairsApprox end to end:
-    * buckets → distinct candidate pairs (id_a < id_b sharing any
-    * (table, bucket)) → exact cosine verification on the unit-normalized
-    * vectors. Terminal CTE: aprs(id_a, id_b, sim).
+    * auto-width buckets ([[autoBitsCtes]]) → distinct candidate pairs
+    * (id_a < id_b sharing any (table, bucket)) → exact cosine
+    * verification on the unit-normalized vectors. Terminal CTE:
+    * aprs(id_a, id_b, sim).
     */
-  private def approxPairsCtes(tau: Double, tables: Int, bits: Int, dims: Int): String =
+  private def approxPairsCtesAuto(tau: Double, tables: Int, dims: Int): String =
+    approxPairsCtesWith(tau, dims, bucketLegsSqlDyn(tables, dims),
+      extraCtes = s"$autoBitsCtes,\n       ")
+
+  private def approxPairsCtesWith(
+      tau: Double, dims: Int, legs: String, extraCtes: String): String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
        nrmx AS (SELECT vec_id,
            list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) vn
          FROM e),
-       bk AS (
-         ${bucketLegsSql(tables, bits, dims)}),
+       $extraCtes bk AS (
+         $legs),
        cand AS (
          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          FROM bk x JOIN bk y
@@ -144,12 +165,13 @@ object VectorQueries {
   /** DuckDB replica of Similarity.lshTopK — full algorithm, so the
     * approximate result hash-matches bit-for-bit.
     */
-  private def lshOracleSql(tables: Int, bits: Int, dims: Int, k: Int): String = {
+  private def lshOracleSql(tables: Int, dims: Int, k: Int): String = {
     def fold(vExpr: String, wExpr: String): String = foldSql(vExpr, wExpr, dims)
     s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      $autoBitsCtes,
       bk AS (
-        ${bucketLegsSql(tables, bits, dims)}),
+        ${bucketLegsSqlDyn(tables, dims)}),
       q AS (SELECT vec_id AS query_id, tbl, bucket FROM bk WHERE vec_id < 5),
       cand AS (
         SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
@@ -215,22 +237,25 @@ object VectorQueries {
     // ---- q42: LSH-bucketed approximate top-k (scale path). The oracle
     //      replicates the ENTIRE algorithm — the md5-derived ±1
     //      hyperplanes are embedded as SQL literals (identical family to
-    //      Similarity.planeLit), buckets are b-bit sign masks of the
-    //      sequential-fold projections, candidates come from the same
-    //      (table, bucket) equi-join, and the final cosine is the same
+    //      Similarity.planeLit), buckets are sign masks of the
+    //      sequential-fold projections at the AUTO-DERIVED width (the
+    //      SQL re-derives bits from COUNT(*) with the same integer
+    //      formula as Similarity.autoBits, keeping bucket SIZE constant
+    //      as data grows), candidates come from the same (table,
+    //      bucket) equi-join, and the final cosine is the same
     //      raw-double fold — so even the approximate result hash-matches
-    //      bit-for-bit. Recall vs brute force is additionally
-    //      spec-verified. ----
+    //      bit-for-bit at any scale factor. Recall vs brute force is
+    //      additionally spec-verified. ----
     GraftQuery(
       "q42_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.lshTopK(
             emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
-            k = 10, tables = 8, bits = 4)
+            k = 10, tables = 8)
           .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
       },
-      Some(lshOracleSql(tables = 8, bits = 4, dims = 64, k = 10))),
+      Some(lshOracleSql(tables = 8, dims = 64, k = 10))),
 
     // ---- q49: array function family (size/sort/slice/element_at/
     //      filter/aggregate) over the embedding arrays. Output columns
@@ -412,9 +437,9 @@ object VectorQueries {
       "q94_neardup_approx",
       (s, d) => Similarity.nearDupPairsApprox(
         Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
-        tables = 8, bits = 4),
+        tables = 8),
       Some(s"""
-        WITH ${approxPairsCtes(tau = 0.4, tables = 8, bits = 4, dims = 64)}
+        WITH ${approxPairsCtesAuto(tau = 0.4, tables = 8, dims = 64)}
         SELECT id_a, id_b, sim FROM aprs
       """)),
 
@@ -427,11 +452,11 @@ object VectorQueries {
       (s, d) => {
         val pairs = Similarity.nearDupPairsApprox(
           Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
-          tables = 8, bits = 4)
+          tables = 8)
         graft.operators.Components.dupGroups(pairs, "id_a", "id_b")
       },
       Some(s"""
-        WITH RECURSIVE ${approxPairsCtes(tau = 0.4, tables = 8, bits = 4, dims = 64)},
+        WITH RECURSIVE ${approxPairsCtesAuto(tau = 0.4, tables = 8, dims = 64)},
         edges AS (
           SELECT id_a AS s, id_b AS d FROM aprs
           UNION SELECT id_b, id_a FROM aprs),
@@ -539,7 +564,7 @@ object VectorQueries {
         val emb = Tables.embeddings(s, d)
         val pairs = graft.operators.Lineage.rebase(
           Similarity.nearDupPairsApprox(emb, "vec_id", "embedding", tau = 0.4,
-              tables = 8, bits = 4)
+              tables = 8)
             .select(col("id_a"), col("id_b")))
         val pairsAudit = pairs.localCheckpoint(true)
         val comp = graft.operators.Components
@@ -563,7 +588,7 @@ object VectorQueries {
           .crossJoin(broadcast(leak))
       },
       Some(s"""
-        WITH RECURSIVE ${approxPairsCtes(tau = 0.4, tables = 8, bits = 4, dims = 64)},
+        WITH RECURSIVE ${approxPairsCtesAuto(tau = 0.4, tables = 8, dims = 64)},
         prs AS (SELECT id_a, id_b FROM aprs),
         edges AS (
           SELECT id_a AS s, id_b AS d FROM prs
@@ -601,9 +626,9 @@ object VectorQueries {
     GraftQuery(
       "q204_knn_graph",
       (s, d) => Similarity.knnGraph(
-        Tables.embeddings(s, d), "vec_id", "embedding", k = 5, tables = 8, bits = 4),
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 5, tables = 8),
       Some(s"""
-        WITH ${approxPairsCtes(tau = -2.0, tables = 8, bits = 4, dims = 64)},
+        WITH ${approxPairsCtesAuto(tau = -2.0, tables = 8, dims = 64)},
         sym AS (
           SELECT id_a AS query_id, id_b AS neighbor_id, sim FROM aprs
           UNION ALL SELECT id_b, id_a, sim FROM aprs),
@@ -627,7 +652,7 @@ object VectorQueries {
       (s, d) => Similarity.hardNegatives(
         Tables.embeddings(s, d), "vec_id", "embedding", "label", k = 3),
       Some(s"""
-        WITH ${approxPairsCtes(tau = -2.0, tables = 8, bits = 4, dims = 64)},
+        WITH ${approxPairsCtesAuto(tau = -2.0, tables = 8, dims = 64)},
         lbl AS (SELECT vec_id, label FROM embeddings),
         sym AS (
           SELECT id_a AS query_id, id_b AS neighbor_id, sim FROM aprs

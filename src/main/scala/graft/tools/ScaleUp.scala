@@ -55,7 +55,13 @@ object ScaleUp {
   /** Per-copy orthogonal transform of a 64-dim float vector: rotate
     * dimensions by 7·i (7 ⊥ 64, so the orbit covers all offsets) and
     * flip signs by a copy-keyed bit pattern. Permutation ∘ diagonal(±1)
-    * is orthogonal ⇒ within-copy dot products are EXACTLY preserved.
+    * is orthogonal ⇒ within-copy dot products are MATHEMATICALLY equal
+    * to the base copy's — but not bit-identical: the rotation reorders
+    * the terms of downstream sequential-fold dots, so copy-i cosines
+    * can differ from copy-0 by ulps (a sim straddling a tau threshold
+    * could flip between copies). Engine-vs-oracle parity is unaffected:
+    * both engines read the SAME transformed vectors and fold in the
+    * same order. ScaleUpSpec accordingly tests at 1e-9 tolerance.
     */
   private def rotateVec(c: org.apache.spark.sql.Column, i: Int, dims: Int): org.apache.spark.sql.Column =
     if (i == 0) c
@@ -95,7 +101,13 @@ object ScaleUp {
     val checked = scala.collection.mutable.Set.empty[String]
     def off(c: String, o: Long, i: Int): org.apache.spark.sql.Column = {
       if (copies > 1 && checked.add(c)) {
-        val mx = base.agg(max(col(c))).head().getLong(0)
+        // cast in the agg: an int-typed key would ClassCastException on
+        // getLong; an EMPTY base table yields a null max — both must
+        // surface as the intended fail-loud message, not an opaque NPE
+        val mxRow = base.agg(max(col(c).cast("long"))).head()
+        require(!mxRow.isNullAt(0),
+          s"$table.$c: base table is empty — nothing to replicate")
+        val mx = mxRow.getLong(0)
         require(mx < o,
           s"$table.$c max $mx >= offset $o — copies would collide " +
             "(is the source already a scaled fixture?)")

@@ -5,27 +5,30 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 import graft.core.Tables
 
-/** The sort-based exact percentile must be BIT-IDENTICAL to Spark's
-  * `percentile` aggregate — same position arithmetic, same
-  * interpolation expression — on arbitrary (non-grid) percentages,
-  * with nulls excluded the same way. That equality is what lets q150's
-  * quantile_cont oracle transfer unchanged.
+/** Both physical percentile paths — the combined-buffer `percentile`
+  * AGGREGATE (few-group regime) and the rank-window SORT path
+  * (many-group regime) — must be BIT-IDENTICAL to Spark's `percentile`
+  * aggregate: same position arithmetic, same interpolation expression,
+  * on arbitrary (non-grid) percentages, with nulls excluded the same
+  * way. That equality is what lets the quantile_cont oracles
+  * (q150/q155/q171/q190) transfer unchanged across the dispatch.
   */
 class QuantilesSpec extends SparkTestBase {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("matches the percentile aggregate bit-for-bit on non-grid percentages") {
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, Long, Seq[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("sort path matches the percentile aggregate bit-for-bit on non-grid percentages") {
     val ps = Seq(0.0, 0.23, 0.25, 0.5, 0.617, 0.9991, 1.0)
     val li = Tables.lineitem(spark, sf).select(
       col("l_returnflag").as("k"),
       (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("v"))
-    val viaAgg = li.groupBy($"k")
-      .agg(count(lit(1)).as("n"), percentile($"v", array(ps.map(lit): _*)).as("pct"))
-      .as[(String, Long, Seq[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    val viaSort = Quantiles.gridPercentiles(li, Seq("k"), "v", ps)
-      .as[(String, Long, Seq[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaAgg = collect(li.groupBy($"k")
+      .agg(count(lit(1)).as("n"), percentile($"v", array(ps.map(lit): _*)).as("pct")))
+    val viaSort = collect(Quantiles.gridPercentilesSorted(li, Seq("k"), "v", ps))
     assert(viaSort.keySet == viaAgg.keySet)
     viaAgg.foreach { case (k, (n, pct)) =>
       assert(viaSort(k)._1 == n, s"count mismatch for $k")
@@ -34,7 +37,22 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
-  test("excludes nulls, keeps all-null groups, handles single-row and tied groups") {
+  test("dispatcher's two paths are bit-identical (and dispatch picks by group count)") {
+    val ps = Seq(0.1, 0.5, 0.77)
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_returnflag").as("k"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("v"))
+    val viaAggPath = collect(Quantiles.gridPercentilesAgg(li, Seq("k"), "v", ps))
+    val viaSortPath = collect(Quantiles.gridPercentilesSorted(li, Seq("k"), "v", ps))
+    assert(viaAggPath == viaSortPath)
+    // pinned routes agree with the dispatcher's own output
+    val auto = collect(Quantiles.gridPercentiles(li, Seq("k"), "v", ps))
+    val forcedSort = collect(Quantiles.gridPercentiles(li, Seq("k"), "v", ps, aggGroupLimit = 0L))
+    val forcedAgg = collect(Quantiles.gridPercentiles(li, Seq("k"), "v", ps, aggGroupLimit = Long.MaxValue))
+    assert(auto == viaAggPath && forcedSort == viaAggPath && forcedAgg == viaAggPath)
+  }
+
+  test("both paths exclude nulls, keep all-null groups, handle single-row and tied groups") {
     val df = Seq(
       ("a", Some(10L)), ("a", None), ("a", Some(20L)),
       ("b", Some(7L)),
@@ -42,11 +60,10 @@ class QuantilesSpec extends SparkTestBase {
       ("d", None), ("d", None) // all-null group: must still emit (n=0, null pct)
     ).toDF("k", "v")
     val ps = Seq(0.25, 0.5, 0.75)
-    val got = Quantiles.gridPercentiles(df, Seq("k"), "v", ps)
-      .as[(String, Long, Seq[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    val want = df.groupBy($"k")
-      .agg(count($"v").as("n"), percentile($"v", array(ps.map(lit): _*)).as("pct"))
-      .as[(String, Long, Seq[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got == want)
+    val want = collect(df.groupBy($"k")
+      .agg(count($"v").as("n"), percentile($"v", array(ps.map(lit): _*)).as("pct")))
+    assert(collect(Quantiles.gridPercentilesSorted(df, Seq("k"), "v", ps)) == want)
+    assert(collect(Quantiles.gridPercentilesAgg(df, Seq("k"), "v", ps)) == want)
+    assert(collect(Quantiles.gridPercentiles(df, Seq("k"), "v", ps)) == want)
   }
 }
