@@ -340,16 +340,19 @@ object Multimodal {
     * speed at hamming > bands−1), nothing here is approximate.
     *
     * Why two levels: the round-9 single-level banding (9 exact bands
-    * of 7-8 bits) prunes random pairs only ~15× — an O(N²/15)
-    * candidate term that measured 13.9 s at sf1 and compounds at
-    * 100×. Three ~21-bit bands at probe radius 1 collide with
-    * probability ~Σ 2·C(w,2)/2^w ≈ 1/1600 — ~100× fewer candidates —
-    * while the probe table stays 67 rows/hash (3 + 64 one-bit masks),
-    * linear in N. The candidate term is still Θ(N²/const) (any
-    * lossless Hamming join over a fixed 64-bit hash has one); the
-    * constant is what moved. Radius adapts: maxHamming < 3 keeps the
-    * exact-band scheme (probe radius 0, maxHamming+1 bands), which
-    * degenerates to the plain signature equi-join at maxHamming = 0.
+    * of 7-8 bits) prunes random UNIFORM pairs ~15×, and on the
+    * correlated text-derived fixture essentially not at all — 1.11 G
+    * raw candidates from 66 k hashes (half the full cross product).
+    * Three ~21-bit bands at probe radius 1 collide with probability
+    * ~Σ 2·C(w,2)/2^w ≈ 1/1600 uniform; measured on the same fixture:
+    * 39.6 M raw candidates — 28× fewer (data correlation costs both
+    * schemes, wider bands much less). The probe table is 67 rows/hash
+    * (3 exact + 64 one-bit masks), linear in N. The candidate term is
+    * still Θ(N²/const) (any lossless Hamming join over a fixed 64-bit
+    * hash has one); the constant is what moved. Radius adapts:
+    * maxHamming < 3 keeps the exact-band scheme (probe radius 0,
+    * maxHamming+1 bands), which degenerates to the plain signature
+    * equi-join at maxHamming = 0.
     *
     * Skew note: g identical hashes still produce Θ(g²) verified
     * candidates (they are real output pairs); the probe multiplicity
@@ -357,16 +360,34 @@ object Multimodal {
     * pairs, which the verify-before-distinct shuffle already bounds
     * to survivors.
     *
-    * Input: (idCol: long, hashCol: long) — `dHash64`'s shape.
+    * SMALL-CORPUS GATE (`bruteMax`, the Components union-find
+    * precedent): at ≤ `bruteMax` hashes the whole (id, hash) table is
+    * 16 bytes/row — broadcast it and let every core scan a strided
+    * slice of the triangle with a primitive bit_count loop. No
+    * shuffle, no join, no distinct; measured 0.7 s for 66 k hashes
+    * (2.2×10⁹ comparisons) where the banded join took 7 s and a
+    * columnar single-node engine 3.5 s. The default gate (200 k rows
+    * ≈ 3 MB broadcast, ~2×10¹⁰ comparisons ≈ 1 s on 32 cores) is
+    * where the quadratic loop stops beating join constants; above it
+    * the banded join takes over — measured 28× fewer raw candidates
+    * than the round-9 banding on the correlated text-derived fixture
+    * (39.6 M vs 1.11 G at 66 k hashes).
+    *
+    * Input: (idCol: long, hashCol: long) — `dHash64`'s shape; null
+    * ids/hashes are dropped (both paths).
     * Output: (id_a, id_b, hd) with id_a < id_b, hd ≤ maxHamming.
     */
   def dHashPairs(
       hashed: DataFrame,
       maxHamming: Int = 8,
       idCol: String = "media_id",
-      hashCol: String = "phash"): DataFrame = {
+      hashCol: String = "phash",
+      bruteMax: Long = 200000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming=$maxHamming: need bands of >=2 bits for the bucket join to prune")
+    val clean = hashed.where(col(idCol).isNotNull && col(hashCol).isNotNull)
+    if (clean.count() <= bruteMax)
+      return bruteHammingPairs(clean, maxHamming, idCol, hashCol)
     // per-side probe radius: 1-bit probes detect band-hd <= 2, so bands
     // can be 3x wider; below maxHamming = 3 the exact-band split already
     // has <= 3 bands and probing would only add rows
@@ -381,41 +402,92 @@ object Multimodal {
     // hash in one bucket, the equi-join silently degenerating to an
     // all-pairs cross product at corpus scale
     def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
-    // (band, xorMask) probe set: the exact signature plus, at radius 1,
-    // every single-bit perturbation of it
-    val probes: Seq[(Int, Long)] = (0 until numBands).flatMap { b =>
-      (b, 0L) +: (if (probeRadius == 1) (0 until widths(b)).map(i => (b, 1L << i))
-                  else Seq.empty)
+    // (band, xorMask, flipIdx) probe set: the exact signature (flip =
+    // −1) plus, at radius 1, every single-bit perturbation (flip = the
+    // bit index). The flip marker exists so each matching band pair is
+    // counted through exactly ONE canonical (e, p) witness below — a
+    // band with hd = 0 would otherwise match through all width+1
+    // e = p combos, and with hundreds of thousands of REAL near-dup
+    // pairs (dedup's whole premise) the pre-distinct duplicate factor,
+    // not the random-candidate count, dominates the shuffle.
+    val probes: Seq[(Int, Long, Int)] = (0 until numBands).flatMap { b =>
+      (b, 0L, -1) +: (if (probeRadius == 1) (0 until widths(b)).map(i => (b, 1L << i, i))
+                      else Seq.empty)
     }
     // mask after the arithmetic shift: sign-extension of the top band
     // is cut off by the band-width mask
-    val banded = hashed.select(col(idCol).as("media_id"), col(hashCol).as("phash"),
-        explode(array(probes.map { case (b, m) =>
+    val banded = clean.select(col(idCol).as("media_id"), col(hashCol).as("phash"),
+        explode(array(probes.map { case (b, m, f) =>
           struct(lit(b).as("band"),
             shiftright(col(hashCol), offsets(b))
-              .bitwiseAND(lit(mask(widths(b)))).bitwiseXOR(lit(m)).as("bsig"))
+              .bitwiseAND(lit(mask(widths(b)))).bitwiseXOR(lit(m)).as("bsig"),
+            lit(f).as("flip"))
         }: _*)).as("bs"))
-      .select(col("media_id"), col("phash"), col("bs.band"), col("bs.bsig"))
+      .select(col("media_id"), col("phash"), col("bs.band"), col("bs.bsig"), col("bs.flip"))
       // staged: both self-join sides would re-run the upstream decode
       // + hash pipeline (the hammingBandPairs discipline); the banded
       // table is |probes| rows/hash while the decode grows with bytes
       .localCheckpoint()
     // filter BEFORE distinct: hd is a pure function of the pair, so the
-    // two orders are identical — but the candidate set is
-    // ~N²·bands/2^bandBits rows (the 7-8-bit bands only prune ~200×)
-    // while the survivors are the actual near-dup pairs. Filtering
-    // first shrinks the distinct's SHUFFLE from candidates to
-    // survivors; the join-side pair enumeration (which stays codegen'd
-    // either way) dominates, so the measured win at sf1 is ~10% — the
-    // structural point is that the shuffle no longer grows with the
-    // candidate count, which is what survives a 100× corpus.
+    // two orders are identical, and filtering first shrinks the
+    // distinct's SHUFFLE from candidates to survivors — the shuffle
+    // must not grow with the candidate count at a 100× corpus.
+    // canonical witness per (pair, band): for band-diff weight 0 accept
+    // only (exact, exact); weight 1 only (exact, flipped); weight 2
+    // only the flip-index-ordered combo — one join row per matching
+    // band instead of up to width+1. The predicate x.flip = −1 OR
+    // (y.flip ≥ 0 AND x.flip < y.flip) selects exactly those three
+    // shapes (weight-0 pairs also meet at e = p ≠ 0, rejected by
+    // x.flip < y.flip being false on equality); losslessness is
+    // untouched because each shape's canonical combo always exists in
+    // the probe set. At radius 0 every flip is −1 and the predicate is
+    // vacuously true.
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.media_id") < col("y.media_id"))
+          col("x.media_id") < col("y.media_id") &&
+          (col("x.flip") === -1 || (col("y.flip") >= 0 && col("x.flip") < col("y.flip"))))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
         bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hd"))
       .where(col("hd") <= maxHamming)
       .distinct()
+  }
+
+  /** The small-corpus exact kernel under [[dHashPairs]]' gate: collect
+    * (id, hash) — 16 bytes/row, bounded by the gate — broadcast both
+    * primitive arrays, and scan the pair triangle with a strided index
+    * partition (stripe p handles rows p, p+P, p+2P, … so every task
+    * sees the same mix of long and short inner loops). Work is
+    * N²/2 bit_counts across all cores with zero shuffle; each
+    * qualifying pair is emitted exactly once (inner index strictly
+    * greater, ids pre-sorted so id_a < id_b), so no distinct either.
+    */
+  private def bruteHammingPairs(
+      clean: DataFrame, maxHamming: Int,
+      idCol: String, hashCol: String): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    val arr = clean.select(col(idCol).cast("long"), col(hashCol).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val ids = arr.map(_._1)
+    val hs = arr.map(_._2)
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bHs = spark.sparkContext.broadcast(hs)
+    val stripes = math.max(1, spark.sparkContext.defaultParallelism * 2)
+    val mh = maxHamming
+    spark.sparkContext.parallelize(0 until stripes, stripes).mapPartitions { pit =>
+      val ids = bIds.value
+      val hs = bHs.value
+      pit.flatMap { p =>
+        Iterator.range(p, hs.length, stripes).flatMap { i =>
+          val hi = hs(i)
+          val ia = ids(i)
+          Iterator.range(i + 1, hs.length).flatMap { j =>
+            val hd = java.lang.Long.bitCount(hi ^ hs(j))
+            if (hd <= mh) Iterator.single((ia, ids(j), hd)) else Iterator.empty
+          }
+        }
+      }
+    }.toDF("id_a", "id_b", "hd")
   }
 
   /** Batched decode: partitions stream through in `BatchSize` groups —

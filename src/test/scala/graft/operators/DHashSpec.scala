@@ -75,7 +75,8 @@ class DHashSpec extends SparkTestBase {
     }
     val noise = Seq.tabulate(120)(i => (5000L + i, rnd.nextLong()))
     val all = bases ++ dups ++ noise
-    val got = Multimodal.dHashPairs(all.toDF("media_id", "phash"), maxHamming = 8)
+    val got = Multimodal.dHashPairs(all.toDF("media_id", "phash"), maxHamming = 8,
+        bruteMax = 0L)
       .as[(Long, Long, Int)].collect().toSet
     val want = (for {
       (ia, ha) <- all; (ib, hb) <- all if ia < ib
@@ -86,16 +87,48 @@ class DHashSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("dHashPairs is lossless across the radius regimes (probe and exact banding)") {
+    // maxHamming 0-2 use exact bands (probe radius 0); 3+ use the
+    // two-level wide-band scheme with symmetric 1-bit probes — each
+    // must reproduce the all-pairs scan exactly, including radii that
+    // don't divide evenly into the band arithmetic
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(30)(i => (i.toLong, rnd.nextLong()))
+    val dups = bases.map { case (id, h) =>
+      val k = rnd.nextInt(13)
+      val flipped = Iterator.continually(rnd.nextInt(64)).distinct.take(k)
+        .foldLeft(h)((acc, b) => acc ^ (1L << b))
+      (id + 1000L, flipped)
+    }
+    val all = bases ++ dups ++ Seq.tabulate(60)(i => (5000L + i, rnd.nextLong()))
+    val df = all.toDF("media_id", "phash")
+    for (mh <- Seq(1, 2, 3, 5, 8, 11)) {
+      val want = (for {
+        (ia, ha) <- all; (ib, hb) <- all if ia < ib
+        hd = java.lang.Long.bitCount(ha ^ hb) if hd <= mh
+      } yield (ia, ib, hd)).toSet
+      // bruteMax = 0 forces the banded probe join; the default gate
+      // routes this fixture through the broadcast brute kernel — the
+      // two paths and the reference scan must agree exactly
+      val banded = Multimodal.dHashPairs(df, maxHamming = mh, bruteMax = 0L)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = Multimodal.dHashPairs(df, maxHamming = mh)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(banded == want, s"maxHamming=$mh: banded join diverged from all-pairs")
+      assert(brute == want, s"maxHamming=$mh: brute kernel diverged from all-pairs")
+    }
+  }
+
   test("dHashPairs plan has no cartesian join") {
     val hashed = Seq((1L, 7L), (2L, 7L), (3L, -1L)).toDF("media_id", "phash")
-    val pairs = Multimodal.dHashPairs(hashed, maxHamming = 8)
+    val pairs = Multimodal.dHashPairs(hashed, maxHamming = 8, bruteMax = 0L)
     assert(!graft.plans.PlanLint.lint(pairs).exists(_.kind == "cartesian-join"))
     assert(pairs.as[(Long, Long, Int)].collect().toSet == Set((1L, 2L, 0)))
   }
 
   test("dHashPairs maxHamming=0 degenerates to an exact-equality join") {
     val hashed = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("media_id", "phash")
-    val got = Multimodal.dHashPairs(hashed, maxHamming = 0)
+    val got = Multimodal.dHashPairs(hashed, maxHamming = 0, bruteMax = 0L)
       .as[(Long, Long, Int)].collect().toSet
     assert(got == Set((1L, 2L, 0)))
   }
