@@ -28,6 +28,17 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // ObjectHashAggregate (percentile maps, collect_*, the typed
+      // buffer aggregates) silently degrades to SORT-BASED aggregation
+      // past this many distinct keys in a partial's hash map — the
+      // Spark default of 128 turns any few-hundred-group profile query
+      // into a full sort of the fact table (measured: q155's 498-group
+      // ExactPercentiles partial spent its time sorting 6M rows, not
+      // aggregating). 4096 keeps hash aggregation through the
+      // dashboard-profile regime while still bounding worst-case
+      // buffer residency (4096 groups × the largest per-group buffer);
+      // genuinely high-cardinality aggregations still fall back.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       // local-mode warehouse for bucketed/managed staging tables; a
       // deployment overrides this with its real warehouse location
       .config("spark.sql.warehouse.dir",

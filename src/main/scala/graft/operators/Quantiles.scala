@@ -80,23 +80,30 @@ object Quantiles {
     else gridPercentilesSorted(df, keyCols, valCol, ps)
   }
 
-  /** Few-group path: Spark's `percentile` aggregate with ONE combined
-    * buffer for the whole grid (the q150 discipline — separate
-    * aggregates would each build identical value→count maps).
-    * `fanOut` first: the partial is CPU-bound and a small parquet scan
-    * arrives narrow.
+  /** Few-group path: the value-buffering `ExactPercentiles` aggregate
+    * (one growable primitive array per group; partial+final
+    * ObjectHashAggregate, merge = arraycopy, one sort at eval). Beats
+    * both Spark's `percentile` (value→count map: ~50 B + a hash probe
+    * per distinct value, map-union merge) and the sort-path window
+    * (full-row shuffle + rank pass) whenever groups are few enough
+    * that their buffers fit the final tasks — measured 8.5 s /
+    * 6.1 s / ~2 s respectively on q155 at sf1. `fanOut` first: the
+    * partial is CPU-bound and a small parquet scan arrives narrow.
     */
   private[graft] def gridPercentilesAgg(
       df: DataFrame, keyCols: Seq[String], valCol: String,
       ps: Seq[Double]): DataFrame = {
     requireArgs(keyCols, ps)
     val keys = keyCols.map(col)
+    val np = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.ExactPercentiles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_v")),
+        ps).toAggregateExpression())
     graft.core.Partitioning.fanOut(df)
       .select(keys :+ col(valCol).cast("double").as("_v"): _*)
       .groupBy(keys: _*)
-      .agg(
-        count(col("_v")).as("n"),
-        percentile(col("_v"), array(ps.map(lit): _*)).as("pct"))
+      .agg(np.as("_np"))
+      .select(keys ++ Seq(col("_np.n").as("n"), col("_np.pct").as("pct")): _*)
   }
 
   /** Many-group path: rank-in-group window, keep interpolation anchors,

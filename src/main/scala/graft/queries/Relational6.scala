@@ -511,15 +511,17 @@ object Relational6 {
         FROM s3 GROUP BY canonical
       """)),
 
-    // ---- q155: MANY-GROUP exact quantiles — operators.Quantiles'
-    //      regime (groups ≫ cores): per (returnflag, linestatus,
+    // ---- q155: grouped exact quantiles — per (returnflag, linestatus,
     //      ship-month) median and quartiles of the cents-exact price.
-    //      The sort-based path ships each row once into its group's
-    //      sort range instead of merging a value→count map per group
-    //      per partial (the percentile aggregate's cost); its
-    //      interpolation is bit-identical to the aggregate's, so
-    //      quantile_cont hash-matches on the 0.25 grid (QuantilesSpec
-    //      pins the equality on arbitrary percentages). ----
+    //      ~500 groups ≪ the agg-path limit, so the caller PINS the
+    //      value-buffering ExactPercentiles aggregate (primitive-array
+    //      buffers, arraycopy merge, one sort per group at eval) rather
+    //      than paying the dispatcher's extra counting scan of the fact
+    //      table; its interpolation is bit-identical to Spark's
+    //      percentile aggregate AND the sort path, so quantile_cont
+    //      hash-matches on the 0.25 grid (QuantilesSpec pins the
+    //      equality on arbitrary percentages). Measured at sf1:
+    //      sort path 6.1-7.0 s, percentile map 8.5 s, this ~3.6 s. ----
     GraftQuery(
       "q155_grouped_quantiles",
       (s, d) => {
@@ -529,7 +531,7 @@ object Relational6 {
           (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
         graft.operators.Quantiles.gridPercentiles(
             li, Seq("l_returnflag", "l_linestatus", "ship_month"), "cents",
-            Seq(0.25, 0.5, 0.75))
+            Seq(0.25, 0.5, 0.75), aggGroupLimit = Long.MaxValue)
           .select(col("l_returnflag"), col("l_linestatus"), col("ship_month"),
             col("n"), col("pct")(0).as("p25"), col("pct")(1).as("p50"),
             col("pct")(2).as("p75"))
@@ -612,23 +614,32 @@ object Relational6 {
         // DuckDB rounds). The decimal(12,2) waypoint — the repo's
         // standard float-parity route — makes the cents exact on both.
         //
-        // fanOut: the exact-percentile partial (a counts map per group
-        // per buffer) is CPU-bound and the fixture scan arrives 3-wide —
-        // spread it. ONE combined exact buffer serves both the anchors
-        // and the envelope: as two separate aggregates each partial
-        // built (and each merge combined) its own identical counts
-        // map — measured 3.9 s → 2.5 s together at sf0.1. The
-        // sort-based exact path (operators.Quantiles, bit-identical
-        // interpolation) was measured here too and LOST (4.3 s): with
-        // only 3 groups its per-group sort is skew-bound to 3 tasks —
-        // it wins when groups ≥ cores, not on a 3-flag profile.
+        // fanOut: the exact-percentile partial is CPU-bound and the
+        // fixture scan arrives 3-wide — spread it. ONE combined exact
+        // buffer serves both the anchors and the envelope (two separate
+        // aggregates would each buffer the same values — the built-in
+        // `percentile` version measured 3.9 s → 2.5 s combined at
+        // sf0.1). The sort-based exact path loses here (4.3 s at
+        // sf0.1): with only 3 groups its per-group sort is skew-bound
+        // to 3 tasks.
         val li = graft.core.Partitioning.fanOut(
           Tables.lineitem(s, d).select(col("l_returnflag"),
-            (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents")))
+            (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+              .cast("double").as("cents")))
+        // exact grid via the value-buffering ExactPercentiles aggregate
+        // (primitive-array buffer — the per-distinct-value map cost of
+        // the built-in `percentile` was THIS query's original
+        // bottleneck); one combined 9-point buffer still serves both
+        // the anchors and the envelope, and the struct carries n
+        val np = org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.ExactPercentiles(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("cents")),
+            ps ++ env).toAggregateExpression())
         val agg = li.groupBy(col("l_returnflag")).agg(
-          count(lit(1)).as("n"),
-          percentile(col("cents"), array((ps ++ env).map(lit): _*)).as("_px"),
+          np.as("_np"),
           percentile_approx(col("cents"), array(ps.map(lit): _*), lit(1000)).as("_ap"))
+          .select(col("l_returnflag"), col("_np.n").as("n"),
+            col("_np.pct").as("_px"), col("_ap"))
         val ok = (0 until 3).map(i =>
           col("_ap")(i) >= col("_px")(3 + 2 * i) && col("_ap")(i) <= col("_px")(4 + 2 * i))
           .reduce(_ && _)
@@ -849,11 +860,12 @@ object Relational6 {
 
     // ---- q190: shipping-latency SLA percentiles by order month —
     //      p50/p90/p99 of lineitem ship delay (days after order),
-    //      exact interpolated order statistics per month via the
-    //      sort-based many-group kernel (operators.Quantiles, the
-    //      q155/q171 scale path: one window pass, only interpolation
-    //      anchors leave the sort stage). Day diffs are exact
-    //      integers; quantile_cont interpolation bit-matches. ----
+    //      exact interpolated order statistics per month. ~100 months
+    //      ≪ the agg-path limit → the caller pins the value-buffering
+    //      ExactPercentiles path (q155's rationale; the join output
+    //      would make the dispatcher's counting scan extra costly
+    //      here). Day diffs are exact integers; quantile_cont
+    //      interpolation bit-matches. ----
     GraftQuery(
       "q190_latency_percentiles",
       (s, d) => {
@@ -867,7 +879,8 @@ object Relational6 {
             datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
               .cast("long").as("delay_days"))
         graft.operators.Quantiles
-          .gridPercentiles(delays, Seq("month"), "delay_days", Seq(0.5, 0.9, 0.99))
+          .gridPercentiles(delays, Seq("month"), "delay_days", Seq(0.5, 0.9, 0.99),
+            aggGroupLimit = Long.MaxValue)
           .select(col("month"), col("n"),
             col("pct")(0).as("p50"), col("pct")(1).as("p90"), col("pct")(2).as("p99"))
       },
