@@ -88,6 +88,24 @@ object IndexStore {
     (c, a)
   }
 
+  // ---- kNN graph (graph-ANN) ----
+
+  /** Atomic persist of a [[Similarity.knnGraph]] edge set — the index
+    * under [[Similarity.graphSearch]]. One component, same whole-
+    * directory swap: a half-written edge table must never serve.
+    */
+  def saveKnnGraph(spark: SparkSession, graph: DataFrame, dir: String): Unit =
+    swapInto(spark, dir) { staging =>
+      graph.select("query_id", "neighbor_id", "sim").write.parquet(s"$staging/edges")
+    }
+
+  /** Loaded edges are persisted (probed many times); release with
+    * `unpersist()` or `Ivf.release`-style cleanup by the caller.
+    */
+  def loadKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    readPart(spark, dir, "edges", Seq("query_id", "neighbor_id", "sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   // ---- IVF-PQ ----
 
   def saveIvfPq(spark: SparkSession, ix: IvfPq.Index, dir: String): Unit = {

@@ -121,6 +121,54 @@ object VectorQueries2 {
         graft.core.Prepared.put("q113_ivfpq_topk.exact", VectorQueries.exactAnchors(emb, 10))
       })),
 
+    // ---- q206: GRAPH-ANN — HNSW-style greedy beam search over the
+    //      persisted kNN graph (Similarity.graphSearch on knnGraph's
+    //      edges; q204's kernel is the index build). The prepare hook
+    //      exercises the FULL index lifecycle: build → IndexStore
+    //      atomic persist → load back, so the benched probe serves
+    //      from storage like a production search tier. Same
+    //      reduced-assertion oracle as q48/q112/q113 (the graph walk
+    //      is data-dependent; the query returns the exact brute-force
+    //      top-k, hash-matched bit-for-bit, plus a recall flag the
+    //      oracle pins to 1). Floor 0.25 vs measured recalls 0.90
+    //      (sf0.01) / 0.58 (sf0.1) at deg=8/beam=32/rounds=4 —
+    //      ≥2.3× margin, ~125× above the ~0.002 chance level. ----
+    GraftQuery(
+      "q206_graph_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // build/probe split: prepare stages the LOADED persisted graph;
+        // unstaged callers (Verify, specs) build inline — identical
+        // edges either way (parquet round-trips longs/doubles exactly)
+        val graph = graft.core.Prepared
+          .take[org.apache.spark.sql.DataFrame]("q206_graph_ann")
+          .getOrElse(graft.operators.Similarity
+            .knnGraph(emb, "vec_id", "embedding", k = 8))
+        val queries = emb.where(col("vec_id") < 5)
+        val ann = graft.operators.Similarity.graphSearch(
+          graph, emb, queries, "vec_id", "embedding", k = 10,
+          beam = 32, rounds = 4)
+        // graphSearch staged its own eager copies, so the source graph
+        // (a persisted load OR an inline plan with internal bucket
+        // checkpoints) releases here — both cleanups are no-ops on the
+        // other path
+        graft.operators.Lineage.release(graph)
+        graph.unpersist()
+        val exact = graft.core.Prepared
+          .take[org.apache.spark.sql.DataFrame]("q206_graph_ann.exact")
+        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.25, staged = exact)
+      },
+      Some(VectorQueries.bruteTopKRecallOracle(10)),
+      prepare = Some((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = sys.props("java.io.tmpdir") + "/graft_index_q206"
+        graft.operators.IndexStore.saveKnnGraph(s,
+          graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 8), dir)
+        graft.core.Prepared.put("q206_graph_ann",
+          graft.operators.IndexStore.loadKnnGraph(s, dir))
+        graft.core.Prepared.put("q206_graph_ann.exact", VectorQueries.exactAnchors(emb, 10))
+      })),
+
     // ---- q151: SemDeDup — semantic deduplication by coarse cells
     //      (arXiv:2303.09540). Output rows are the PORTABLE path: seed
     //      centroids are the 8 smallest-id vectors themselves (zero

@@ -53,6 +53,26 @@ class IndexStoreSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("kNN graph round-trip: persisted edges search bit-identically") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn").toString + "/ix"
+    val built = Similarity.knnGraph(emb, "vec_id", "embedding", k = 4)
+      .localCheckpoint(true)
+    val queries = emb.where($"vec_id" < 3)
+    def search(g: org.apache.spark.sql.DataFrame) = probeRows(
+      Similarity.graphSearch(g, emb, queries, "vec_id", "embedding", k = 5,
+          beam = 8, rounds = 2, entryPoints = 2)
+        .select($"query_id", $"neighbor_id", $"sim", $"rank"))
+    val want = search(built)
+    IndexStore.saveKnnGraph(spark, built, dir)
+    Lineage.release(built)
+    val loaded = IndexStore.loadKnnGraph(spark, dir)
+    val got = search(loaded)
+    loaded.unpersist(blocking = true)
+    assert(got == want)
+    assert(want.nonEmpty && want.forall(_._4 <= 5))
+  }
+
   test("a second save atomically replaces the first; foreign dirs refuse") {
     val emb = Tables.embeddings(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("graft_ixswap").toString

@@ -93,6 +93,39 @@ class SimilaritySpec extends SparkTestBase {
       brute.get((q, n)).foreach(b => assert(b == s, s"sim mismatch at ($q,$n)")) }
   }
 
+  test("graphSearch: exact sims, deterministic, finds planted duplicate, cleans storage") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 4)
+      .localCheckpoint(true)
+    val queries = emb.where($"vec_id" < 3)
+    def run() = {
+      val res = Similarity
+        .graphSearch(graph, emb, queries, "vec_id", "embedding", k = 5,
+          beam = 8, rounds = 2, entryPoints = 2)
+      val rows = res.select($"query_id", $"neighbor_id", $"sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      graft.operators.Lineage.release(res, blocking = true)
+      rows
+    }
+    val a = run()
+    val b = run()
+    assert(a == b, "graphSearch must be deterministic (rank ties broken by id)")
+    assert(a.nonEmpty && a.forall { case (q, n, _, _) => q != n })
+    assert(a.groupBy(_._1).values.forall(_.size <= 5))
+    // reported sims are EXACT cosines (bit-for-bit vs brute force)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1000)
+      .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect().map { case (q, n, s) => (q, n) -> s }.toMap
+    a.foreach { case (q, n, s, _) =>
+      brute.get((q, n)).foreach(x => assert(x == s, s"sim mismatch at ($q,$n)")) }
+    // every checkpoint staged by the two searches (beyond the input
+    // graph, released here) must already be gone: intermediate rounds
+    // release in-operator, the final visited via Lineage.release(res)
+    graft.operators.Lineage.release(graph, blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "graphSearch must not strand block-manager storage")
+  }
+
   test("hardNegatives: every mined negative carries a different label") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
