@@ -44,9 +44,29 @@ object Xlsx {
     * the offending path (house fail-loud style, cf. N3/D4) rather than
     * silently aligning columns by position.
     */
+  /** Per-task memory bound for the distributed path: one workbook's
+    * residency is its raw `content` bytes (binaryFile materializes the
+    * file per row) + the consumed XML parts (each individually bounded
+    * against zip bombs by [[MaxPartBytes]]) + the parsed string grid.
+    * A workbook above `maxWorkbookBytes` fails loudly WITH ITS PATH
+    * instead of silently pressuring the executor — config-shaped
+    * workbooks are small; a 64 MB+ "workbook" in a fleet directory is
+    * almost always a mislabeled data export that belongs in
+    * `spark.read` (house fail-loud style, cf. the header-mismatch
+    * check).
+    */
+  val MaxWorkbookBytes: Long = 64L << 20
+
+  /** Zip-bomb guard: max DECOMPRESSED size of any single consumed zip
+    * part. A crafted xlsx can expand a few KB of deflate into GBs of
+    * sharedStrings; reading is cut off at the bound with a loud error.
+    */
+  val MaxPartBytes: Long = 128L << 20
+
   def readWorkbooks(
       spark: SparkSession, dir: String, sheetName: String,
-      headerRow: Int = 2): org.apache.spark.sql.DataFrame = {
+      headerRow: Int = 2,
+      maxWorkbookBytes: Long = MaxWorkbookBytes): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, min}
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
@@ -61,6 +81,9 @@ object Xlsx {
     require(firstPath != null, s"no .xlsx files under $dir")
     val firstBytes = bin.where(col("path") === firstPath)
       .select(col("content")).head().getAs[Array[Byte]](0)
+    require(firstBytes.length <= maxWorkbookBytes,
+      s"$firstPath: ${firstBytes.length} bytes exceeds the distributed-ingest " +
+        s"bound of $maxWorkbookBytes")
     val headGrid = readGridBytes(firstBytes, sheetName, firstPath)
     require(headGrid.size > headerRow,
       s"$firstPath: grid has ${headGrid.size} rows, header expected at $headerRow")
@@ -72,6 +95,10 @@ object Xlsx {
     // SELECT fans the array into named columns inside Catalyst
     val parsed = bin.as[(String, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (path, bytes) =>
+        require(bytes.length <= maxWorkbookBytes,
+          s"$path: ${bytes.length} bytes exceeds the distributed-ingest bound " +
+            s"of $maxWorkbookBytes — oversized workbooks are almost always " +
+            "mislabeled data exports; raise maxWorkbookBytes only deliberately")
         val grid = readGridBytes(bytes, sheetName, path)
         require(grid.size > headerRow,
           s"$path: grid has ${grid.size} rows, header expected at $headerRow")
@@ -124,15 +151,32 @@ object Xlsx {
     */
   def readGridBytes(
       bytes: Array[Byte], sheetName: String,
-      sourceName: String = "<bytes>"): Seq[Seq[String]] = {
+      sourceName: String = "<bytes>",
+      maxPartBytes: Long = MaxPartBytes): Seq[Seq[String]] = {
     val entries = Map.newBuilder[String, Array[Byte]]
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // bounded inflate: a zip bomb's tiny deflate stream must not expand
+    // into executor memory past the part bound — cut off loudly instead
+    def readBounded(name: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = zin.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxPartBytes)
+          throw new IllegalArgumentException(
+            s"$sourceName: zip part $name inflates past the $maxPartBytes-byte " +
+              "bound — refusing a probable zip bomb")
+        n = zin.read(buf)
+      }
+      out.toByteArray
+    }
     try {
       var e = zin.getNextEntry
       while (e != null) {
         if (!e.isDirectory && isConsumedPart(e.getName))
-          entries += e.getName -> zin.readAllBytes()
+          entries += e.getName -> readBounded(e.getName)
         zin.closeEntry()
         e = zin.getNextEntry
       }

@@ -158,6 +158,54 @@ class XlsxSpec extends SparkTestBase {
       "Local authority", "Year 8 females: Number", "Year 8 females: Number vaccinated"))
   }
 
+  test("distributed ingest scales to a 120-workbook directory with bounded memory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_many").toString
+    val n = 120
+    (0 until n).foreach { i =>
+      variantXlsx(dir, f"wb_$i%03d.xlsx", s"Coverage $i", s"area$i")
+    }
+    val got = Xlsx.readWorkbooks(spark, dir, "Local_authority")
+    // every file contributes its 2 data rows, with per-file provenance + A1
+    assert(got.count() == 2L * n)
+    assert(got.select($"_source_path").distinct().count() == n)
+    val a1s = got.select($"_a1").distinct().as[String].collect().toSet
+    assert(a1s == (0 until n).map(i => s"Coverage $i").toSet)
+    val areas = got.select($"Local authority").as[String].collect().toSet
+    assert(areas == (0 until n).map(i => s"area$i").toSet + "barnet")
+  }
+
+  test("distributed ingest refuses an oversized workbook loudly, with its path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_big").toString
+    variantXlsx(dir, "a.xlsx", "Coverage A", "camden")
+    variantXlsx(dir, "big.xlsx", "Coverage B", "barnet")
+    val e = intercept[Exception] {
+      // tiny bound so the regular fixture trips it — the guard is the
+      // same one a 64 MB+ mislabeled export would hit in production
+      Xlsx.readWorkbooks(spark, dir, "Local_authority", maxWorkbookBytes = 64L).collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).find(m => m != null && m.contains("distributed-ingest bound"))
+    assert(msg.isDefined, s"expected the size-bound error, got: ${e.getMessage}")
+  }
+
+  test("a zip part inflating past the bound is refused as a probable bomb") {
+    // 2 MB of zeros compresses to ~2 KB: a miniature bomb shape
+    val bomb = new String(Array.fill(2 * 1024 * 1024)('a'))
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" -> sharedXml.replace("Coverage September", bomb),
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet xmlns="x"><sheetData/></worksheet>""",
+      "xl/worksheets/sheet2.xml" -> sheet2Xml))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.readGridBytes(bytes, "Local_authority", "bomb.xlsx", maxPartBytes = 1024L * 1024)
+    }
+    assert(e.getMessage.contains("zip bomb") && e.getMessage.contains("bomb.xlsx"))
+  }
+
   test("distributed ingest fails loudly on a header-mismatched workbook") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_mism").toString
     variantXlsx(dir, "a.xlsx", "Coverage A", "camden")
