@@ -162,8 +162,12 @@ object VectorQueries2 {
       prepare = Some((s, d) => {
         val emb = Tables.embeddings(s, d)
         val dir = sys.props("java.io.tmpdir") + "/graft_index_q206"
-        graft.operators.IndexStore.saveKnnGraph(s,
-          graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 8), dir)
+        // release the BUILD plan after the save: its internal LSH
+        // bucket checkpoint would otherwise stay registered for the
+        // whole suite (the persisted parquet is the serving copy)
+        val built = graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 8)
+        graft.operators.IndexStore.saveKnnGraph(s, built, dir)
+        graft.operators.Lineage.release(built, blocking = true)
         graft.core.Prepared.put("q206_graph_ann",
           graft.operators.IndexStore.loadKnnGraph(s, dir))
         graft.core.Prepared.put("q206_graph_ann.exact", VectorQueries.exactAnchors(emb, 10))

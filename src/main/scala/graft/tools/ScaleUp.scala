@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *    every base near-dup group of size g becomes one of size
   *    g×copies and the OUTPUT (not the algorithm) goes quadratic,
   *    which would measure payload blow-up rather than scaling:
-  *      * `text` is passed through a per-copy Caesar rotation of the
+  *      * `text` is passed through a per-copy PERMUTATION of the
   *        letter alphabet (`translate`, codegen'd): token boundaries,
   *        lengths, and within-copy equality survive; shingles across
   *        copies share nothing;
@@ -40,16 +40,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** Per-copy Caesar rotation of letters only (case-preserving):
-    * length, token structure, and digits/punctuation survive.
+  /** Per-copy SUBSTITUTION of letters only (case-preserving): a
+    * seeded Fisher-Yates permutation of the alphabet per copy, applied
+    * to both cases via `translate` (codegen'd). Any letter bijection
+    * preserves length, token structure, and within-copy equality while
+    * cross-copy shingles share nothing (digits/punctuation pass
+    * through, as they did under the earlier Caesar variant). A full
+    * permutation — unlike Caesar's 26 rotations — keeps copies
+    * pairwise distinct far past 26, which the sf3-10 scale steps need.
+    * Copy 0 is the identity (the base fixture is a subset).
     */
-  private def caesar(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+  private def letterPerm(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    val k = i % 26
-    if (k == 0) c
-    else translate(c, lower + upper,
-      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+    if (i == 0) c
+    else {
+      // scala.util.Random wraps java.util.Random's LCG — the shuffle is
+      // deterministic for a given copy index on every JVM
+      val perm = new scala.util.Random(0xC0FFEE + i).shuffle(lower.toList).mkString
+      translate(c, lower + lower.toUpperCase, perm + perm.toUpperCase)
+    }
   }
 
   /** Per-copy orthogonal transform of a 64-dim float vector: rotate
@@ -138,7 +147,7 @@ object ScaleUp {
         off("event_id", EventOff, i), col("ts"), off("user_id", UserOff, i),
         col("event_type"), col("value"), col("props")))
       case "documents" => replicate(copies)(i => base.select(
-        off("doc_id", DocOff, i), caesar(col("text"), i).as("text"),
+        off("doc_id", DocOff, i), letterPerm(col("text"), i).as("text"),
         col("lang"), col("source"), col("n_chars")))
       case "embeddings" => replicate(copies)(i => base.select(
         off("vec_id", VecOff, i),
@@ -152,7 +161,10 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val (srcDir, dstDir, copies) = (args(0), args(1), args(2).toInt)
-    require(copies >= 1 && copies <= 26, "copies must be in [1,26] (Caesar keys)")
+    // 150: the embedding transform family is pairwise-distinct up to
+    // lcm(64, 6) = 192 copies (dimension-rotation period × sign-pattern
+    // period); letter permutations are distinct essentially forever
+    require(copies >= 1 && copies <= 150, "copies must be in [1,150]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
