@@ -366,12 +366,17 @@ object Multimodal {
     * slice of the triangle with a primitive bit_count loop. No
     * shuffle, no join, no distinct; measured 0.7 s for 66 k hashes
     * (2.2×10⁹ comparisons) where the banded join took 7 s and a
-    * columnar single-node engine 3.5 s. The default gate (200 k rows
-    * ≈ 3 MB broadcast, ~2×10¹⁰ comparisons ≈ 1 s on 32 cores) is
-    * where the quadratic loop stops beating join constants; above it
-    * the banded join takes over — measured 28× fewer raw candidates
-    * than the round-9 banding on the correlated text-derived fixture
-    * (39.6 M vs 1.11 G at 66 k hashes).
+    * columnar single-node engine 3.5 s. The default gate is 1 M rows
+    * (16 MB broadcast, ~5×10¹¹ comparisons ≈ 20-30 s on 32 cores):
+    * on CORRELATED real-world hashes the banded join's pruning
+    * (measured 56× on the text-derived fixture vs ~1600× for uniform
+    * hashes) must beat a ~100× per-candidate cost disadvantage against
+    * the primitive loop, so the crossover sits near a million hashes —
+    * measured at 666 k: brute ~15 s of comparisons vs 65 s of banded
+    * join. Above the gate the banded join takes over with 28× fewer
+    * raw candidates than the round-9 banding (39.6 M vs 1.11 G at
+    * 66 k hashes); at that scale candidates, not comparisons, are the
+    * wall-clock and the two-level constant is what keeps it feasible.
     *
     * Input: (idCol: long, hashCol: long) — `dHash64`'s shape; null
     * ids/hashes are dropped (both paths).
@@ -382,7 +387,7 @@ object Multimodal {
       maxHamming: Int = 8,
       idCol: String = "media_id",
       hashCol: String = "phash",
-      bruteMax: Long = 200000L): DataFrame = {
+      bruteMax: Long = 1000000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming=$maxHamming: need bands of >=2 bits for the bucket join to prune")
     val clean = hashed.where(col(idCol).isNotNull && col(hashCol).isNotNull)
@@ -477,15 +482,25 @@ object Multimodal {
     spark.sparkContext.parallelize(0 until stripes, stripes).mapPartitions { pit =>
       val ids = bIds.value
       val hs = bHs.value
+      // primitive while loops, matches buffered: iterator-per-comparison
+      // (flatMap over the inner range) measured ~100× slower than this —
+      // the loop body must stay a xor + bit_count + branch
       pit.flatMap { p =>
-        Iterator.range(p, hs.length, stripes).flatMap { i =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        val n = hs.length
+        var i = p
+        while (i < n) {
           val hi = hs(i)
           val ia = ids(i)
-          Iterator.range(i + 1, hs.length).flatMap { j =>
+          var j = i + 1
+          while (j < n) {
             val hd = java.lang.Long.bitCount(hi ^ hs(j))
-            if (hd <= mh) Iterator.single((ia, ids(j), hd)) else Iterator.empty
+            if (hd <= mh) out += ((ia, ids(j), hd))
+            j += 1
           }
+          i += stripes
         }
+        out.iterator
       }
     }.toDF("id_a", "id_b", "hd")
   }
