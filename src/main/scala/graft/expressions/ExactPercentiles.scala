@@ -101,7 +101,13 @@ case class ExactPercentiles(
   }
 
   override def serialize(buf: ExactPercentiles.Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.n * 8)
+    // long arithmetic + loud bound: at ~268M values per group the Int
+    // size expression would wrap and die as a cryptic ByteBuffer error
+    val bytes = 4L + buf.n.toLong * 8L
+    require(bytes <= Int.MaxValue - 8,
+      s"$prettyName: a single group buffered ${buf.n} values (${bytes / (1 << 20)} MB) — " +
+        "exact percentiles buffer the group's data; use percentile_approx at this scale")
+    val bb = ByteBuffer.allocate(bytes.toInt)
     bb.putInt(buf.n)
     var i = 0
     while (i < buf.n) { bb.putDouble(buf.arr(i)); i += 1 }

@@ -188,16 +188,21 @@ object Xlsx {
     readParts(new BytesParts(entries.result(), sourceName), sheetName)
   }
 
-  /** Only the zip parts the StAX pipeline actually reads are buffered
-    * into executor memory: shared strings, styles, the workbook index +
-    * its rels, and the worksheet grids. A media-heavy workbook (images
-    * under xl/media can dwarf the XML) would otherwise roughly TRIPLE
+  /** Zip parts the StAX pipeline might read are buffered into executor
+    * memory; the known-heavy part families it NEVER reads (media,
+    * embedded objects, drawings, charts, themes, pivot caches) are
+    * skipped — a media-heavy workbook would otherwise roughly TRIPLE
     * its per-task footprint on top of binaryFile's content bytes.
+    * A blocklist, not an allowlist: `resolveSheetPart` honors arbitrary
+    * rels targets (a writer may store sheets outside xl/worksheets/),
+    * so excluding only the provably-unconsumed families keeps every
+    * previously-readable workbook readable.
     */
   private def isConsumedPart(name: String): Boolean =
-    name == "xl/sharedStrings.xml" || name == "xl/styles.xml" ||
-      name == "xl/workbook.xml" || name.startsWith("xl/_rels/") ||
-      name.startsWith("xl/worksheets/")
+    name.startsWith("xl/") &&
+      !Seq("xl/media/", "xl/embeddings/", "xl/drawings/", "xl/charts/",
+        "xl/theme/", "xl/printerSettings/", "xl/pivotCache/", "xl/activeX/")
+        .exists(name.startsWith)
 
   private def readParts(parts: Parts, sheetName: String): Seq[Seq[String]] = {
     val shared = readSharedStrings(parts)

@@ -390,8 +390,12 @@ object Multimodal {
       bruteMax: Long = 1000000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming=$maxHamming: need bands of >=2 bits for the bucket join to prune")
+    // NOTE: the gate's count() executes the upstream pipeline once —
+    // callers with an expensive un-checkpointed decode chain should
+    // checkpoint before calling (q159 does); bruteMax <= 0 skips the
+    // count entirely (the forced-banded mode)
     val clean = hashed.where(col(idCol).isNotNull && col(hashCol).isNotNull)
-    if (clean.count() <= bruteMax)
+    if (bruteMax > 0 && clean.count() <= bruteMax)
       return bruteHammingPairs(clean, maxHamming, idCol, hashCol)
     // per-side probe radius: 1-bit probes detect band-hd <= 2, so bands
     // can be 3x wider; below maxHamming = 3 the exact-band split already
@@ -495,7 +499,10 @@ object Multimodal {
           var j = i + 1
           while (j < n) {
             val hd = java.lang.Long.bitCount(hi ^ hs(j))
-            if (hd <= mh) out += ((ia, ids(j), hd))
+            // ids(j) != ia: duplicate ids (same asset ingested twice)
+            // must not emit self-pairs — the banded path's strict
+            // id_a < id_b drops them, and the two paths must agree
+            if (hd <= mh && ids(j) != ia) out += ((ia, ids(j), hd))
             j += 1
           }
           i += stripes

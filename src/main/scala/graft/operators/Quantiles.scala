@@ -53,11 +53,14 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** Default dispatch threshold: at ≤ this many groups the combined-
-    * buffer aggregate wins (measured crossover is between ~10⁴ and
-    * ~10⁵ groups on 32 cores; the default sits at the bottom of that
-    * band so near-threshold misroutes land in the shallow region).
+    * buffer aggregate wins. Deliberately EQUAL to the
+    * `objectHashAggregate.sortBased.fallbackThreshold` the engine
+    * session sets (graft.core.Sessions): routing more groups than the
+    * fallback threshold into the agg path would hand them to an
+    * ObjectHashAggregate that silently degrades to sort-based
+    * aggregation — the exact pathology the dispatch exists to avoid.
     */
-  val DefaultAggGroupLimit: Long = 10000L
+  val DefaultAggGroupLimit: Long = 4096L
 
   /** @return one row per group: keyCols, `n` (non-null value count),
     *   and `pct` = array of interpolated percentiles aligned with `ps`

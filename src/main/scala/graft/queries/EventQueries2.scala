@@ -538,8 +538,9 @@ object EventQueries2 {
     //      (unix_micros ≡ DuckDB epoch_us under the UTC session),
     //      7-day cohorts as integer epoch-week (portable — no
     //      engine-specific week-start semantics), and exact
-    //      interpolated p50/p90 from the sort-based grid kernel
-    //      (quantile_cont-equivalent, the q155 proof). ----
+    //      interpolated p50/p90 from the Quantiles grid kernel
+    //      (quantile_cont-equivalent interpolation on every path —
+    //      the QuantilesSpec proof). ----
     GraftQuery(
       "q171_conversion_percentiles",
       (s, d) => {
@@ -557,8 +558,12 @@ object EventQueries2 {
             expr("cast(datediff(to_date(sts), date'1970-01-01') div 7 as bigint)")
               .as("cohort"),
             (unix_micros(col("pts")) - unix_micros(col("sts"))).as("delay_us"))
+        // pinned agg path: a handful of weekly cohorts, and the auto
+        // dispatcher's counting scan would re-execute the whole
+        // signup/purchase join pipeline just to learn that
         graft.operators.Quantiles
-          .gridPercentiles(delays, Seq("cohort"), "delay_us", Seq(0.5, 0.9))
+          .gridPercentiles(delays, Seq("cohort"), "delay_us", Seq(0.5, 0.9),
+            aggGroupLimit = Long.MaxValue)
           .select(col("cohort"), col("n"),
             col("pct")(0).as("p50_us"), col("pct")(1).as("p90_us"))
       },

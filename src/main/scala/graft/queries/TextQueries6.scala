@@ -203,9 +203,9 @@ object TextQueries6 {
     //      outlier-robust clamp a quality pipeline applies before
     //      length-based mixing (a single 100 MB doc must not dominate
     //      a source's token budget). Bounds are the interpolated
-    //      p05/p95 from the exact sort-based grid (Quantiles, the q155
-    //      kernel — one exchange on the group key; percentile_approx
-    //      is the documented scale path, q150). The winsorized sum is
+    //      p05/p95 from the exact Quantiles grid (quantile_cont-equal
+    //      interpolation on every path; percentile_approx is the
+    //      documented scale path, q150). The winsorized sum is
     //      a FIXED-ORDER expression over exact parts —
     //      sum_within + n_below·p05 + n_above·p95 — never a float
     //      aggregation, so it is bit-stable on both engines. ----
@@ -213,8 +213,11 @@ object TextQueries6 {
       "q163_winsorized_lengths",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // pinned agg path: 4 sources — no need for the dispatcher's
+        // extra counting scan of the documents table
         val b = graft.operators.Quantiles
-          .gridPercentiles(docs, Seq("source"), "n_chars", Seq(0.05, 0.95))
+          .gridPercentiles(docs, Seq("source"), "n_chars", Seq(0.05, 0.95),
+            aggGroupLimit = Long.MaxValue)
           .select(col("source"), col("n"),
             col("pct")(0).as("p05"), col("pct")(1).as("p95"))
         docs.join(broadcast(b), Seq("source"))
