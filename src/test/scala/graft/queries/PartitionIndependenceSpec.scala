@@ -27,7 +27,10 @@ class PartitionIndependenceSpec extends SparkTestBase {
     "q191_twap_by_type", "q193_pareto_customers", "q201_autocorrelation",
     "q175_systematic_sample", "q178_hits_paths",
     "q203_leakage_split_approx", "q159_image_phash_dedup",
-    "q204_knn_graph", "q205_hard_negatives")
+    "q204_knn_graph", "q205_hard_negatives",
+    // round-10: graph-ANN beam search (deterministic entry seeds +
+    // id-tie-broken ranks) and the re-dispatched quantile profiles
+    "q206_graph_ann", "q155_grouped_quantiles")
 
   test("results are identical under shuffle.partitions = 2, 5, 13") {
     val conf = spark.conf
