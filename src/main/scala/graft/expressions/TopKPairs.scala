@@ -30,11 +30,25 @@ import org.apache.spark.sql.types._
   *
   * Null handling matches SQL aggregates: rows with a null score or null
   * id are skipped. An empty group yields an empty array.
+  *
+  * `dedup = true` additionally skips EXACT (score, id) repeats — for
+  * inputs where the same logical pair can arrive several times with a
+  * deterministic, hence bit-identical, score (an LSH candidate that
+  * collides in several tables). Each buffer then holds a SET, so a
+  * repeat can never occupy two of the k slots, and the upstream
+  * `distinct()` (a full shuffle of the candidate set) can be dropped.
+  * Scores compare by `doubleToLongBits` (all NaNs collapse to one
+  * pattern, matching `better`'s NaN total order); the containment scan
+  * is O(k) per insert with k small by contract. Ids that repeat with
+  * DIFFERENT scores are still kept distinct — callers wanting
+  * per-neighbor dedup must guarantee score determinism, which every
+  * LSH family kernel here does.
   */
 case class TopKPairs(
     score: Expression,
     id: Expression,
     k: Int,
+    dedup: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
@@ -101,7 +115,10 @@ case class TopKPairs(
   private def add(
       buffer: mutable.PriorityQueue[(Double, Long)],
       pair: (Double, Long)): Unit = {
-    if (buffer.size < k) buffer.enqueue(pair)
+    if (dedup && buffer.exists(p => p._2 == pair._2 &&
+        java.lang.Double.doubleToLongBits(p._1) ==
+          java.lang.Double.doubleToLongBits(pair._1))) ()
+    else if (buffer.size < k) buffer.enqueue(pair)
     else if (evictionOrder.compare(pair, buffer.head) < 0) {
       // strictly better than the current worst
       buffer.dequeue(); buffer.enqueue(pair)

@@ -61,6 +61,18 @@ object VectorFunctions {
         org.apache.spark.sql.graft.ColumnBridge.expression(id),
         k).toAggregateExpression())
 
+  /** [[topK]] that also skips exact (score, id) repeats in-buffer —
+    * for deterministic-score candidate streams where the same pair
+    * arrives once per colliding LSH table, replacing an upstream
+    * `distinct()` shuffle (see TopKPairs `dedup`).
+    */
+  def topKDistinct(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TopKPairs(
+        org.apache.spark.sql.graft.ColumnBridge.expression(score),
+        org.apache.spark.sql.graft.ColumnBridge.expression(id),
+        k, dedup = true).toAggregateExpression())
+
   /** KMV bottom-k distinct sketch AGGREGATE over a 60-bit portable hash
     * (TextFunctions.hash60) — the oracle-checkable approximate distinct
     * count (see KmvDistinct for the estimator and why HLL can't match).

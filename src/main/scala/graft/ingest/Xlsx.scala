@@ -208,8 +208,26 @@ object Xlsx {
     val shared = readSharedStrings(parts)
     val dateStyles = readDateStyles(parts)
     val sheetPart = resolveSheetPart(parts, sheetName)
-    readSheet(parts, sheetPart, shared, dateStyles)
+    readSheet(parts, sheetPart, shared, dateStyles, readDate1904(parts))
   }
+
+  /** workbook.xml `<workbookPr date1904="1"/>` → this workbook's
+    * serials count from the 1904 epoch (see [[serialToIso]]). Absent
+    * attribute/part → 1900 epoch, like every mainstream reader.
+    */
+  private def readDate1904(parts: Parts): Boolean =
+    withPart(parts, "xl/workbook.xml") { r =>
+      var flag = false
+      var seen = false
+      while (r.hasNext && !seen) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+          seen = true
+          flag = attr(r, "date1904").exists(v => v == "1" || v == "true")
+        }
+      }
+      flag
+    }.getOrElse(false)
 
   /** Random-access view over a workbook's zip parts: a ZipFile for a
     * local path (driver), or a pre-read entry map for bytes that
@@ -301,10 +319,18 @@ object Xlsx {
     * scope, as in other readers). A fractional part is a time of day
     * (rounded to the nearest second): pure dates render `yyyy-MM-dd`,
     * datetimes `yyyy-MM-dd HH:mm:ss`.
+    *
+    * `epoch1904`: workbooks written with `<workbookPr date1904="1"/>`
+    * (the Mac Excel lineage) count serials from 1904-01-01 — day 0 IS
+    * 1904-01-01, with no leap-bug window. Reading such a workbook with
+    * the 1900 epoch silently shifts every date by 1 462 days, so the
+    * flag comes from workbook.xml per workbook, never a global default.
     */
-  private[ingest] def serialToIso(serial: Double): String = {
+  private[ingest] def serialToIso(serial: Double, epoch1904: Boolean = false): String = {
     val days = math.floor(serial).toLong
-    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val epoch = if (epoch1904) java.time.LocalDate.of(1904, 1, 1)
+                else java.time.LocalDate.of(1899, 12, 30)
+    val date = epoch.plusDays(days)
     val secs = math.round((serial - days) * 86400d)
     // A fraction a hair under midnight rounds to a full day: render it
     // as the NEXT day's pure date (what Excel displays), not as
@@ -395,7 +421,8 @@ object Xlsx {
     */
   private def readSheet(
       parts: Parts, part: String, shared: IndexedSeq[String],
-      dateStyles: IndexedSeq[Boolean] = IndexedSeq.empty): Seq[Seq[String]] = {
+      dateStyles: IndexedSeq[Boolean] = IndexedSeq.empty,
+      epoch1904: Boolean = false): Seq[Seq[String]] = {
     case class Cell(row: Int, colIdx: Int, value: String)
     val cells = withPart(parts, part) { r =>
       val out = mutable.ArrayBuffer.empty[Cell]
@@ -448,7 +475,12 @@ object Xlsx {
                 val value = cellType match {
                   case "s" => shared.lift(raw.trim.toInt).orNull
                   case "n" if cellIsDate =>
-                    raw.trim.toDoubleOption.map(serialToIso).getOrElse(raw)
+                    raw.trim.toDoubleOption.map(serialToIso(_, epoch1904))
+                      .getOrElse(raw)
+                  // ECMA-376 §18.17.4.1 "d" cells carry the date as ISO
+                  // 8601 TEXT, not a serial — pass it through verbatim
+                  // (it is already the rendering serialToIso targets)
+                  case "d" => raw.trim
                   case _ => raw
                 }
                 out += Cell(rowIdx, cellCol, value)

@@ -316,6 +316,35 @@ class XlsxSpec extends SparkTestBase {
       Seq("2023-03-15", "2023-03-15 12:00:00", "45000", "45000", "45000"))
   }
 
+  test("date1904 workbooks shift the serial epoch; t=\"d\" cells pass ISO text through") {
+    // same serial, two epochs: 45000 is 2023-03-15 from 1900 but
+    // 2027-03-16 from 1904 (+1462 days)
+    assert(Xlsx.serialToIso(45000, epoch1904 = true) == "2027-03-16")
+    assert(Xlsx.serialToIso(0, epoch1904 = true) == "1904-01-01")
+    val workbook1904 = workbookXml.replace("<sheets>",
+      """<workbookPr date1904="1"/><sheets>""")
+    val styles =
+      """<?xml version="1.0"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData>
+        |<row r="1">
+        |  <c r="A1" t="n" s="1"><v>45000</v></c>
+        |  <c r="B1" t="d"><v>2023-03-15T12:00:00</v></c>
+        |</row>
+        |</sheetData></worksheet>""".stripMargin
+    val p = writeXlsx(Map(
+      "xl/workbook.xml" -> workbook1904,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/worksheets/sheet2.xml" -> sheet))
+    assert(Xlsx.readGrid(p, "Local_authority")(0) ==
+      Seq("2027-03-16", "2023-03-15T12:00:00"))
+  }
+
   test("serial a hair under midnight renders as the next day's pure date") {
     // 45000.9999999 rounds to 86400 s past 2023-03-15: Excel displays
     // 2023-03-16, so we must NOT emit "2023-03-16 00:00:00"

@@ -126,6 +126,47 @@ class SimilaritySpec extends SparkTestBase {
       "graphSearch must not strand block-manager storage")
   }
 
+  test("knnGraph fused top-k ≡ the distinct+window formulation, bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val fused = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // the formulation the aggregate replaced: distinct pair set, both
+    // directions, row_number window — must agree on every row including
+    // ranks (same (sim desc, neighbor asc) total order)
+    val pairs = Similarity
+      .nearDupPairsApprox(emb, "vec_id", "embedding", tau = -2.0)
+    val sym = pairs
+      .select($"id_a".as("query_id"), $"id_b".as("neighbor_id"), $"sim")
+      .unionAll(pairs.select($"id_b".as("query_id"), $"id_a".as("neighbor_id"), $"sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    val windowed = sym.withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fused == windowed,
+      s"fused top-k diverged from the window formulation " +
+        s"(${(fused -- windowed).size} extra, ${(windowed -- fused).size} missing)")
+  }
+
+  test("topKDistinct: exact (score,id) repeats never occupy two rank slots") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.topKDistinct
+    // 6 distinct neighbors for one query, each duplicated 3× (as if it
+    // collided in 3 LSH tables); k = 4 must return the best 4 DISTINCT
+    val rows = for (n <- 1 to 6; _ <- 1 to 3)
+      yield (1L, n.toLong, n.toDouble / 10)
+    // many partitions so duplicates split across partial buffers too
+    val df = rows.toDF("query_id", "neighbor_id", "sim").repartition(7)
+    val out = df.groupBy($"query_id")
+      .agg(topKDistinct($"sim", $"neighbor_id", 4).as("t"))
+      .select($"query_id", posexplode($"t").as(Seq("p", "e")))
+      .select($"e.id".as[Long], $"e.score".as[Double]).collect().toSeq
+    assert(out == Seq((6L, 0.6), (5L, 0.5), (4L, 0.4), (3L, 0.3)),
+      s"got $out")
+  }
+
   test("hardNegatives: every mined negative carries a different label") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
