@@ -150,6 +150,28 @@ class SimilaritySpec extends SparkTestBase {
         s"(${(fused -- windowed).size} extra, ${(windowed -- fused).size} missing)")
   }
 
+  test("bruteForceTopK heap rank ≡ the row_number window, bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dot, normalized, vecD}
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val queries = emb.where($"vec_id" < 7)
+    val fused = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 9)
+      .select($"query_id", $"neighbor_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // the window formulation the aggregate replaced, same prep/dot path
+    val c = emb.select($"vec_id".as("vid"), normalized(vecD($"embedding")).as("v"))
+    val q = queries.select($"vec_id".as("query_id"),
+      normalized(vecD($"embedding")).as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    val windowed = c.crossJoin(broadcast(q)).where($"vid" =!= $"query_id")
+      .select($"query_id", $"vid".as("neighbor_id"), dot($"qv", $"v").as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 9)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fused == windowed)
+  }
+
   test("topKDistinct: exact (score,id) repeats never occupy two rank slots") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.topKDistinct
