@@ -115,14 +115,20 @@ case class TopKPairs(
   private def add(
       buffer: mutable.PriorityQueue[(Double, Long)],
       pair: (Double, Long)): Unit = {
+    // O(1) fast path FIRST: with a full buffer, a pair not strictly
+    // better than the current worst is rejected outright — correct in
+    // dedup mode too (an in-buffer duplicate would compare equal or
+    // better, never strictly worse, so a rejected pair either isn't a
+    // duplicate or would have been skipped anyway). The O(k) dedup
+    // containment scan then runs only for pairs that would actually
+    // enter the buffer — at brute-force |Q|·|C| input rates the scan
+    // on every row would multiply the rank cost by k.
+    if (buffer.size >= k && evictionOrder.compare(pair, buffer.head) >= 0) return
     if (dedup && buffer.exists(p => p._2 == pair._2 &&
         java.lang.Double.doubleToLongBits(p._1) ==
-          java.lang.Double.doubleToLongBits(pair._1))) ()
-    else if (buffer.size < k) buffer.enqueue(pair)
-    else if (evictionOrder.compare(pair, buffer.head) < 0) {
-      // strictly better than the current worst
-      buffer.dequeue(); buffer.enqueue(pair)
-    }
+          java.lang.Double.doubleToLongBits(pair._1))) return
+    if (buffer.size >= k) buffer.dequeue()
+    buffer.enqueue(pair)
   }
 
   override def merge(

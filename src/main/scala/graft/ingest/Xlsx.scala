@@ -207,27 +207,9 @@ object Xlsx {
   private def readParts(parts: Parts, sheetName: String): Seq[Seq[String]] = {
     val shared = readSharedStrings(parts)
     val dateStyles = readDateStyles(parts)
-    val sheetPart = resolveSheetPart(parts, sheetName)
-    readSheet(parts, sheetPart, shared, dateStyles, readDate1904(parts))
+    val (sheetPart, epoch1904) = resolveSheetPart(parts, sheetName)
+    readSheet(parts, sheetPart, shared, dateStyles, epoch1904)
   }
-
-  /** workbook.xml `<workbookPr date1904="1"/>` → this workbook's
-    * serials count from the 1904 epoch (see [[serialToIso]]). Absent
-    * attribute/part → 1900 epoch, like every mainstream reader.
-    */
-  private def readDate1904(parts: Parts): Boolean =
-    withPart(parts, "xl/workbook.xml") { r =>
-      var flag = false
-      var seen = false
-      while (r.hasNext && !seen) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT &&
-            r.getLocalName == "workbookPr") {
-          seen = true
-          flag = attr(r, "date1904").exists(v => v == "1" || v == "true")
-        }
-      }
-      flag
-    }.getOrElse(false)
 
   /** Random-access view over a workbook's zip parts: a ZipFile for a
     * local path (driver), or a pre-read entry map for bytes that
@@ -341,6 +323,31 @@ object Xlsx {
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
+  /** ECMA-376 `t="d"` ISO-8601 cell text → the SAME rendering
+    * [[serialToIso]] produces for date-styled serials, so one grid
+    * never mixes `2023-03-15T12:00:00` with `2023-03-15 12:00:00` for
+    * the same instant: date-only stays a date, datetimes round to the
+    * nearest second (midnight collapsing to the pure date), an offset
+    * is dropped after normalizing to its local wall time (Excel
+    * semantics — serials are wall times). Unparseable text passes
+    * through verbatim rather than failing the whole sheet.
+    */
+  private[ingest] def isoDateToGrid(text: String): String = {
+    import java.time._
+    def render(dt: LocalDateTime): String = {
+      val floor = dt.truncatedTo(temporal.ChronoUnit.SECONDS)
+      val dt2 = if (dt.getNano >= 500000000) floor.plusSeconds(1) else floor
+      if (dt2.toLocalTime == LocalTime.MIDNIGHT) dt2.toLocalDate.toString
+      else dt2.format(format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }
+    try LocalDate.parse(text).toString
+    catch { case _: Exception =>
+      try render(LocalDateTime.parse(text))
+      catch { case _: Exception =>
+        try render(OffsetDateTime.parse(text).toLocalDateTime)
+        catch { case _: Exception => text } } }
+  }
+
   private def factory: XMLInputFactory = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -387,17 +394,27 @@ object Xlsx {
       out.toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
-  /** workbook.xml (sheet name → r:id) + workbook.xml.rels (r:id → part). */
-  private def resolveSheetPart(parts: Parts, sheetName: String): String = {
+  /** workbook.xml (sheet name → r:id) + workbook.xml.rels (r:id →
+    * part). The same single workbook.xml pass also captures
+    * `<workbookPr date1904>` — the element precedes `<sheets>` in the
+    * schema, so one scan serves both (re-opening the part per flag
+    * would double the inflate+parse cost on every workbook in the
+    * distributed ingest path). Returns (sheet part, 1904-epoch flag).
+    */
+  private def resolveSheetPart(parts: Parts, sheetName: String): (String, Boolean) = {
+    var epoch1904 = false
     val rid = withPart(parts, "xl/workbook.xml") { r =>
       var found: Option[String] = None
       while (r.hasNext && found.isEmpty) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
-          val name = attr(r, "name")
-          if (name.contains(sheetName))
-            found = (0 until r.getAttributeCount)
-              .find(i => r.getAttributeLocalName(i) == "id")
-              .map(r.getAttributeValue)
+        if (r.next() == XMLStreamConstants.START_ELEMENT) r.getLocalName match {
+          case "workbookPr" =>
+            epoch1904 = attr(r, "date1904").exists(v => v == "1" || v == "true")
+          case "sheet" =>
+            if (attr(r, "name").contains(sheetName))
+              found = (0 until r.getAttributeCount)
+                .find(i => r.getAttributeLocalName(i) == "id")
+                .map(r.getAttributeValue)
+          case _ =>
         }
       }
       found
@@ -411,9 +428,11 @@ object Xlsx {
       }
       found
     }.flatten.getOrElse(throw new IllegalArgumentException(s"relationship $rid not found"))
-    if (target.startsWith("/")) target.drop(1)
-    else if (target.startsWith("xl/")) target
-    else s"xl/$target"
+    val part =
+      if (target.startsWith("/")) target.drop(1)
+      else if (target.startsWith("xl/")) target
+      else s"xl/$target"
+    (part, epoch1904)
   }
 
   /** One pass over the sheet part: cells keyed by reference (e.g. BC12),
@@ -478,9 +497,10 @@ object Xlsx {
                     raw.trim.toDoubleOption.map(serialToIso(_, epoch1904))
                       .getOrElse(raw)
                   // ECMA-376 §18.17.4.1 "d" cells carry the date as ISO
-                  // 8601 TEXT, not a serial — pass it through verbatim
-                  // (it is already the rendering serialToIso targets)
-                  case "d" => raw.trim
+                  // 8601 TEXT, not a serial — re-render through the
+                  // serial rules so a grid mixing d-cells and
+                  // date-styled serials shows ONE format
+                  case "d" => isoDateToGrid(raw.trim)
                   case _ => raw
                 }
                 out += Cell(rowIdx, cellCol, value)

@@ -341,8 +341,17 @@ class XlsxSpec extends SparkTestBase {
       "xl/styles.xml" -> styles,
       "xl/worksheets/sheet1.xml" -> sheet,
       "xl/worksheets/sheet2.xml" -> sheet))
+    // the d-cell re-renders through the serial rules: one grid, one
+    // datetime format (space separator, not the raw ISO 'T')
     assert(Xlsx.readGrid(p, "Local_authority")(0) ==
-      Seq("2027-03-16", "2023-03-15T12:00:00"))
+      Seq("2027-03-16", "2023-03-15 12:00:00"))
+    // normalization corners: date-only, midnight collapse, offset drop,
+    // sub-second rounding, unparseable passthrough
+    assert(Xlsx.isoDateToGrid("2023-03-15") == "2023-03-15")
+    assert(Xlsx.isoDateToGrid("2023-03-15T00:00:00") == "2023-03-15")
+    assert(Xlsx.isoDateToGrid("2023-03-15T12:00:00.700") == "2023-03-15 12:00:01")
+    assert(Xlsx.isoDateToGrid("2023-03-15T12:00:00+05:00") == "2023-03-15 12:00:00")
+    assert(Xlsx.isoDateToGrid("not-a-date") == "not-a-date")
   }
 
   test("serial a hair under midnight renders as the next day's pure date") {
