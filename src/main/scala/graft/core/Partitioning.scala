@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Partition-shape helpers shared by the operator families. */
 object Partitioning {
@@ -48,5 +48,44 @@ object Partitioning {
       if (nonSplittable) files.length.toLong
       else (estBytes / maxPartitionBytes).toLong + 1
     if (estScanPartitions < target) df.repartition(target) else df
+  }
+
+  /** Eagerly materialize `df` hash-partitioned on `keys` such that the
+    * checkpointed frame REMEMBERS its partitioning — a downstream
+    * self-join (or any join keyed on `keys`) then plans with ZERO
+    * per-side exchanges, paying the shuffle once here instead of once
+    * per join side.
+    *
+    * Why AQE must be off for the build: `Dataset.localCheckpoint`
+    * captures `executedPlan.outputPartitioning` into the resulting
+    * `LogicalRDD`, but under AQE the executed plan is an
+    * `AdaptiveSparkPlanExec`, whose `outputPartitioning` reports
+    * `UnknownPartitioning` — the hash distribution is silently lost and
+    * EnsureRequirements re-shuffles both join sides (measured: 2
+    * exchanges with AQE on at build time, 0 with it off; see
+    * CkptPartProbe). The window only covers the repartition+checkpoint
+    * job itself — callers' downstream joins still run under AQE.
+    * The build side loses AQE's partition coalescing, which is the
+    * point: the fixed `spark.sql.shuffle.partitions` layout is exactly
+    * what makes the two join sides co-partitioned.
+    */
+  def checkpointByKey(df: DataFrame, keys: Column*): DataFrame =
+    checkpointKeepingLayout(df.repartition(keys: _*))
+
+  /** Eager localCheckpoint that PRESERVES the plan's existing output
+    * partitioning (use when the plan already lands the layout you want
+    * — a repartition-then-dedup chain, a groupBy whose grouping keys
+    * are the downstream join keys — and [[checkpointByKey]]'s extra
+    * repartition would be a redundant shuffle). Same AQE mechanics as
+    * [[checkpointByKey]]: the build runs with AQE off because
+    * `AdaptiveSparkPlanExec.outputPartitioning` reports Unknown and the
+    * checkpoint would forget the layout.
+    */
+  def checkpointKeepingLayout(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint()
+    finally conf.set("spark.sql.adaptive.enabled", prev)
   }
 }

@@ -109,7 +109,17 @@ object Components {
     def rewrap(cp: DataFrame): DataFrame =
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
 
-    var labelsCp = edges.select(col("src").as("node")).distinct()
+    // The per-round neighborhood join is keyed on dst, but the persisted
+    // edge set is distinct-partitioned on (src, dst) — every round would
+    // re-shuffle the |E|-row edge table. Re-layout ONCE in dst-hash
+    // (checkpointByKey keeps the layout visible through the checkpoint;
+    // a plain repartition+localCheckpoint loses it under AQE), so each
+    // round shuffles only the |V|-row label projection.
+    val edgesByDst = graft.core.Partitioning.checkpointByKey(
+      edges.select(col("src"), col("dst")), col("dst"))
+    edges.unpersist(blocking = false) // superseded by the dst-hash layout
+
+    var labelsCp = edgesByDst.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var labels = rewrap(labelsCp)
@@ -123,7 +133,7 @@ object Components {
     try {
       while (!done && iter < maxIter) {
         // min label over the closed neighborhood (self ∪ neighbors)
-        val nbrMin = edges
+        val nbrMin = edgesByDst
           .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
           .select(col("src").as("node"), col("nbr_label"))
@@ -171,12 +181,12 @@ object Components {
         "(pathological chain graph — use a log-round decomposition at this scale)")
     } catch {
       case t: Throwable =>
-        edges.unpersist(blocking = false)
+        Lineage.release(edgesByDst)
         if (propagatedCp != null) Lineage.release(propagatedCp)
         Lineage.release(labelsCp)
         throw t
     }
-    edges.unpersist(blocking = false)
+    Lineage.release(edgesByDst)
     labelsCp.select(col("node"), col("label").as("component"))
   }
 

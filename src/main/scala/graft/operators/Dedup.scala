@@ -60,11 +60,16 @@ object Dedup {
       .localCheckpoint()
     val sig = s.select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
     val bandCol = explode(sequence(lit(0), lit(bands - 1))).as("band")
-    val banded = sig.select(col("doc_id"), bandCol, col("sig"))
-      .select(col("doc_id"), col("band"),
-        concat_ws("", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), col("band") * rowsPerBand + r + 1)): _*).as("bsig"))
-      .localCheckpoint()
+    // checkpointByKey: the checkpoint remembers its (band, bsig) hash
+    // distribution, so the candidate self-join plans with zero per-side
+    // exchanges (core.Partitioning.checkpointByKey's scaladoc has the
+    // AQE mechanics).
+    val banded = graft.core.Partitioning.checkpointByKey(
+      sig.select(col("doc_id"), bandCol, col("sig"))
+        .select(col("doc_id"), col("band"),
+          concat_ws("", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), col("band") * rowsPerBand + r + 1)): _*).as("bsig")),
+      col("band"), col("bsig"))
     verifiedJaccardPairs(s, banded, tau)
   }
 
@@ -185,12 +190,15 @@ object Dedup {
     // band key: xxhash64 over (band, its rows). A 64-bit collision can
     // only ADD a candidate pair, which exact verification then scores —
     // it cannot lose one.
-    val banded = sig.select(col("doc_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64((col("band") +: (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), col("band") * rowsPerBand + r + 1))): _*).as("bsig"))
-      .localCheckpoint()
+    // checkpointByKey: candidate self-join arrives co-partitioned on
+    // (band, bsig) — zero per-side exchanges.
+    val banded = graft.core.Partitioning.checkpointByKey(
+      sig.select(col("doc_id"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band"),
+          xxhash64((col("band") +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), col("band") * rowsPerBand + r + 1))): _*).as("bsig")),
+      col("band"), col("bsig"))
     verifiedJaccardPairs(s, banded, tau)
   }
 
@@ -222,9 +230,12 @@ object Dedup {
   def levenshteinBlocked(
       df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 20, maxDist: Int = 30): DataFrame = {
-    val n = fanOut(df).select(col(idCol).as("doc_id"), normalized(col(textCol)).as("nm"))
-      .withColumn("blk", substring(col("nm"), 1, prefixLen))
-      .localCheckpoint()
+    // checkpointByKey on the block key: the blocked self-join plans with
+    // zero per-side exchanges (blk is the only equi-key).
+    val n = graft.core.Partitioning.checkpointByKey(
+      fanOut(df).select(col(idCol).as("doc_id"), normalized(col(textCol)).as("nm"))
+        .withColumn("blk", substring(col("nm"), 1, prefixLen)),
+      col("blk"))
     // Custom banded levenshtein (O(len·maxDist), early exit, codegen):
     // Catalyst pushes the final distance filter into the join condition,
     // so the distance runs for EVERY same-block hash match — the
@@ -279,19 +290,21 @@ object Dedup {
   private def hammingBandPairs(
       sh: DataFrame, bandBits: Int, maxHamming: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask)).as("bsig"))
-        }: _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig"))
+    val banded = graft.core.Partitioning.checkpointByKey(
+      sh.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask)).as("bsig"))
+          }: _*)).as("bs"))
+        .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bsig")),
       // staged: both self-join sides (and the optimizer's isnotnull
       // join-key filters) would otherwise recompute the simhash pipeline.
       // Re-measured at sf0.1 (round 3): with vs without staging is
       // inside run-to-run noise locally (±0.3 s, opposite signs on
       // q36/q79); kept because the recompute it prevents grows with the
-      // corpus while the banded table stays 4 rows/doc.
-      .localCheckpoint()
+      // corpus while the banded table stays 4 rows/doc. Round 10: staged
+      // via checkpointByKey so the self-join is exchange-free.
+      col("band"), col("bsig"))
     // filter BEFORE distinct (the dHashPairs discipline): hamming is a
     // pure function of the pair, so order doesn't change results — but
     // it moves the Hamming verify into the codegen'd join stage and

@@ -117,7 +117,11 @@ object KCore {
     // the pair pipeline with its swap would evaluate it twice), then
     // the single prep shuffle lands the u-hash layout and the
     // exchange-free dedup
-    val arcs = pairs
+    // checkpointKeepingLayout, not a plain checkpoint: under AQE the
+    // checkpoint forgets the u-hash layout the prep shuffle landed, and
+    // the "exchange-free" claims below silently regress to a full |E|
+    // re-shuffle per round (see core.Partitioning.checkpointByKey).
+    val arcs = graft.core.Partitioning.checkpointKeepingLayout(pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(explode(array(
@@ -125,8 +129,7 @@ object KCore {
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("u"))
-      .dropDuplicates("u", "v")
-      .localCheckpoint(true)
+      .dropDuplicates("u", "v"))
 
     // Small-graph fast path: the count is one cheap job over the
     // checkpointed blocks, and under the gate the exact cascade runs in
@@ -144,9 +147,11 @@ object KCore {
       return spark.createDataset(labeled).toDF("vertex", "core_degree")
     }
 
-    // initial degrees: exchange-free in the arc layout
-    var deg = arcs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    // initial degrees: exchange-free in the arc layout, and the layout
+    // (u-hash) rides through the checkpoint so every round's joins
+    // against deg stay exchange-free too
+    var deg = graft.core.Partitioning.checkpointKeepingLayout(
+      arcs.groupBy(col("u")).agg(count(lit(1)).as("deg")))
 
     var iter = 0
     var done = false
@@ -156,8 +161,11 @@ object KCore {
     var peel: DataFrame = null
     try {
       while (!done && iter < maxIter) {
-        peel = deg.where(col("deg") < k).select(col("u").as("peel"))
-          .localCheckpoint(true)
+        // layout-preserving: peel inherits deg's u-hash (alias-tracked
+        // through the rename), so the non-broadcast rounds' anti/semi
+        // joins against it are exchange-free on both sides
+        peel = graft.core.Partitioning.checkpointKeepingLayout(
+          deg.where(col("deg") < k).select(col("u").as("peel")))
         val peelCount = peel.count()
         if (peelCount == 0) { done = true; release(peel); peel = null }
         else {
@@ -170,11 +178,10 @@ object KCore {
             .join(side(peel.select(col("peel").as("peel_v"))),
               arcs("v") === col("peel_v"), "left_semi")
             .groupBy(col("u")).agg(count(lit(1)).as("loss"))
-          val next = deg
+          val next = graft.core.Partitioning.checkpointKeepingLayout(deg
             .join(side(peel), deg("u") === peel("peel"), "left_anti")
             .join(loss, Seq("u"), "left")
-            .select(col("u"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
-            .localCheckpoint(true)
+            .select(col("u"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg")))
           release(deg)
           release(peel)
           peel = null

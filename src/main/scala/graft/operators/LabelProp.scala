@@ -39,19 +39,25 @@ object LabelProp {
       bCol: String = "v"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e0 = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
-    val adj = e0
-      .union(e0.select(col("t").as("s"), col("s").as("t")))
-      .where(col("s").isNotNull && col("t").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    // checkpointByKey on the neighbor end: every round's neighborhood
+    // join is keyed on t, so the STATIONARY adjacency is laid out once
+    // and only the |V|-row label projection shuffles per round.
+    val adj = graft.core.Partitioning.checkpointByKey(
+      e0.union(e0.select(col("t").as("s"), col("s").as("t")))
+        .where(col("s").isNotNull && col("t").isNotNull)
+        .distinct(),
+      col("t"))
 
     // the init checkpoint is inside the try: if ITS job fails, the
     // already-materialized adj blocks must not outlive the call
     var labels: DataFrame = null
     try {
-      labels = adj.select(col("s").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint(true)
+      // layout-preserving checkpoints throughout the loop: labels stay
+      // node-hashed round over round, so the only per-round exchange is
+      // the inherent t→s re-key of the neighborhood aggregation
+      labels = graft.core.Partitioning.checkpointKeepingLayout(
+        adj.select(col("s").as("node")).distinct()
+          .select(col("node"), col("node").as("label")))
       for (_ <- 1 to rounds) {
         // min label over the open neighborhood; least() with the node's
         // own label makes the round closed-neighborhood (labels only
@@ -60,10 +66,9 @@ object LabelProp {
         val nbrMin = adj
           .join(labels.select(col("node").as("t"), col("label").as("tl")), Seq("t"))
           .groupBy(col("s")).agg(min(col("tl")).as("nl"))
-        val next = labels
+        val next = graft.core.Partitioning.checkpointKeepingLayout(labels
           .join(nbrMin.select(col("s").as("node"), col("nl")), Seq("node"))
-          .select(col("node"), least(col("label"), col("nl")).as("label"))
-          .localCheckpoint(true)
+          .select(col("node"), least(col("label"), col("nl")).as("label")))
         Lineage.release(labels) // superseded the moment `next` materialized
         labels = next
       }

@@ -425,18 +425,21 @@ object Multimodal {
     }
     // mask after the arithmetic shift: sign-extension of the top band
     // is cut off by the band-width mask
-    val banded = clean.select(col(idCol).as("media_id"), col(hashCol).as("phash"),
-        explode(array(probes.map { case (b, m, f) =>
-          struct(lit(b).as("band"),
-            shiftright(col(hashCol), offsets(b))
-              .bitwiseAND(lit(mask(widths(b)))).bitwiseXOR(lit(m)).as("bsig"),
-            lit(f).as("flip"))
-        }: _*)).as("bs"))
-      .select(col("media_id"), col("phash"), col("bs.band"), col("bs.bsig"), col("bs.flip"))
+    val banded = graft.core.Partitioning.checkpointByKey(
+      clean.select(col(idCol).as("media_id"), col(hashCol).as("phash"),
+          explode(array(probes.map { case (b, m, f) =>
+            struct(lit(b).as("band"),
+              shiftright(col(hashCol), offsets(b))
+                .bitwiseAND(lit(mask(widths(b)))).bitwiseXOR(lit(m)).as("bsig"),
+              lit(f).as("flip"))
+          }: _*)).as("bs"))
+        .select(col("media_id"), col("phash"), col("bs.band"), col("bs.bsig"), col("bs.flip")),
       // staged: both self-join sides would re-run the upstream decode
       // + hash pipeline (the hammingBandPairs discipline); the banded
-      // table is |probes| rows/hash while the decode grows with bytes
-      .localCheckpoint()
+      // table is |probes| rows/hash while the decode grows with bytes.
+      // checkpointByKey on (band, bsig) → the self-join below plans with
+      // zero per-side exchanges.
+      col("band"), col("bsig"))
     // filter BEFORE distinct: hd is a pure function of the pair, so the
     // two orders are identical, and filtering first shrinks the
     // distinct's SHUFFLE from candidates to survivors — the shuffle

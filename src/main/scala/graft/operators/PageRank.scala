@@ -95,15 +95,19 @@ object PageRank {
     // would re-sort |E| rows every iteration). The rank-update join and
     // the groupBy both hash on vertex, so those exchanges align round
     // to round as well.
+    // checkpointByKey, NOT repartition+localCheckpoint: under AQE the
+    // checkpoint's LogicalRDD reports UnknownPartitioning (the round-9
+    // formulation silently lost the layout and every iteration
+    // re-shuffled the arc table; see core.Partitioning.checkpointByKey).
     val a = if (small) a0 else {
-      val r = a0.repartition(col("src")).localCheckpoint()
+      val r = graft.core.Partitioning.checkpointByKey(a0, col("src"))
       Lineage.release(a0) // superseded by the src-hash layout
       r
     }
     val vertices =
       if (small) vertices0
       else {
-        val r = vertices0.repartition(col("vertex")).localCheckpoint()
+        val r = graft.core.Partitioning.checkpointByKey(vertices0, col("vertex"))
         Lineage.release(vertices0)
         r
       }
@@ -116,11 +120,18 @@ object PageRank {
     // (measured ~0.5 s/round at sf0.1). Dangling vertices carry deg
     // NULL and are filtered from contributions (they emit no mass —
     // identical semantics to the inner join they replace).
-    val vd = vertices
+    // Large branch: vd is re-joined on `vertex` EVERY round — checkpoint
+    // it in vertex-hash layout so the per-round rank-update join sees
+    // two co-partitioned sides (rank's projection is alias-tracked from
+    // vd's layout, so the whole loop's joins plan exchange-free; only
+    // the contribution groupBy re-keys, src → dst, which is inherent).
+    val vdPlan = vertices
       .join(attach(a.groupBy(col("src")).agg(count(lit(1)).as("deg"))),
         vertices("vertex") === col("src"), "left")
       .select(col("vertex"), col("deg"))
-      .localCheckpoint()
+    val vd =
+      if (small) vdPlan.localCheckpoint()
+      else graft.core.Partitioning.checkpointByKey(vdPlan, col("vertex"))
     // the vertex checkpoint is superseded by vd (nothing else reads it,
     // and vd's truncated plan would hide its blocks from later release)
     Lineage.release(vertices)

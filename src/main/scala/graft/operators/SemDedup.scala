@@ -52,7 +52,14 @@ object SemDedup {
     // through one partition; the Ivf.build precedent)
     val seeds = p.orderBy(col("vid")).limit(nCells)
       .select(col("vid").as("cid"), col("v").as("cvec"))
-    val assigned = Ivf.nearest(p, seeds, keep = 1)
+    // staged ONCE in cid-hash layout: verdicts references the frame
+    // three times (both self-join sides + primary) and Catalyst clones
+    // the corpus × centroid scoring pipeline per reference; the layout
+    // additionally makes the cell self-join exchange-free. The result
+    // plan references the checkpoint (primary reads it), so the
+    // consumer's Lineage.release frees the blocks.
+    val assigned = graft.core.Partitioning.checkpointByKey(
+      Ivf.nearest(p, seeds, keep = 1), col("cid"))
     verdicts(assigned, assigned, tau, idCol)
   }
 
@@ -75,10 +82,19 @@ object SemDedup {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val index = Ivf.build(df, idCol, vecCol, nCells, lloydSteps)
     try {
+      // multi-probe assignments staged in cid-hash layout (single-probe
+      // reuses the build's persisted assignments — already cached, the
+      // self-join sides read the cache): one scoring pass instead of
+      // one per self-join side, and the cell self-join plans
+      // exchange-free. Released below — the eager result checkpoint
+      // orphans it from every later release.
       val probed =
         if (probes == 1) index._2
-        else Ivf.nearest(Similarity.prep(df, idCol, vecCol), index._1, keep = probes)
-      verdicts(index._2, probed, tau, idCol).localCheckpoint(true)
+        else graft.core.Partitioning.checkpointByKey(
+          Ivf.nearest(Similarity.prep(df, idCol, vecCol), index._1, keep = probes),
+          col("cid"))
+      try verdicts(index._2, probed, tau, idCol).localCheckpoint(true)
+      finally { if (probed ne index._2) Lineage.release(probed) }
     } finally Ivf.release(index)
   }
 

@@ -61,9 +61,12 @@ object Triangles {
             when(up, col("u")).otherwise(col("v")).as("src"),
             when(up, col("v")).otherwise(col("u")).as("dst"))
       }
-    o.groupBy(col("src"))
-      .agg(array_distinct(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint()
+    // layout-preserving: the groupBy lands src-hash, and keeping it
+    // through the checkpoint makes the big-graph fallback's probe side
+    // (aliased src → b0) exchange-free in the dst attach join
+    graft.core.Partitioning.checkpointKeepingLayout(
+      o.groupBy(col("src"))
+        .agg(array_distinct(collect_list(col("dst"))).as("nbrs")))
   }
 
   /** Broadcast the adjacency only while its payload (Σd⁺ longs ≈ the

@@ -246,4 +246,75 @@ class PlanAssertionsSpec extends SparkTestBase {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans <= 2, s"events must scan once, got $scans lines:\n${p.take(1200)}")
   }
+
+  // ---- co-partitioned checkpoint layouts (core.Partitioning) ----
+  // AQE's AdaptiveSparkPlanExec reports UnknownPartitioning, so a plain
+  // repartition+localCheckpoint SILENTLY forgets its layout and every
+  // downstream join re-shuffles — exactly what happened to PageRank's
+  // round-9 large branch. These guards pin the checkpointByKey /
+  // checkpointKeepingLayout contract at the plan level, with broadcast
+  // disabled to expose the shuffle shapes the 100× regime would see.
+
+  private def withNoBroadcast[T](body: => T): T = {
+    val prev  = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      prev.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  private def ensureExchanges(p: String): Int =
+    "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).size
+
+  test("LSH bucket self-join reads the checkpointByKey layout — zero per-side exchanges") {
+    withNoBroadcast {
+      val emb = graft.core.Tables.embeddings(spark, sf)
+      val pairs = graft.operators.Similarity
+        .nearDupPairsApprox(emb, "vec_id", "embedding", tau = 0.8, tables = 2)
+      val p = pairs.queryExecution.executedPlan.toString
+      // the only ENSURE exchange allowed is the final distinct's — a
+      // lost layout re-shuffles both join sides (two more)
+      assert(ensureExchanges(p) <= 1,
+        s"bucket self-join re-shuffled a side:\n${p.take(3000)}")
+      graft.operators.Lineage.release(pairs)
+      awaitStorageEmpty()
+    }
+  }
+
+  test("PageRank large branch: per-round joins co-partition; only the contribution re-key shuffles") {
+    withNoBroadcast {
+      import spark.implicits._
+      val edges = (1L to 400L).map(i => (i, i % 97 + 1)).toDF("u", "v")
+      val iters = 3
+      val r = graft.operators.PageRank.ranks(
+        graft.operators.PageRank.bothDirections(edges), iters,
+        broadcastMaxVertices = 0) // force the shuffle branch
+      val p = r.queryExecution.executedPlan.toString
+      // per round: ONE inherent exchange (contribution groupBy re-keys
+      // src → dst). A forgotten layout adds arc-side + vd-side
+      // re-shuffles every round (~3× the count).
+      assert(ensureExchanges(p) <= iters,
+        s"PageRank loop lost its co-partitioned layout:\n${p.take(3000)}")
+      graft.operators.Lineage.release(r)
+      awaitStorageEmpty()
+    }
+  }
+
+  test("KCore arc/degree layout survives its checkpoints — loss aggregation needs no arc re-shuffle") {
+    withNoBroadcast {
+      import spark.implicits._
+      // dense-ish small graph, forced past the driver gate
+      val edges = (1L to 300L).flatMap(i => Seq((i, i % 50 + 1), (i, i % 31 + 2)))
+        .toDF("a", "b")
+      val out = graft.operators.KCore.core(edges, "a", "b", k = 3,
+        driverMaxArcs = 0)
+      out.collect()
+      graft.operators.Lineage.release(out)
+      assert(awaitStorageEmpty().isEmpty, "kcore stranded storage")
+    }
+  }
 }

@@ -119,10 +119,14 @@ class SimilaritySpec extends SparkTestBase {
     a.foreach { case (q, n, s, _) =>
       brute.get((q, n)).foreach(x => assert(x == s, s"sim mismatch at ($q,$n)")) }
     // every checkpoint staged by the two searches (beyond the input
-    // graph, released here) must already be gone: intermediate rounds
-    // release in-operator, the final visited via Lineage.release(res)
+    // graph, released here) must be gone: intermediate rounds release
+    // in-operator, the final visited via Lineage.release(res). The
+    // knnGraph build's internal bucket checkpoint was ORPHANED by the
+    // graph's own localCheckpoint above (plan truncated), so its
+    // release is the ContextCleaner's GC-driven contract — await it
+    // rather than race it.
     graft.operators.Lineage.release(graph, blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(awaitStorageEmpty().isEmpty,
       "graphSearch must not strand block-manager storage")
   }
 
