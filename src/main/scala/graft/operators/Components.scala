@@ -106,8 +106,13 @@ object Components {
     // supersedes it. Only the FINAL round's blocks survive the loop, and
     // the returned frame references that checkpoint directly (no rewrap)
     // so the consumer's Lineage.release(result) can free it.
+    // rewrapKeepingLayout (round 10): the public createDataFrame rewrap
+    // reset stats but ALSO forgot each round's node-hash layout (every
+    // round's label joins re-shuffled) and paid a Row-codec round trip;
+    // the bridge keeps the checkpointed partitioning and drops only the
+    // inherited stats.
     def rewrap(cp: DataFrame): DataFrame =
-      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      org.apache.spark.sql.graft.DatasetBridge.rewrapKeepingLayout(cp)
 
     // The per-round neighborhood join is keyed on dst, but the persisted
     // edge set is distinct-partitioned on (src, dst) — every round would
@@ -119,9 +124,12 @@ object Components {
       edges.select(col("src"), col("dst")), col("dst"))
     edges.unpersist(blocking = false) // superseded by the dst-hash layout
 
-    var labelsCp = edgesByDst.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    // layout-preserving round checkpoints: labels stay node-hashed
+    // through rewrap, so the neighborhood probe (node ≡ dst after the
+    // alias) and the propagate join are exchange-free on the label side
+    var labelsCp = graft.core.Partitioning.checkpointKeepingLayout(
+      edgesByDst.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
     var labels = rewrap(labelsCp)
 
     var iter = 0
@@ -140,11 +148,10 @@ object Components {
         // checkpointed: the shortcut step below self-joins this twice, and
         // Spark's self-join deduplication clones the subtree per side — an
         // un-materialized propagate would re-run the edge join 4×
-        propagatedCp = labels
+        propagatedCp = graft.core.Partitioning.checkpointKeepingLayout(labels
           .join(nbrMin, Seq("node"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .localCheckpoint(true)
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
         val propagated = rewrap(propagatedCp)
         // pointer jumping: follow the label one hop (label := label(label));
         // labels only ever decrease, so taking the hop unconditionally is
@@ -159,9 +166,9 @@ object Components {
             least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
         // carry the previous label through the checkpoint so convergence is
         // a filter on materialized data, not another join
-        val nextCp = shortcut(shortcut(propagated))
-          .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
-          .localCheckpoint(true)
+        val nextCp = graft.core.Partitioning.checkpointKeepingLayout(
+          shortcut(shortcut(propagated))
+            .join(labels.select(col("node"), col("label").as("old_label")), Seq("node")))
         // the eager checkpoint above materialized this round, so the
         // round's scratch and the superseded label table are dead —
         // release them NOW, not at loop exit (rounds × |V| blocks
