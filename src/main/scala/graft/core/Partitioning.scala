@@ -63,11 +63,15 @@ object Partitioning {
     * `UnknownPartitioning` — the hash distribution is silently lost and
     * EnsureRequirements re-shuffles both join sides (measured: 2
     * exchanges with AQE on at build time, 0 with it off; see
-    * CkptPartProbe). The window only covers the repartition+checkpoint
-    * job itself — callers' downstream joins still run under AQE.
-    * The build side loses AQE's partition coalescing, which is the
-    * point: the fixed `spark.sql.shuffle.partitions` layout is exactly
-    * what makes the two join sides co-partitioned.
+    * CkptPartProbe). The AQE-off window covers the WHOLE checkpoint
+    * build job — i.e. every upstream transform in `df`'s plan, not
+    * just the final repartition — so a build whose upstream join is
+    * badly skewed loses AQE's skew splitting for that one job (keep
+    * heavy skew-prone work out of the checkpointed plan, or accept the
+    * trade). Callers' downstream queries still run under AQE. The
+    * build side loses AQE's partition coalescing, which is the point:
+    * the fixed `spark.sql.shuffle.partitions` layout is exactly what
+    * makes the two join sides co-partitioned.
     */
   def checkpointByKey(df: DataFrame, keys: Column*): DataFrame =
     checkpointKeepingLayout(df.repartition(keys: _*))
@@ -81,11 +85,21 @@ object Partitioning {
     * `AdaptiveSparkPlanExec.outputPartitioning` reports Unknown and the
     * checkpoint would forget the layout.
     */
-  def checkpointKeepingLayout(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try df.localCheckpoint()
-    finally conf.set("spark.sql.adaptive.enabled", prev)
-  }
+  def checkpointKeepingLayout(df: DataFrame): DataFrame =
+    // Serialized per session: the conf swap mutates SESSION-global
+    // state, so two overlapping builds could otherwise interleave
+    // read-prev/set/restore and (a) leave AQE permanently off, or
+    // (b) let one build plan under AQE and silently capture
+    // UnknownPartitioning — the exact regression this helper exists
+    // to prevent. The lock covers read-prev → build → restore.
+    // (Unrelated queries PLANNED concurrently in the window still see
+    // AQE off for that window — a documented cost of the session-conf
+    // mechanism; there is no public per-query override for this conf.)
+    df.sparkSession.synchronized {
+      val conf = df.sparkSession.conf
+      val prev = conf.get("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint()
+      finally conf.set("spark.sql.adaptive.enabled", prev)
+    }
 }

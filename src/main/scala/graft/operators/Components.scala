@@ -99,13 +99,16 @@ object Components {
     // Rebuilding the frame from the checkpointed RDD resets stats to a
     // round-independent constant.
     //
-    // Storage discipline (the KCore pattern): the rewrap HIDES the
-    // checkpointed RDD from Lineage.release — the rewrapped LogicalRDD
-    // holds a derived, unpersisted RDD — so every checkpoint handle is
+    // Storage discipline (the KCore pattern): every checkpoint handle is
     // kept and released explicitly the moment the next eager checkpoint
-    // supersedes it. Only the FINAL round's blocks survive the loop, and
-    // the returned frame references that checkpoint directly (no rewrap)
-    // so the consumer's Lineage.release(result) can free it.
+    // supersedes it. NOTE (round 10): rewrapKeepingLayout SHARES the
+    // checkpoint's persisted RDD — releasing a rewrap-derived frame
+    // releases the live checkpoint blocks themselves (lineage is
+    // truncated, so the blocks are unrecomputable). Release only the
+    // *Cp handles, never scratch frames built from a rewrap, while a
+    // round is in flight. Only the FINAL round's blocks survive the
+    // loop, and the returned frame references that checkpoint directly
+    // (no rewrap) so the consumer's Lineage.release(result) can free it.
     // rewrapKeepingLayout (round 10): the public createDataFrame rewrap
     // reset stats but ALSO forgot each round's node-hash layout (every
     // round's label joins re-shuffled) and paid a Row-codec round trip;
@@ -114,24 +117,13 @@ object Components {
     def rewrap(cp: DataFrame): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.rewrapKeepingLayout(cp)
 
-    // The per-round neighborhood join is keyed on dst, but the persisted
-    // edge set is distinct-partitioned on (src, dst) — every round would
-    // re-shuffle the |E|-row edge table. Re-layout ONCE in dst-hash
-    // (checkpointByKey keeps the layout visible through the checkpoint;
-    // a plain repartition+localCheckpoint loses it under AQE), so each
-    // round shuffles only the |V|-row label projection.
-    val edgesByDst = graft.core.Partitioning.checkpointByKey(
-      edges.select(col("src"), col("dst")), col("dst"))
-    edges.unpersist(blocking = false) // superseded by the dst-hash layout
-
-    // layout-preserving round checkpoints: labels stay node-hashed
-    // through rewrap, so the neighborhood probe (node ≡ dst after the
-    // alias) and the propagate join are exchange-free on the label side
-    var labelsCp = graft.core.Partitioning.checkpointKeepingLayout(
-      edgesByDst.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
-    var labels = rewrap(labelsCp)
-
+    // Init checkpoints live INSIDE the try below (the LabelProp
+    // discipline): a failed init job must release whatever it already
+    // materialized — the |E|-sized dst-hash checkpoint and the persisted
+    // edge cache would otherwise pin block-manager storage for the life
+    // of a long-lived driver.
+    var edgesByDst: DataFrame = null
+    var labelsCp: DataFrame = null
     var iter = 0
     var done = false
     // hoisted so the failure path can release the round in flight — a
@@ -139,6 +131,24 @@ object Components {
     // long-lived driver
     var propagatedCp: DataFrame = null
     try {
+      // The per-round neighborhood join is keyed on dst, but the persisted
+      // edge set is distinct-partitioned on (src, dst) — every round would
+      // re-shuffle the |E|-row edge table. Re-layout ONCE in dst-hash
+      // (checkpointByKey keeps the layout visible through the checkpoint;
+      // a plain repartition+localCheckpoint loses it under AQE), so each
+      // round shuffles only the |V|-row label projection.
+      edgesByDst = graft.core.Partitioning.checkpointByKey(
+        edges.select(col("src"), col("dst")), col("dst"))
+      edges.unpersist(blocking = false) // superseded by the dst-hash layout
+
+      // layout-preserving round checkpoints: labels stay node-hashed
+      // through rewrap, so the neighborhood probe (node ≡ dst after the
+      // alias) and the propagate join are exchange-free on the label side
+      labelsCp = graft.core.Partitioning.checkpointKeepingLayout(
+        edgesByDst.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label")))
+      var labels = rewrap(labelsCp)
+
       while (!done && iter < maxIter) {
         // min label over the closed neighborhood (self ∪ neighbors)
         val nbrMin = edgesByDst
@@ -188,9 +198,10 @@ object Components {
         "(pathological chain graph — use a log-round decomposition at this scale)")
     } catch {
       case t: Throwable =>
-        Lineage.release(edgesByDst)
+        edges.unpersist(blocking = false)
+        if (edgesByDst != null) Lineage.release(edgesByDst)
         if (propagatedCp != null) Lineage.release(propagatedCp)
-        Lineage.release(labelsCp)
+        if (labelsCp != null) Lineage.release(labelsCp)
         throw t
     }
     Lineage.release(edgesByDst)

@@ -147,19 +147,20 @@ object KCore {
       return spark.createDataset(labeled).toDF("vertex", "core_degree")
     }
 
-    // initial degrees: exchange-free in the arc layout, and the layout
-    // (u-hash) rides through the checkpoint so every round's joins
-    // against deg stay exchange-free too
-    var deg = graft.core.Partitioning.checkpointKeepingLayout(
-      arcs.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-
     var iter = 0
     var done = false
-    // peel is hoisted so the failure path below can release the round
-    // in flight; non-convergence and mid-round exceptions must free
-    // arcs/deg/peel or a long-lived driver pins rounds x |E| blocks
+    // deg/peel are hoisted so the failure path below can release the
+    // round in flight; a failed INIT job (the degree aggregation), non-
+    // convergence, and mid-round exceptions must all free arcs/deg/peel
+    // or a long-lived driver pins rounds x |E| blocks
+    var deg: DataFrame = null
     var peel: DataFrame = null
     try {
+      // initial degrees: exchange-free in the arc layout, and the layout
+      // (u-hash) rides through the checkpoint so every round's joins
+      // against deg stay exchange-free too
+      deg = graft.core.Partitioning.checkpointKeepingLayout(
+        arcs.groupBy(col("u")).agg(count(lit(1)).as("deg")))
       while (!done && iter < maxIter) {
         // layout-preserving: peel inherits deg's u-hash (alias-tracked
         // through the rename), so the non-broadcast rounds' anti/semi
@@ -192,7 +193,8 @@ object KCore {
       require(done, s"k-core peeling did not converge in $maxIter rounds")
     } catch {
       case t: Throwable =>
-        release(arcs); release(deg)
+        release(arcs)
+        if (deg != null) release(deg)
         if (peel != null) release(peel)
         throw t
     }

@@ -129,9 +129,15 @@ object PageRank {
       .join(attach(a.groupBy(col("src")).agg(count(lit(1)).as("deg"))),
         vertices("vertex") === col("src"), "left")
       .select(col("vertex"), col("deg"))
+    // checkpointKeepingLayout, not checkpointByKey: vdPlan's output is
+    // ALREADY hash(vertex) — the streamed side of the shuffle_hash left
+    // join is the vertex-hash checkpointed table, alias-tracked through
+    // the projection — so an explicit repartition here would be a pure
+    // duplicate |V| exchange (the PlanAssertionsSpec loop guard pins
+    // the layout actually surviving this checkpoint).
     val vd =
       if (small) vdPlan.localCheckpoint()
-      else graft.core.Partitioning.checkpointByKey(vdPlan, col("vertex"))
+      else graft.core.Partitioning.checkpointKeepingLayout(vdPlan)
     // the vertex checkpoint is superseded by vd (nothing else reads it,
     // and vd's truncated plan would hide its blocks from later release)
     Lineage.release(vertices)

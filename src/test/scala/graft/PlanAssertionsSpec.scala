@@ -262,8 +262,13 @@ class PlanAssertionsSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try body
     finally {
-      prev.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
-      prevA.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      // restore OR unset: both confs are optional — leaving either
+      // pinned at -1 would silently disable (runtime) broadcast joins
+      // for every later suite in the shared-session JVM
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
     }
   }
 
