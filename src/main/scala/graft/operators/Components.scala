@@ -110,10 +110,12 @@ object Components {
     // loop, and the returned frame references that checkpoint directly
     // (no rewrap) so the consumer's Lineage.release(result) can free it.
     // rewrapKeepingLayout (round 10): the public createDataFrame rewrap
-    // reset stats but ALSO forgot each round's node-hash layout (every
-    // round's label joins re-shuffled) and paid a Row-codec round trip;
-    // the bridge keeps the checkpointed partitioning and drops only the
-    // inherited stats.
+    // reset stats but paid an InternalRow→Row→InternalRow codec round
+    // trip per row per round; the bridge rebuilds the LogicalRDD on the
+    // same InternalRow RDD and drops only the inherited stats. (It also
+    // carries partitioning through, but the round checkpoints build
+    // under AQE and report Unknown — only the one-time edge layout
+    // below is declared; see the A/B note at labelsCp.)
     def rewrap(cp: DataFrame): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.rewrapKeepingLayout(cp)
 
@@ -141,12 +143,20 @@ object Components {
         edges.select(col("src"), col("dst")), col("dst"))
       edges.unpersist(blocking = false) // superseded by the dst-hash layout
 
-      // layout-preserving round checkpoints: labels stay node-hashed
-      // through rewrap, so the neighborhood probe (node ≡ dst after the
-      // alias) and the propagate join are exchange-free on the label side
-      labelsCp = graft.core.Partitioning.checkpointKeepingLayout(
+      // Per-round checkpoints build under AQE, deliberately FORGETTING
+      // the label layout: the round's build job contains the edge join,
+      // the shortcut double self-join, and the old-label join, and an
+      // AQE-off build (checkpointKeepingLayout) would run ALL of them
+      // without runtime broadcast upgrades or coalescing — measured at
+      // sf1 (A/B, this round): q97 3.3-3.7 s with AQE-on rounds vs
+      // 4.7-5.7 s with layout-preserving rounds, q95 same direction.
+      // The |V|-row label shuffle a lost layout costs per round is far
+      // cheaper than the lost AQE planning inside the round. The |E|
+      // table keeps its one-time dst-hash layout above — that side of
+      // the neighborhood join never re-shuffles either way.
+      labelsCp =
         edgesByDst.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("label")))
+          .select(col("node"), col("node").as("label")).localCheckpoint(true)
       var labels = rewrap(labelsCp)
 
       while (!done && iter < maxIter) {
@@ -158,10 +168,11 @@ object Components {
         // checkpointed: the shortcut step below self-joins this twice, and
         // Spark's self-join deduplication clones the subtree per side — an
         // un-materialized propagate would re-run the edge join 4×
-        propagatedCp = graft.core.Partitioning.checkpointKeepingLayout(labels
+        propagatedCp = labels
           .join(nbrMin, Seq("node"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint(true)
         val propagated = rewrap(propagatedCp)
         // pointer jumping: follow the label one hop (label := label(label));
         // labels only ever decrease, so taking the hop unconditionally is
@@ -176,9 +187,10 @@ object Components {
             least(col("label"), coalesce(col("hop_label"), col("label"))).as("label"))
         // carry the previous label through the checkpoint so convergence is
         // a filter on materialized data, not another join
-        val nextCp = graft.core.Partitioning.checkpointKeepingLayout(
+        val nextCp =
           shortcut(shortcut(propagated))
-            .join(labels.select(col("node"), col("label").as("old_label")), Seq("node")))
+            .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
+            .localCheckpoint(true)
         // the eager checkpoint above materialized this round, so the
         // round's scratch and the superseded label table are dead —
         // release them NOW, not at loop exit (rounds × |V| blocks
