@@ -52,14 +52,19 @@ object SemDedup {
     // through one partition; the Ivf.build precedent)
     val seeds = p.orderBy(col("vid")).limit(nCells)
       .select(col("vid").as("cid"), col("v").as("cvec"))
-    // staged ONCE in cid-hash layout: verdicts references the frame
-    // three times (both self-join sides + primary) and Catalyst clones
-    // the corpus × centroid scoring pipeline per reference; the layout
-    // additionally makes the cell self-join exchange-free. The result
-    // plan references the checkpoint (primary reads it), so the
-    // consumer's Lineage.release frees the blocks.
-    val assigned = graft.core.Partitioning.checkpointByKey(
-      Ivf.nearest(p, seeds, keep = 1), col("cid"))
+    // staged ONCE: verdicts references the frame three times (both
+    // self-join sides + primary) and Catalyst clones the corpus ×
+    // centroid scoring pipeline per reference — the checkpoint runs it
+    // once. PLAIN checkpoint, not checkpointByKey(cid): k-means cells
+    // are density-skewed, and a cid-co-partitioned self-join pins the
+    // hot cell whole into one task where AQE's skew splitting (which
+    // needs an exchange to act on) can't help — measured at sf1, plain
+    // staging 4.7-4.9 s vs cid-hash 5.5 s for q151 (the
+    // approxScoredPairs finding, same mechanism). The result plan
+    // references the checkpoint (primary reads it), so the consumer's
+    // Lineage.release frees the blocks.
+    val assigned =
+      Ivf.nearest(p, seeds, keep = 1).localCheckpoint(true)
     verdicts(assigned, assigned, tau, idCol)
   }
 
@@ -82,17 +87,17 @@ object SemDedup {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val index = Ivf.build(df, idCol, vecCol, nCells, lloydSteps)
     try {
-      // multi-probe assignments staged in cid-hash layout (single-probe
-      // reuses the build's persisted assignments — already cached, the
-      // self-join sides read the cache): one scoring pass instead of
-      // one per self-join side, and the cell self-join plans
-      // exchange-free. Released below — the eager result checkpoint
+      // multi-probe assignments staged once (single-probe reuses the
+      // build's persisted assignments — already cached, the self-join
+      // sides read the cache): one scoring pass instead of one per
+      // self-join side. Plain checkpoint, not cid-hash — see
+      // semanticDedup above (skewed cells defeat a co-partitioned
+      // self-join). Released below — the eager result checkpoint
       // orphans it from every later release.
       val probed =
         if (probes == 1) index._2
-        else graft.core.Partitioning.checkpointByKey(
-          Ivf.nearest(Similarity.prep(df, idCol, vecCol), index._1, keep = probes),
-          col("cid"))
+        else Ivf.nearest(Similarity.prep(df, idCol, vecCol), index._1, keep = probes)
+          .localCheckpoint(true)
       try verdicts(index._2, probed, tau, idCol).localCheckpoint(true)
       finally { if (probed ne index._2) Lineage.release(probed) }
     } finally Ivf.release(index)

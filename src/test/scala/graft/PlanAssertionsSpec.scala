@@ -275,16 +275,26 @@ class PlanAssertionsSpec extends SparkTestBase {
   private def ensureExchanges(p: String): Int =
     "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).size
 
-  test("LSH bucket self-join reads the checkpointByKey layout — zero per-side exchanges") {
+  test("LSH bucket self-join: staged once, shuffled under AQE (skew-splittable), no cartesian") {
     withNoBroadcast {
       val emb = graft.core.Tables.embeddings(spark, sf)
       val pairs = graft.operators.Similarity
         .nearDupPairsApprox(emb, "vec_id", "embedding", tau = 0.8, tables = 2)
       val p = pairs.queryExecution.executedPlan.toString
-      // the only ENSURE exchange allowed is the final distinct's — a
-      // lost layout re-shuffles both join sides (two more)
-      assert(ensureExchanges(p) <= 1,
-        s"bucket self-join re-shuffled a side:\n${p.take(3000)}")
+      // The staging is DELIBERATELY a plain checkpoint (measured at
+      // sf10 — see approxScoredPairs): the self-join's per-side
+      // exchanges are the price of AQE skew-splitting on correlated
+      // bucket keys. Pin the properties that must hold instead: an
+      // equi-join (never a cartesian over the bucket table), and both
+      // sides reading the SAME one-time staged blocks (the signature
+      // pipeline runs once, not once per side).
+      assert(!p.contains("CartesianProduct"),
+        s"bucket self-join degenerated to a cartesian:\n${p.take(3000)}")
+      assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+        s"self-join sides do not read the staged checkpoint:\n${p.take(3000)}")
+      // 3 = two join sides + the distinct; more means a side re-staged
+      assert(ensureExchanges(p) <= 3,
+        s"unexpected extra exchanges:\n${p.take(3000)}")
       graft.operators.Lineage.release(pairs)
       awaitStorageEmpty()
     }
