@@ -12,7 +12,7 @@ object Registry {
       queries.TextQueries.queries ++ queries.TextQueries2.queries ++
       queries.TextQueries3.queries ++ queries.TextQueries4.queries ++
       queries.TextQueries5.queries ++ queries.TextQueries6.queries ++
-      queries.TextQueries7.queries ++
+      queries.TextQueries7.queries ++ queries.TextQueries8.queries ++
       queries.GraphQueries.queries ++
       queries.VectorQueries.queries ++ queries.VectorQueries2.queries ++
       queries.EventQueries.queries ++

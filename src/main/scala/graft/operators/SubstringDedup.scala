@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Exact substring-span deduplication — the suffix-array-style "this
+  * exact run of tokens appears more than once in the corpus" hygiene op
+  * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  * Better"), re-expressed for a shared-nothing engine. A single-node
+  * suffix array over 100 TB is impossible; the distributed equivalent
+  * is positional k-gram matching: a token span is duplicated iff every
+  * k-window inside it is duplicated, so duplicated spans of length ≥ k
+  * are EXACTLY the merged islands of duplicated k-gram start positions
+  * (spans between k and 2k-2 tokens long are over-approximated by their
+  * covering k-windows, the standard pigeonhole trade documented with
+  * the `k` parameter below).
+  *
+  * Scale shape (all linear in corpus token count, no candidate pairs):
+  *   1. one shuffle keyed by the gram text for the occurrence-count /
+  *      first-occurrence aggregate (count+min are partial-aggregated
+  *      map-side, so the reduce side sees one row per distinct gram per
+  *      map partition, not one per occurrence);
+  *   2. one shuffle joining the surviving duplicated-gram set back to
+  *      occurrences (gram-keyed hash join; the duplicated set is the
+  *      join's small side only on clean corpora, so no broadcast is
+  *      hard-wired — AQE upgrades it at runtime when it fits);
+  *   3. per-document windows (islands merge / coverage expansion) —
+  *      partitioned by doc_id, bounded by document length.
+  * At 100 TB the gram shuffle dominates at ~k× the corpus bytes; the
+  * standard width reduction (hash each gram to 128 bits before the
+  * shuffle, 2^-64 birthday odds) is a drop-in `md5(g)` here, kept OFF
+  * so the oracle comparison stays collision-free exact text.
+  *
+  * Reference anchor: the reference pipeline has no corpus ops at all
+  * (/root/reference/src/main.py is xlsx→rollup→load); this lives in the
+  * LLM-pipeline extension surface alongside [[Decontaminate]] (shared
+  * n-gram flagging vs an EXTERNAL eval set — here the corpus is matched
+  * against itself, which is why its broadcast strategy doesn't apply).
+  */
+object SubstringDedup {
+
+  /** Positional k-gram occurrences: (doc_id, pos, g) with pos the
+    * 0-based token index of the gram start. Docs shorter than k tokens
+    * emit nothing (they have no k-window; `sequence` would otherwise
+    * count DOWN for a negative stop). Stays inside whole-stage codegen:
+    * tokens() is the fused byte-scan kernel, the rest is
+    * sequence/transform/slice/array_join built-ins.
+    */
+  private[operators] def gramOccurrences(
+      docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"gram width k must be >= 2, got $k")
+    graft.core.Partitioning.fanOut(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+  }
+
+  /** Gram starts whose k-gram occurs at ≥ 2 (doc, pos) locations
+    * corpus-wide (within-doc repeats count, exactly as a suffix array
+    * would see them), with the corpus-wide FIRST occurrence (min by
+    * (doc_id, pos) — deterministic, engine-independent) carried along
+    * so callers can implement keep-one semantics.
+    * Columns: (doc_id, pos, first_doc, first_pos).
+    */
+  private[operators] def duplicatedStarts(occ: DataFrame): DataFrame = {
+    val gs = occ.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("fo"))
+      .where(col("cnt") >= 2)
+      .select(col("g"), col("fo.doc_id").as("first_doc"),
+        col("fo.pos").as("first_pos"))
+    occ.join(gs, Seq("g"))
+      .select(col("doc_id"), col("pos"), col("first_doc"), col("first_pos"))
+  }
+
+  /** Maximal duplicated token spans per document: (doc_id, span_start,
+    * span_end, span_len), positions 0-based inclusive. Two duplicated
+    * k-windows [p1, p1+k-1] and [p2, p2+k-1] (p1 < p2) merge iff
+    * p2 - p1 <= k (overlapping or exactly adjacent), so each output row
+    * is a maximal run of text every k-window of which occurs elsewhere.
+    */
+  def duplicatedSpans(
+      docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val d = duplicatedStarts(gramOccurrences(docs, k, idCol, textCol))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    d.select(col("doc_id"), col("pos"))
+      .withColumn("ni",
+        when(lag(col("pos"), 1).over(w).isNull
+          || col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("isl",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"))
+      .drop("isl")
+  }
+
+  /** Keep-first cleaning: every occurrence of a duplicated k-gram EXCEPT
+    * the corpus-wide first keeps nothing — tokens covered by any
+    * non-first duplicated window are removed, so exactly one copy of
+    * each duplicated run survives (in the lowest-(doc_id, pos) holder,
+    * the deterministic survivor rule the dedup-cluster family also
+    * uses). Returns one row per document (short and gram-free docs
+    * included, removed_tokens = 0):
+    * (doc_id, n_tokens, removed_tokens, removed_ppm, kept_md5) where
+    * kept_md5 is md5 of the space-joined surviving tokens ('' when the
+    * whole doc is removed) — the cross-engine content witness.
+    *
+    * Coverage expansion is a per-doc ROWS window (max of the dup-start
+    * flag over the k-1 preceding token rows), valid because posexplode
+    * emits every position densely — no range join needed.
+    */
+  def cleanKeepFirst(
+      docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = graft.core.Partitioning.fanOut(docs)
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val nonFirst = duplicatedStarts(gramOccurrences(docs, k, idCol, textCol))
+      .where(col("doc_id") =!= col("first_doc") || col("pos") =!= col("first_pos"))
+      .select(col("doc_id"), col("pos"), lit(1).as("flag"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    tok.join(nonFirst, Seq("doc_id", "pos"), "left")
+      .withColumn("cov", max(coalesce(col("flag"), lit(0))).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cov")).cast("long").as("removed_tokens"),
+        expr("cast(sum(cov) * 1000000 div count(1) as bigint)").as("removed_ppm"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("cov") === 0, struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ")).as("kept_md5"))
+  }
+}

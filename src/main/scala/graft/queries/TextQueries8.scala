@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.core.Tables
+import graft.operators.SubstringDedup
+
+/** Text/corpus round 8 (round 10, third session): exact substring-span
+  * deduplication (Lee et al. 2021 shape) — the duplicated-span report
+  * (q207) and keep-first span removal (q208). Both are pure integer /
+  * exact-text results (positions, counts, md5 content witnesses), so
+  * they hash-match the oracle with no tolerance. Operator semantics and
+  * the 100-TB scale argument live on [[graft.operators.SubstringDedup]].
+  */
+object TextQueries8 {
+
+  /** Shared oracle prelude: positional word 8-grams per document.
+    * `toks[i : i + 7]` is DuckDB's 1-based inclusive list slice — the
+    * gram starting at 0-based token position i-1; grams exist only for
+    * docs with ≥ 8 tokens (mirrors the operator's size guard).
+    */
+  private val GramCte = """
+    WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+    g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 array_to_string(toks[i : i + 7], ' ') AS g
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM tk WHERE len(toks) >= 8))"""
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q207: maximal duplicated token spans — for every document,
+    //      the maximal runs of ≥ 8 tokens that occur verbatim elsewhere
+    //      in the corpus (another doc OR another position in the same
+    //      doc — the suffix-array definition). The span report is what
+    //      a curation team audits before choosing removal policy.
+    //      Scale shape: one gram-keyed shuffle (map-side-combined
+    //      count), one gram-keyed join back, one per-doc islands
+    //      window — linear, no candidate pairs (contrast q35/q161,
+    //      which score doc PAIRS; this finds the duplicated TEXT). ----
+    GraftQuery(
+      "q207_substring_dup_spans",
+      (s, d) => SubstringDedup.duplicatedSpans(Tables.documents(s, d), k = 8),
+      Some(GramCte + """,
+        gs AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        d AS (SELECT doc_id, pos FROM g JOIN gs USING (g)),
+        i AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS ni
+              FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        s AS (SELECT doc_id, pos,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM i)
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+               CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+        FROM s GROUP BY doc_id, isl
+      """),
+      doc = "Exact substring dedup: maximal duplicated spans (k=8 words)"),
+
+    // ---- q208: keep-first span removal — drop every token covered by
+    //      a NON-FIRST occurrence of a duplicated 8-gram (first = min
+    //      (doc_id, pos) corpus-wide), so exactly one copy of each
+    //      duplicated run survives. Per-doc retention report with an
+    //      md5 content witness of the surviving text; fully-removed
+    //      later copies of exact-dup docs report kept_md5 = md5('').
+    //      The dup-start flag expands to token coverage via a dense
+    //      ROWS window (k-1 preceding), not a range join. ----
+    GraftQuery(
+      "q208_substring_dedup_keep_first",
+      (s, d) => SubstringDedup.cleanKeepFirst(Tables.documents(s, d), k = 8),
+      Some(GramCte + """,
+        tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks))) AS i
+                      FROM tk)),
+        gs AS (SELECT g, min(row(doc_id, pos)) AS fo
+               FROM g GROUP BY g HAVING count(*) >= 2),
+        d AS (SELECT x.doc_id, x.pos FROM g x JOIN gs ON gs.g = x.g
+              WHERE row(x.doc_id, x.pos) <> gs.fo),
+        m AS (SELECT t.doc_id, t.pos, t.tok,
+                max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+              FROM tok t LEFT JOIN d ON d.doc_id = t.doc_id AND d.pos = t.pos)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(cov) AS BIGINT) AS removed_tokens,
+               CAST(sum(cov) * 1000000 // count(*) AS BIGINT) AS removed_ppm,
+               md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+                              FILTER (WHERE cov = 0), '')) AS kept_md5
+        FROM m GROUP BY doc_id
+      """),
+      doc = "Exact substring dedup: keep-first removal + retention report")
+  )
+}

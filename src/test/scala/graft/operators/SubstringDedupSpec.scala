@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** SubstringDedup semantics pinned on a hand-built fixture where every
+  * duplicated span, survivor, and coverage window is computable by
+  * hand: a cross-doc shared prefix, a within-doc repeat, a doc shorter
+  * than k, and a gram-free unique doc. k = 4 keeps the arithmetic
+  * checkable (the operator is parameter-generic; the q207/q208 oracles
+  * gate k = 8 on the fixture corpus).
+  */
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val k = 4
+
+  // doc 1: a b c d e X Y Z        — shares the 5-token run "a b c d e"
+  // doc 2: P Q a b c d e          — ... with doc 2 (at pos 2)
+  // doc 3: r s t u r s t u        — within-doc repeat of "r s t u"
+  // doc 4: one two three          — shorter than k: no grams at all
+  // doc 5: v w x y z              — ≥ k tokens but all grams unique
+  private def docs = Seq(
+    (1L, "a b c d e X Y Z"),
+    (2L, "P Q a b c d e"),
+    (3L, "r s t u r s t u"),
+    (4L, "one two three"),
+    (5L, "v w x y z")
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpans merges duplicated k-windows into maximal spans") {
+    // dup 4-grams: "a b c d" (d1@0, d2@2), "b c d e" (d1@1, d2@3),
+    // "r s t u" (d3@0, d3@4). Islands: d1 starts {0,1} → [0, 4];
+    // d2 starts {2,3} → [2, 6]; d3 starts {0,4}, gap 4 ≤ k → one span
+    // [0, 7] (both occurrences of a within-doc repeat are duplicated).
+    val got = SubstringDedup.duplicatedSpans(docs, k)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 4L, 5L), (2L, 2L, 6L, 5L), (3L, 0L, 7L, 8L)))
+  }
+
+  test("cleanKeepFirst keeps exactly the corpus-wide first occurrence") {
+    // First occurrences (min (doc_id, pos)): "a b c d"→(1,0),
+    // "b c d e"→(1,1), "r s t u"→(3,0). Non-first starts: d2@{2,3},
+    // d3@4. Coverage (k-window from each non-first start): d2 tokens
+    // 2..6 removed (5 of 7); d3 tokens 4..7 removed (4 of 8); d1, d4,
+    // d5 keep everything.
+    val got = SubstringDedup.cleanKeepFirst(docs, k)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "removed_tokens", "removed_ppm", "kept_md5")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    def md5s(t: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (1L, 8L, 0L, 0L, md5s("a b c d e x y z")),
+      (2L, 7L, 5L, 714285L, md5s("p q")),
+      (3L, 8L, 4L, 500000L, md5s("r s t u")),
+      (4L, 3L, 0L, 0L, md5s("one two three")),
+      (5L, 5L, 0L, 0L, md5s("v w x y z"))))
+  }
+
+  test("whole-doc exact duplicates: later copy fully removed, md5('')") {
+    val dup = Seq((10L, "m n o p q r"), (11L, "m n o p q r")).toDF("doc_id", "text")
+    val got = SubstringDedup.cleanKeepFirst(dup, k).orderBy("doc_id")
+      .select("doc_id", "removed_tokens", "kept_md5")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (10L, 0L, "396b153978854e3e01155923850183f1"),
+      (11L, 6L, "d41d8cd98f00b204e9800998ecf8427e")))
+  }
+
+  test("spans and clean agree: removed positions lie inside reported spans") {
+    val spans = SubstringDedup.duplicatedSpans(docs, k)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSeq).toMap
+    // every removed token count is ≤ the doc's total span token count
+    val removed = SubstringDedup.cleanKeepFirst(docs, k)
+      .select("doc_id", "removed_tokens").as[(Long, Long)].collect()
+    removed.foreach { case (id, r) =>
+      val cover = spans.getOrElse(id, Seq.empty).map { case (a, b) => b - a + 1 }.sum
+      assert(r <= cover, s"doc $id removed $r > span coverage $cover")
+    }
+  }
+}
