@@ -122,6 +122,42 @@ object TokenShingles {
     new GenericArrayData(out.toArray)
   }
 
+  /** ALL n-grams in positional order (no distinct): element i is the
+    * gram starting at 0-based token position i, so
+    * `posexplode(computeAll(text, n))` yields the (start-pos, gram)
+    * pairs positional matchers (SubstringDedup) consume. Identical
+    * per-gram bytes to [[compute]]; empty below n tokens.
+    */
+  def computeAll(text: UTF8String, n: Int): ArrayData = {
+    val lower = text.toLowerCase
+    val bytes = lower.getBytes
+    val (offs, nTok) = tokenOffsets(bytes)
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - n + 1)
+    var i = 0
+    while (i <= nTok - n) {
+      var glen = n - 1
+      var k = 0
+      while (k < n) {
+        glen += offs(2 * (i + k) + 1) - offs(2 * (i + k))
+        k += 1
+      }
+      val gb = new Array[Byte](glen)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { gb(pos) = 0x20; pos += 1 }
+        val s = offs(2 * (i + k)); val e = offs(2 * (i + k) + 1)
+        System.arraycopy(bytes, s, gb, pos, e - s)
+        pos += e - s
+        k += 1
+      }
+      out(i) = UTF8String.fromBytes(gb)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Lowercased token array of the SAME tokenization (one pass). */
   def tokenArray(text: UTF8String): ArrayData = {
     val lower = text.toLowerCase
@@ -157,6 +193,39 @@ object TokenShingles {
     }
     nTok
   }
+}
+
+/** Positional (non-distinct) variant of [[TokenShingles]]: ALL word
+  * n-grams in start-position order — element i is the gram at 0-based
+  * token position i. Semantics are exactly `transform(sequence(0,
+  * size(tk)-n), i -> array_join(slice(tk, i+1, n), ' '))` for inputs
+  * with ≥ n tokens and the empty array below (no size guard needed),
+  * with `tk` the [[TokenArray]] tokenization.
+  */
+case class TokenShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_shingles_all"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenShingles.computeAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TokenShingles.computeAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShinglesAll =
+    copy(child = newChild)
 }
 
 /** `regexp_extract_all(lower(text), '\S+', 0)` as a single byte scan

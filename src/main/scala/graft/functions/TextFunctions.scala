@@ -50,6 +50,16 @@ object TextFunctions {
       graft.expressions.TokenShingles(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
 
+  /** ALL word n-grams in start-position order (non-distinct sibling of
+    * textShingles): element i is the gram at 0-based token position i,
+    * so posexplode gives positional matchers their (pos, gram) pairs in
+    * one fused pass.
+    */
+  def textShinglesAll(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TokenShinglesAll(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
   /** BPE-style pre-tokenization pattern (GPT-2-shaped, ASCII-simplified
     * and RE2-compatible — no lookahead, so the IDENTICAL pattern runs in
     * the DuckDB oracle): contractions, space-prefixed letter runs, digit

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, textShinglesAll}
 
 /** Exact substring-span deduplication — the suffix-array-style "this
   * exact run of tokens appears more than once in the corpus" hygiene op
@@ -44,41 +44,64 @@ object SubstringDedup {
 
   /** Positional k-gram occurrences: (doc_id, pos, g) with pos the
     * 0-based token index of the gram start. Docs shorter than k tokens
-    * emit nothing (they have no k-window; `sequence` would otherwise
-    * count DOWN for a negative stop). Stays inside whole-stage codegen:
-    * tokens() is the fused byte-scan kernel, the rest is
-    * sequence/transform/slice/array_join built-ins.
+    * emit nothing (TokenShinglesAll returns the empty array — no size
+    * guard needed). One fused byte-scan kernel per doc
+    * (lowercase→tokenize→gram) + posexplode, all inside codegen.
     */
   private[operators] def gramOccurrences(
       docs: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"gram width k must be >= 2, got $k")
     graft.core.Partitioning.fanOut(docs)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= k)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
-          i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
-          .as(Seq("pos", "g")))
+      .select(col(idCol).as("doc_id"),
+        posexplode(textShinglesAll(col(textCol), k)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
   }
 
   /** Gram starts whose k-gram occurs at ≥ 2 (doc, pos) locations
     * corpus-wide (within-doc repeats count, exactly as a suffix array
-    * would see them), with the corpus-wide FIRST occurrence (min by
-    * (doc_id, pos) — deterministic, engine-independent) carried along
-    * so callers can implement keep-one semantics.
-    * Columns: (doc_id, pos, first_doc, first_pos).
+    * would see them). Count-only aggregate: stays in whole-stage
+    * HashAggregate with map-side partials (a min(struct(...)) here
+    * would force the sort-based object-aggregate path — measured 3×
+    * slower on the fixture; keep-one callers use the packed-bigint
+    * variant below instead). Columns: (doc_id, pos).
     */
   private[operators] def duplicatedStarts(occ: DataFrame): DataFrame = {
+    val gs = occ.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("g"))
+    occ.join(gs, Seq("g")).select(col("doc_id"), col("pos"))
+  }
+
+  /** Occurrence-order packing: (doc_id, pos) → one bigint whose numeric
+    * order IS the lexicographic (doc_id, pos) order, so the corpus-wide
+    * first occurrence is a plain min(bigint) — hash-aggregatable,
+    * unlike min(struct). Bounds (fail-loud, checked per gram row — two
+    * long compares inside codegen): pos < 2^21 (docs under ~2 M tokens;
+    * an 8 MB text) and doc_id in [0, 2^42) (~4.4 × 10^12 documents).
+    * The oracle replicates the formula verbatim
+    * (doc_id * 2097152 + pos).
+    */
+  private def packedOrder: org.apache.spark.sql.Column = {
+    val ok = col("doc_id") >= 0 && col("doc_id") < (1L << 42) &&
+      col("pos") < (1L << 21)
+    when(ok, shiftleft(col("doc_id"), 21) + col("pos"))
+      .otherwise(raise_error(concat(
+        lit("SubstringDedup packing bounds exceeded: doc_id="),
+        col("doc_id"), lit(" pos="), col("pos"))))
+  }
+
+  /** Gram starts that are NON-FIRST occurrences of a duplicated k-gram
+    * (first = min packed (doc_id, pos) corpus-wide). Columns:
+    * (doc_id, pos).
+    */
+  private[operators] def nonFirstStarts(occ: DataFrame): DataFrame = {
     val gs = occ.groupBy(col("g"))
-      .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("fo"))
+      .agg(count(lit(1)).as("cnt"), min(packedOrder).as("fp"))
       .where(col("cnt") >= 2)
-      .select(col("g"), col("fo.doc_id").as("first_doc"),
-        col("fo.pos").as("first_pos"))
+      .select(col("g"), col("fp"))
     occ.join(gs, Seq("g"))
-      .select(col("doc_id"), col("pos"), col("first_doc"), col("first_pos"))
+      .where(packedOrder =!= col("fp"))
+      .select(col("doc_id"), col("pos"))
   }
 
   /** Maximal duplicated token spans per document: (doc_id, span_start,
@@ -126,8 +149,7 @@ object SubstringDedup {
     val tok = graft.core.Partitioning.fanOut(docs)
       .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val nonFirst = duplicatedStarts(gramOccurrences(docs, k, idCol, textCol))
-      .where(col("doc_id") =!= col("first_doc") || col("pos") =!= col("first_pos"))
+    val nonFirst = nonFirstStarts(gramOccurrences(docs, k, idCol, textCol))
       .select(col("doc_id"), col("pos"), lit(1).as("flag"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(k - 1), Window.currentRow)

@@ -59,7 +59,9 @@ object TextQueries8 {
 
     // ---- q208: keep-first span removal — drop every token covered by
     //      a NON-FIRST occurrence of a duplicated 8-gram (first = min
-    //      (doc_id, pos) corpus-wide), so exactly one copy of each
+    //      (doc_id, pos) corpus-wide, compared through the same packed
+    //      bigint doc_id·2^21+pos the engine aggregates — hash-agg-able
+    //      where a struct min is not), so exactly one copy of each
     //      duplicated run survives. Per-doc retention report with an
     //      md5 content witness of the surviving text; fully-removed
     //      later copies of exact-dup docs report kept_md5 = md5('').
@@ -73,10 +75,10 @@ object TextQueries8 {
                 FROM (SELECT doc_id, toks,
                              unnest(generate_series(1, len(toks))) AS i
                       FROM tk)),
-        gs AS (SELECT g, min(row(doc_id, pos)) AS fo
+        gs AS (SELECT g, min(doc_id * 2097152 + pos) AS fp
                FROM g GROUP BY g HAVING count(*) >= 2),
         d AS (SELECT x.doc_id, x.pos FROM g x JOIN gs ON gs.g = x.g
-              WHERE row(x.doc_id, x.pos) <> gs.fo),
+              WHERE x.doc_id * 2097152 + x.pos <> gs.fp),
         m AS (SELECT t.doc_id, t.pos, t.tok,
                 max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
                   OVER (PARTITION BY t.doc_id ORDER BY t.pos

@@ -70,6 +70,29 @@ class SubstringDedupSpec extends SparkTestBase {
       (11L, 6L, "d41d8cd98f00b204e9800998ecf8427e")))
   }
 
+  test("TokenShinglesAll == transform/sequence/slice lambda formulation") {
+    import graft.functions.TextFunctions.{tokens, textShinglesAll}
+    // adversarial: every \s class byte, unicode (incl. non-ASCII
+    // whitespace, which is \S on both engines), empty/short, runs
+    val adversarial = Seq(
+      "", " ", "\t\n\f\r", "one", "a b", "A  B\tC\nD",
+      "  lead and trail  ", "café naïve 中文 token",
+      "x y z w q r s t u", "a a a a a a a a a a",
+      "MiXeD CaSe ToKeNs REPEAT mixed case tokens repeat end"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = spark.createDataFrame(adversarial).toDF("doc_id", "text")
+      .union(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    for (n <- Seq(1, 2, 8)) {
+      val lambda = when(size(tokens(col("text"))) >= n,
+        transform(sequence(lit(0), size(tokens(col("text"))) - n),
+          i => array_join(slice(tokens(col("text")), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val bad = df.where(!(textShinglesAll(col("text"), n) <=> lambda)).count()
+      assert(bad == 0, s"n=$n: $bad rows diverge from the lambda formulation")
+    }
+  }
+
   test("spans and clean agree: removed positions lie inside reported spans") {
     val spans = SubstringDedup.duplicatedSpans(docs, k)
       .as[(Long, Long, Long, Long)].collect()
