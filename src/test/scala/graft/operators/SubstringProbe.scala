@@ -25,6 +25,8 @@ object SubstringProbe {
     time("spans full 2")(SubstringDedup.duplicatedSpans(docs, 8).write.format("noop").mode("overwrite").save())
     time("clean full")(SubstringDedup.cleanKeepFirst(docs, 8).write.format("noop").mode("overwrite").save())
     time("clean full 2")(SubstringDedup.cleanKeepFirst(docs, 8).write.format("noop").mode("overwrite").save())
+    if (args.length > 1 && args(1) == "explain")
+      SubstringDedup.duplicatedSpans(docs, 8).explain("formatted")
     spark.stop()
   }
 }
