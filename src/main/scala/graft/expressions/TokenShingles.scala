@@ -88,6 +88,33 @@ object TokenShingles {
     (offs.toArray, offs.length / 2)
   }
 
+  /** The n-gram starting at token index i: n tokens joined by a single
+    * 0x20 (the `concat_ws(' ', ...)` byte sequence). Shared by BOTH
+    * gram kernels so the "identical per-gram bytes" invariant the
+    * oracles rely on lives in exactly one place.
+    */
+  @inline private def gramAt(
+      bytes: Array[Byte], offs: Array[Int], i: Int, n: Int): UTF8String = {
+    // gram byte length: token bytes + (n-1) single-space joints
+    var glen = n - 1
+    var k = 0
+    while (k < n) {
+      glen += offs(2 * (i + k) + 1) - offs(2 * (i + k))
+      k += 1
+    }
+    val gb = new Array[Byte](glen)
+    var pos = 0
+    k = 0
+    while (k < n) {
+      if (k > 0) { gb(pos) = 0x20; pos += 1 }
+      val s = offs(2 * (i + k)); val e = offs(2 * (i + k) + 1)
+      System.arraycopy(bytes, s, gb, pos, e - s)
+      pos += e - s
+      k += 1
+    }
+    UTF8String.fromBytes(gb)
+  }
+
   /** One-pass distinct n-gram array (first-occurrence order). */
   def compute(text: UTF8String, n: Int): ArrayData = {
     val lower = text.toLowerCase
@@ -98,24 +125,7 @@ object TokenShingles {
     val out = new ArrayBuffer[Any](nTok - n + 1)
     var i = 0
     while (i <= nTok - n) {
-      // gram byte length: token bytes + (n-1) single-space joints
-      var glen = n - 1
-      var k = 0
-      while (k < n) {
-        glen += offs(2 * (i + k) + 1) - offs(2 * (i + k))
-        k += 1
-      }
-      val gb = new Array[Byte](glen)
-      var pos = 0
-      k = 0
-      while (k < n) {
-        if (k > 0) { gb(pos) = 0x20; pos += 1 }
-        val s = offs(2 * (i + k)); val e = offs(2 * (i + k) + 1)
-        System.arraycopy(bytes, s, gb, pos, e - s)
-        pos += e - s
-        k += 1
-      }
-      val gram = UTF8String.fromBytes(gb)
+      val gram = gramAt(bytes, offs, i, n)
       if (seen.add(gram)) out += gram
       i += 1
     }
@@ -136,23 +146,7 @@ object TokenShingles {
     val out = new Array[Any](nTok - n + 1)
     var i = 0
     while (i <= nTok - n) {
-      var glen = n - 1
-      var k = 0
-      while (k < n) {
-        glen += offs(2 * (i + k) + 1) - offs(2 * (i + k))
-        k += 1
-      }
-      val gb = new Array[Byte](glen)
-      var pos = 0
-      k = 0
-      while (k < n) {
-        if (k > 0) { gb(pos) = 0x20; pos += 1 }
-        val s = offs(2 * (i + k)); val e = offs(2 * (i + k) + 1)
-        System.arraycopy(bytes, s, gb, pos, e - s)
-        pos += e - s
-        k += 1
-      }
-      out(i) = UTF8String.fromBytes(gb)
+      out(i) = gramAt(bytes, offs, i, n)
       i += 1
     }
     new GenericArrayData(out)

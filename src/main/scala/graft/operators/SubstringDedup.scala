@@ -11,12 +11,14 @@ import graft.functions.TextFunctions.{tokens, textShinglesAll}
   * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
   * Better"), re-expressed for a shared-nothing engine. A single-node
   * suffix array over 100 TB is impossible; the distributed equivalent
-  * is positional k-gram matching: a token span is duplicated iff every
-  * k-window inside it is duplicated, so duplicated spans of length ≥ k
-  * are EXACTLY the merged islands of duplicated k-gram start positions
-  * (spans between k and 2k-2 tokens long are over-approximated by their
-  * covering k-windows, the standard pigeonhole trade documented with
-  * the `k` parameter below).
+  * is positional k-gram matching. If a run of tokens occurs twice, every
+  * k-window inside it occurs twice — so every true duplicated run of
+  * length ≥ k lies inside a contiguous COVERAGE island of duplicated
+  * k-windows, and the islands are what this operator reports: a sound
+  * over-approximation (an island may also stitch together distinct
+  * duplicated runs that touch, and its first/last k-1 tokens extend to
+  * window boundaries), the standard trade of gram-based matching vs an
+  * exact suffix array, controlled by `k`.
   *
   * Scale shape (all linear in corpus token count, no candidate pairs):
   *   1. one shuffle keyed by the gram text for the occurrence-count /
@@ -52,8 +54,10 @@ object SubstringDedup {
       docs: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"gram width k must be >= 2, got $k")
+    // doc_id cast to long like pos: packedOrder shifts it 21 bits, and
+    // an IntegerType id would wrap at 32 bits BELOW the bounds check.
     graft.core.Partitioning.fanOut(docs)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         posexplode(textShinglesAll(col(textCol), k)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
   }
@@ -112,11 +116,14 @@ object SubstringDedup {
       .select(col("doc_id"), col("pos"))
   }
 
-  /** Maximal duplicated token spans per document: (doc_id, span_start,
-    * span_end, span_len), positions 0-based inclusive. Two duplicated
-    * k-windows [p1, p1+k-1] and [p2, p2+k-1] (p1 < p2) merge iff
-    * p2 - p1 <= k (overlapping or exactly adjacent), so each output row
-    * is a maximal run of text every k-window of which occurs elsewhere.
+  /** Maximal coverage islands of duplicated k-windows per document:
+    * (doc_id, span_start, span_end, span_len), positions 0-based
+    * inclusive. Two duplicated windows [p1, p1+k-1] and [p2, p2+k-1]
+    * (p1 < p2) merge iff p2 - p1 <= k (overlapping or exactly
+    * adjacent), so each output row is a maximal run of tokens each of
+    * which is covered by SOME duplicated k-window — a superset of the
+    * true maximal duplicated runs (see the object doc for the
+    * soundness/over-approximation argument).
     */
   def duplicatedSpans(
       docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
@@ -129,8 +136,7 @@ object SubstringDedup {
     // table is k× the corpus and could never be pinned in storage.
     val d = duplicatedStarts(gramOccurrences(docs, k, idCol, textCol))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    d.select(col("doc_id"), col("pos"))
-      .withColumn("ni",
+    d.withColumn("ni",
         when(lag(col("pos"), 1).over(w).isNull
           || col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
       .withColumn("isl",
@@ -142,13 +148,18 @@ object SubstringDedup {
       .drop("isl")
   }
 
-  /** Keep-first cleaning: every occurrence of a duplicated k-gram EXCEPT
-    * the corpus-wide first keeps nothing — tokens covered by any
-    * non-first duplicated window are removed, so exactly one copy of
-    * each duplicated run survives (in the lowest-(doc_id, pos) holder,
-    * the deterministic survivor rule the dedup-cluster family also
-    * uses). Returns one row per document (short and gram-free docs
-    * included, removed_tokens = 0):
+  /** Keep-first cleaning: tokens covered by any NON-FIRST occurrence of
+    * a duplicated k-gram are removed (first = lowest (doc_id, pos)
+    * corpus-wide, the deterministic survivor rule the dedup-cluster
+    * family also uses). A duplicated run's first copy is never removed
+    * by its OWN grams; it can still lose tokens where it overlaps a
+    * non-first window of a DIFFERENT gram whose first lives elsewhere —
+    * so "exactly one surviving copy" holds for runs whose coverage
+    * doesn't interleave with other duplicated text, and removal is
+    * conservative (never under-removes) in the interleaved case.
+    * Returns one row per document with ≥ 1 token (zero-token docs
+    * tokenize to nothing and are absent — the oracle drops them
+    * identically); short and gram-free docs report removed_tokens = 0:
     * (doc_id, n_tokens, removed_tokens, removed_ppm, kept_md5) where
     * kept_md5 is md5 of the space-joined surviving tokens ('' when the
     * whole doc is removed) — the cross-engine content witness.
@@ -161,7 +172,8 @@ object SubstringDedup {
       docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = graft.core.Partitioning.fanOut(docs)
-      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
     // Same no-staging rationale as duplicatedSpans (kernel recompute
     // beats reading back a materialized gram table, measured at sf10).

@@ -29,11 +29,13 @@ object TextQueries8 {
 
   val queries: Seq[GraftQuery] = Seq(
 
-    // ---- q207: maximal duplicated token spans — for every document,
-    //      the maximal runs of ≥ 8 tokens that occur verbatim elsewhere
-    //      in the corpus (another doc OR another position in the same
-    //      doc — the suffix-array definition). The span report is what
-    //      a curation team audits before choosing removal policy.
+    // ---- q207: duplicated-span report — for every document, the
+    //      maximal runs of tokens covered by 8-grams that occur
+    //      verbatim elsewhere in the corpus (another doc OR another
+    //      position in the same doc — the suffix-array notion of a
+    //      duplicate, over-approximated by coverage islands as the
+    //      operator doc derives). The span report is what a curation
+    //      team audits before choosing removal policy.
     //      Scale shape: one gram-keyed shuffle (map-side-combined
     //      count), one gram-keyed join back, one per-doc islands
     //      window — linear, no candidate pairs (contrast q35/q161,
@@ -61,8 +63,9 @@ object TextQueries8 {
     //      a NON-FIRST occurrence of a duplicated 8-gram (first = min
     //      (doc_id, pos) corpus-wide, compared through the same packed
     //      bigint doc_id·2^21+pos the engine aggregates — hash-agg-able
-    //      where a struct min is not), so exactly one copy of each
-    //      duplicated run survives. Per-doc retention report with an
+    //      where a struct min is not), so a duplicated run's first copy
+    //      survives (exactly one copy unless distinct duplicated runs
+    //      interleave — the operator doc has the precise guarantee). Per-doc retention report with an
     //      md5 content witness of the surviving text; fully-removed
     //      later copies of exact-dup docs report kept_md5 = md5('').
     //      The dup-start flag expands to token coverage via a dense

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.SubstringDedup
 
 /** Scratch profiler for the substring-dedup stages (dev-only). */
 object SubstringProbe {
