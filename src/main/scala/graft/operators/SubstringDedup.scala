@@ -171,17 +171,28 @@ object SubstringDedup {
   def cleanKeepFirst(
       docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // Same no-staging rationale as duplicatedSpans (kernel recompute
+    // beats reading back a materialized gram table, measured at sf10).
+    val nonFirst = nonFirstStarts(gramOccurrences(docs, k, idCol, textCol))
+    retentionReport(docs, nonFirst, k, idCol, textCol)
+  }
+
+  /** The shared cleaning tail: expand dup-start flags to token coverage
+    * (dense ROWS window over the k-1 preceding positions) and fold the
+    * per-doc retention report with its md5 witness. `nonFirst` carries
+    * (doc_id, pos) of the window starts to remove.
+    */
+  private def retentionReport(
+      docs: DataFrame, nonFirst: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame = {
     val tok = graft.core.Partitioning.fanOut(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    // Same no-staging rationale as duplicatedSpans (kernel recompute
-    // beats reading back a materialized gram table, measured at sf10).
-    val nonFirst = nonFirstStarts(gramOccurrences(docs, k, idCol, textCol))
-      .select(col("doc_id"), col("pos"), lit(1).as("flag"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(k - 1), Window.currentRow)
-    tok.join(nonFirst, Seq("doc_id", "pos"), "left")
+    tok.join(nonFirst.select(col("doc_id"), col("pos"), lit(1).as("flag")),
+        Seq("doc_id", "pos"), "left")
       .withColumn("cov", max(coalesce(col("flag"), lit(0))).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -190,5 +201,61 @@ object SubstringDedup {
         md5(array_join(transform(
           array_sort(collect_list(when(col("cov") === 0, struct(col("pos"), col("tok"))))),
           s => s.getField("tok")), " ")).as("kept_md5"))
+  }
+
+  /** Persistable gram index for INCREMENTAL keep-first dedup: one row
+    * per distinct k-gram of the corpus-so-far, (g, fp, cnt) with fp the
+    * packed first occurrence and cnt the occurrence count — everything
+    * the batch probe needs, so steady-state ingest grams each document
+    * ONCE, stores the index (e.g. `Load.replaceTable` / append like
+    * [[Dedup.signatureIndex]]), and never re-tokenizes the corpus.
+    */
+  def gramIndex(
+      docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    gramOccurrences(docs, k, idCol, textCol)
+      .groupBy(col("g"))
+      .agg(min(packedOrder).as("fp"), count(lit(1)).as("cnt"))
+
+  /** Fold a new batch into a [[gramIndex]] (associative: two batches
+    * folded in sequence equal the combined batch, equal a fresh
+    * gramIndex over the union — the invariant the spec pins).
+    */
+  def updateGramIndex(
+      index: DataFrame, batch: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    index.unionByName(gramIndex(batch, k, idCol, textCol))
+      .groupBy(col("g"))
+      .agg(min(col("fp")).as("fp"), sum(col("cnt")).as("cnt"))
+
+  /** Keep-first cleaning of ONE INGEST BATCH against a prebuilt
+    * [[gramIndex]] of the corpus-so-far — the steady-state production
+    * path (probe, emit the batch's retention report, then
+    * [[updateGramIndex]] for the next ingest). Exactly equal to
+    * `cleanKeepFirst(corpus ∪ batch)` restricted to the batch's
+    * doc_ids, for ANY id ordering (the merged first occurrence is the
+    * min over both sides), without ever re-processing the corpus.
+    * Scale shape: one gram-keyed aggregate over the BATCH, one
+    * shuffle_hash join against the index, then the per-doc cleaning
+    * windows over batch tokens only.
+    */
+  def cleanKeepFirstIncremental(
+      index: DataFrame, batch: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occB = gramOccurrences(batch, k, idCol, textCol)
+    val bStats = occB.groupBy(col("g"))
+      .agg(min(packedOrder).as("bfp"), count(lit(1)).as("bcnt"))
+    // merged per-gram view of corpus ∪ batch, batch grams only (grams
+    // absent from the batch cannot mark any batch position)
+    val merged = bStats
+      .join(index.select(col("g"), col("fp"), col("cnt")), Seq("g"), "left")
+      .select(col("g"),
+        least(col("bfp"), coalesce(col("fp"), lit(Long.MaxValue))).as("gfp"),
+        (col("bcnt") + coalesce(col("cnt"), lit(0L))).as("gcnt"))
+      .where(col("gcnt") >= 2)
+    val nonFirst = occB.join(merged.hint("shuffle_hash"), Seq("g"))
+      .where(packedOrder =!= col("gfp"))
+      .select(col("doc_id"), col("pos"))
+    retentionReport(batch, nonFirst, k, idCol, textCol)
   }
 }

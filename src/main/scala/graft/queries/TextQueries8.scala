@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import graft.GraftQuery
 import graft.core.Tables
 import graft.operators.SubstringDedup
@@ -94,6 +95,47 @@ object TextQueries8 {
                               FILTER (WHERE cov = 0), '')) AS kept_md5
         FROM m GROUP BY doc_id
       """),
-      doc = "Exact substring dedup: keep-first removal + retention report")
+      doc = "Exact substring dedup: keep-first removal + retention report"),
+
+    // ---- q209: INCREMENTAL substring dedup — the steady-state ingest
+    //      path: the corpus-so-far (doc_id % 4 != 3) is represented
+    //      only by its persistable gram index (g, first-occurrence,
+    //      count); the new batch (doc_id % 4 = 3) probes it and emits
+    //      its own retention report without re-processing the corpus.
+    //      The oracle is the definition itself: the FULL q208
+    //      recompute over corpus ∪ batch, restricted to batch doc_ids
+    //      — so the query hash-checks the incremental-equals-full
+    //      invariant end-to-end (q126's incremental-minhash oracle
+    //      discipline). ----
+    GraftQuery(
+      "q209_substring_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batchPred = col("doc_id") % 4 === 3
+        val index = SubstringDedup.gramIndex(docs.where(!batchPred), k = 8)
+        SubstringDedup.cleanKeepFirstIncremental(index, docs.where(batchPred), k = 8)
+      },
+      Some(GramCte + """,
+        tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks))) AS i
+                      FROM tk)),
+        gs AS (SELECT g, min(doc_id * 2097152 + pos) AS fp
+               FROM g GROUP BY g HAVING count(*) >= 2),
+        d AS (SELECT x.doc_id, x.pos FROM g x JOIN gs ON gs.g = x.g
+              WHERE x.doc_id * 2097152 + x.pos <> gs.fp),
+        m AS (SELECT t.doc_id, t.pos, t.tok,
+                max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+              FROM tok t LEFT JOIN d ON d.doc_id = t.doc_id AND d.pos = t.pos)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(cov) AS BIGINT) AS removed_tokens,
+               CAST(sum(cov) * 1000000 // count(*) AS BIGINT) AS removed_ppm,
+               md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+                              FILTER (WHERE cov = 0), '')) AS kept_md5
+        FROM m WHERE doc_id % 4 = 3 GROUP BY doc_id
+      """),
+      doc = "Incremental substring dedup: batch probe against the gram index")
   )
 }

@@ -93,6 +93,39 @@ class SubstringDedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental clean == full clean restricted to the batch, any id order") {
+    // batch ids BELOW the corpus ids on purpose: the merged first
+    // occurrence must be the min over both sides, not "index wins"
+    val corpus = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "a b c d e f g h i j"),
+      (12L, "z y x w v u t s")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d e f g h i j"), // earlier id than both corpus copies
+      (2L, "z y x w v u t s"),     // dup of corpus doc 12
+      (3L, "fresh tokens only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val full = SubstringDedup.cleanKeepFirst(corpus.unionByName(batch), k)
+      .where($"doc_id" < 10L)
+    val inc = SubstringDedup.cleanKeepFirstIncremental(
+      SubstringDedup.gramIndex(corpus, k), batch, k)
+    assertSameRows(full, inc)
+    // batch doc 1 has the LOWEST id → it is the first occurrence and
+    // keeps everything even though the index saw the text first
+    val kept = inc.where($"doc_id" === 1L)
+      .select("removed_tokens").as[Long].head()
+    assert(kept == 0L)
+  }
+
+  test("gram index folds associatively") {
+    val a = Seq((1L, "p q r s t u v w x"), (2L, "p q r s t u v w x")).toDF("doc_id", "text")
+    val b = Seq((3L, "p q r s t u v w x y z")).toDF("doc_id", "text")
+    val folded = SubstringDedup.updateGramIndex(SubstringDedup.gramIndex(a, k), b, k)
+    val fresh = SubstringDedup.gramIndex(a.unionByName(b), k)
+    assertSameRows(folded, fresh)
+  }
+
   test("spans and clean agree: removed positions lie inside reported spans") {
     val spans = SubstringDedup.duplicatedSpans(docs, k)
       .as[(Long, Long, Long, Long)].collect()
