@@ -248,6 +248,12 @@ object SubstringDedup {
     // merged per-gram view of corpus ∪ batch, batch grams only (grams
     // absent from the batch cannot mark any batch position)
     val merged = bStats
+      // NO join hint here, measured at sf10 (in-JVM A/B, both orders):
+      // unlike duplicatedStarts — whose build side is the FILTERED dup
+      // set — this join's non-stream side is the WHOLE index, and
+      // hash-building 23.6 M string-keyed entries loses to AQE's
+      // sort-merge pick (7-11 s vs 14-16 s). Hints follow the measured
+      // build-side size, not a blanket idiom.
       .join(index.select(col("g"), col("fp"), col("cnt")), Seq("g"), "left")
       .select(col("g"),
         least(col("bfp"), coalesce(col("fp"), lit(Long.MaxValue))).as("gfp"),
