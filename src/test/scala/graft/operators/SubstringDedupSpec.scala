@@ -126,6 +126,62 @@ class SubstringDedupSpec extends SparkTestBase {
     assertSameRows(folded, fresh)
   }
 
+  test("randomized corpora match a driver-side brute-force reference") {
+    // Small vocab forces heavy gram collisions (within-doc repeats,
+    // cross-doc runs, whole-doc dups all arise by chance). Seeded, so
+    // failures reproduce.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 3; kk <- Seq(3, 5)) {
+      val corpus = (0L until 40L).map { id =>
+        val n = rnd.nextInt(25) // 0..24 tokens (incl. empty + below-k)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // --- brute reference ---
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      val occ = for {
+        (id, tk) <- toks.toSeq; p <- 0 to tk.size - kk
+      } yield (id, p.toLong, tk.slice(p, p + kk).mkString(" "))
+      val byGram = occ.groupBy(_._3)
+      val dupStarts = byGram.values.filter(_.size >= 2).flatten
+        .map(o => (o._1, o._2)).toSet
+      val expSpans = dupStarts.groupBy(_._1).toSeq.flatMap { case (id, ss) =>
+        val sorted = ss.map(_._2).toSeq.sorted
+        val islands = sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, p) =>
+          if (acc.nonEmpty && p - acc.last.last <= kk) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        islands.map(i => (id, i.head, i.last + kk - 1, i.last - i.head + kk))
+      }.toSet
+      val firstOf = byGram.map { case (g, os) =>
+        g -> os.map(o => (o._1, o._2)).min
+      }
+      val nonFirst = occ.filter { case (id, p, g) =>
+        byGram(g).size >= 2 && (id, p) != firstOf(g)
+      }.map(o => (o._1, o._2)).toSet
+      val expClean = toks.collect { case (id, tk) if tk.nonEmpty =>
+        val cov = tk.indices.map(p =>
+          (math.max(0, p - kk + 1) to p).exists(s => nonFirst((id, s.toLong))))
+        val kept = tk.indices.filter(!cov(_)).map(tk).mkString(" ")
+        val removed = cov.count(identity).toLong
+        (id, tk.size.toLong, removed, removed * 1000000L / tk.size,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.toSet
+      // --- engine ---
+      val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      val gotSpans = SubstringDedup.duplicatedSpans(df, kk)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotSpans == expSpans, s"trial=$trial k=$kk spans diverge")
+      val gotClean = SubstringDedup.cleanKeepFirst(df, kk)
+        .select("doc_id", "n_tokens", "removed_tokens", "removed_ppm", "kept_md5")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(gotClean == expClean, s"trial=$trial k=$kk clean diverges")
+    }
+  }
+
   test("spans and clean agree: removed positions lie inside reported spans") {
     val spans = SubstringDedup.duplicatedSpans(docs, k)
       .as[(Long, Long, Long, Long)].collect()
