@@ -332,4 +332,28 @@ class PlanAssertionsSpec extends SparkTestBase {
       assert(awaitStorageEmpty().isEmpty, "kcore stranded storage")
     }
   }
+
+  test("q207: dup-gram join-back is the hinted shuffled-hash join; no gram sort-merge") {
+    val p = plan("q207_substring_dup_spans")
+    assert(p.contains("ShuffledHashJoin"),
+      "dup-gram join must stay shuffle_hash (AQE's sort-merge default sorts every gram string)")
+    assert(!p.contains("CartesianProduct"), "no candidate-pair expansion may appear")
+    assert(p.contains("graft_token_shingles_all"),
+      "fused positional shingle kernel fell out of the plan")
+  }
+
+  test("q208: coverage window is a dense ROWS frame; only hinted hash joins on grams") {
+    val p = plan("q208_substring_dedup_keep_first")
+    assert(p.contains("ShuffledHashJoin"), "nonFirst join must stay shuffle_hash")
+    assert(p.contains("ROWS BETWEEN 7 PRECEDING AND CURRENT ROW")
+      || p.contains("rowsbetween(-7, 0)") || p.contains("specifiedwindowframe(RowFrame"),
+      s"coverage expansion must be a ROWS window, got:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "no range-join expansion may appear")
+  }
+
+  test("q209: batch probe never re-shuffles the index through a broadcast; windows stay per-doc") {
+    val p = plan("q209_substring_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), "no candidate-pair expansion may appear")
+    assert(!p.contains("No Partition Defined"), "all windows must be doc-partitioned")
+  }
 }
