@@ -31,10 +31,14 @@ import graft.functions.TextFunctions.{tokens, textShinglesAll}
   *      hard-wired — AQE upgrades it at runtime when it fits);
   *   3. per-document windows (islands merge / coverage expansion) —
   *      partitioned by doc_id, bounded by document length.
-  * At 100 TB the gram shuffle dominates at ~k× the corpus bytes; the
-  * standard width reduction (hash each gram to 128 bits before the
-  * shuffle, 2^-64 birthday odds) is a drop-in `md5(g)` here, kept OFF
-  * so the oracle comparison stays collision-free exact text.
+  * At 100 TB the gram shuffle dominates at ~k× the corpus bytes. The
+  * standard width reduction (hash each gram to two 60-bit md5-derived
+  * longs before the shuffle) was MEASURED a 2× loss at sf10 (26 M
+  * grams, 4-round in-JVM A/B, `SpanKeyAB`: text keys 3.8 s vs md5 keys
+  * 7.7 s min-of-4) — at k=8 the ~45-byte text key is cheaper to hash
+  * and shuffle than an md5+conv per gram costs to compute; it would
+  * only pay for much longer grams. Exact text also keeps the oracle
+  * comparison collision-free.
   *
   * Reference anchor: the reference pipeline has no corpus ops at all
   * (/root/reference/src/main.py is xlsx→rollup→load); this lives in the
