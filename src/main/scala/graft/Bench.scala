@@ -200,6 +200,37 @@ object Bench {
       }
       other <= rerunGateCores
     }
+    // ---- opt-in PER-QUERY quiet gate (SPARK_GRAFT_QUERY_GATE_CORES):
+    // on a host whose co-tenant bursts every few minutes, a whole-suite
+    // run can never land in one quiet window — but each QUERY can. When
+    // enabled, the runner pauses BEFORE a query until the co-tenant
+    // sensor reads quiet (bounded by a run-wide budget,
+    // SPARK_GRAFT_QUERY_GATE_BUDGET_SEC, default 600 s). Honesty
+    // properties: pauses sit entirely OUTSIDE timed regions, no
+    // measurement is ever discarded or retried by this mechanism, and
+    // the total paused time is published on the contract line
+    // ("paused") with per-query pauses in the forensics file. ----
+    val queryGateCores = sys.env.get("SPARK_GRAFT_QUERY_GATE_CORES").map(_.toDouble)
+    var queryGateBudget = sys.env.get("SPARK_GRAFT_QUERY_GATE_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(600.0)
+    var pausedTotal = 0.0
+    def awaitQuietForQuery(): Double = queryGateCores match {
+      case None => 0.0
+      case Some(gate) =>
+        val t0 = System.nanoTime()
+        var other = otherCpuCores(300)
+        while (other > gate && queryGateBudget > (System.nanoTime() - t0) / 1e9) {
+          Thread.sleep(10000L)
+          other = otherCpuCores(300)
+        }
+        val waited = (System.nanoTime() - t0) / 1e9
+        queryGateBudget -= waited
+        if (waited > 1.0) System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench-query-gate] paused %.1fs (co-tenant %.1f cores, budget %.0fs left)",
+          Double.box(waited), Double.box(other), Double.box(queryGateBudget)))
+        pausedTotal += waited
+        waited
+    }
     // returns (seconds, succeeded): a fast failure must NOT become a
     // history baseline (a 0.3 s time-to-error median would flag every
     // healthy run as a >2× outlier forever) nor be "healed" by min()
@@ -218,7 +249,10 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    val pausedByQuery = scala.collection.mutable.Map.empty[String, Double]
     val results = selected.map { q =>
+      val pausedQ = awaitQuietForQuery()
+      if (pausedQ > 1.0) pausedByQuery(q.name) = pausedQ
       val la0 = loadAvg
       // build/probe split: an index-backed query's one-time build is
       // staged here, OUTSIDE the probe's timer but still measured —
@@ -324,7 +358,8 @@ object Bench {
     val forensics = results.map { case (k, v, la, lk, b, rr, _) =>
       "\"" + k + "\":{\"sec\":" + num(v) + ",\"load\":" + num2(la) + ",\"leaked\":" + lk +
         b.map(x => ",\"build\":" + num(x)).getOrElse("") +
-        rr.map(x => ",\"rerun_discarded\":" + num(x)).getOrElse("") + "}"
+        rr.map(x => ",\"rerun_discarded\":" + num(x)).getOrElse("") +
+        pausedByQuery.get(k).map(x => ",\"paused_before\":" + num(x)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val forensicsLine =
       s"""{"sf":"$sfDir","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"queries":$forensics}"""
@@ -365,7 +400,7 @@ object Bench {
     // leaks: count of RDDs queries left registered (should be 0; see
     // the per-query leak check above).
     def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"leaks":$leakTotal,"builds":$buildsJson,"reruns":$rerunsJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"leaks":$leakTotal,"paused":${num(pausedTotal)},"builds":$buildsJson,"reruns":$rerunsJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver parses the last 2 KB of stdout; at 146 queries the
     // 3-decimal line is ~1.92 KB. Degrade per-query precision (never
     // the total) before the line would overflow and silently record
