@@ -64,6 +64,19 @@ object Bench {
     // start look gate-worthy contended.
     val startLoad = gateLoad
 
+    // hypervisor steal (/proc/stat field 8, jiffies): a VM co-tenant
+    // stealing cycles inflates every row uniformly while the in-guest
+    // load average stays innocent — publishing the run's steal-seconds
+    // lets a reader attribute that inflation from the artifact alone
+    // (this host measured ~35% row inflation on a steal-heavy day).
+    def stealJiffies: Long =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case _: Exception => 0L }
+    val steal0 = stealJiffies
+
     val spark = graft.core.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
@@ -400,7 +413,7 @@ object Bench {
     // leaks: count of RDDs queries left registered (should be 0; see
     // the per-query leak check above).
     def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"leaks":$leakTotal,"paused":${num(pausedTotal)},"builds":$buildsJson,"reruns":$rerunsJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load0":${num2(startLoad)},"load1":${num2(loadAvg)},"leaks":$leakTotal,"paused":${num(pausedTotal)},"steal":${num((stealJiffies - steal0) / 100.0)},"builds":$buildsJson,"reruns":$rerunsJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver parses the last 2 KB of stdout; at 146 queries the
     // 3-decimal line is ~1.92 KB. Degrade per-query precision (never
     // the total) before the line would overflow and silently record
