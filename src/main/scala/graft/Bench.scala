@@ -69,6 +69,12 @@ object Bench {
     // load average stays innocent — publishing the run's steal-seconds
     // lets a reader attribute that inflation from the artifact alone
     // (this host measured ~35% row inflation on a steal-heavy day).
+    // Jiffies→seconds divides by USER_HZ, hard-coded 100 below: the
+    // /proc/stat ABI has reported in 1/100 s units on every mainstream
+    // Linux since 2.6 regardless of kernel CONFIG_HZ (the kernel
+    // scales internally); a kernel built with a different USER_HZ
+    // would scale these published steal-seconds wrong (getconf CLK_TCK
+    // confirms 100 on this host).
     def stealJiffies: Long =
       try {
         val f = java.nio.file.Files.readAllLines(
@@ -265,7 +271,12 @@ object Bench {
     val pausedByQuery = scala.collection.mutable.Map.empty[String, Double]
     val results = selected.map { q =>
       val pausedQ = awaitQuietForQuery()
-      if (pausedQ > 1.0) pausedByQuery(q.name) = pausedQ
+      // record at the num() precision floor (0.0005 rounds to 0.001),
+      // not a 1 s threshold: summing paused_before across the
+      // forensics file must reconcile with the contract line's
+      // 'paused' total — the attribute-from-the-artifact-alone honesty
+      // property (advice r10)
+      if (pausedQ >= 0.0005) pausedByQuery(q.name) = pausedQ
       val la0 = loadAvg
       // build/probe split: an index-backed query's one-time build is
       // staged here, OUTSIDE the probe's timer but still measured —

@@ -96,7 +96,10 @@ object SubstringDedup {
     * The oracle replicates the formula verbatim
     * (doc_id * 2097152 + pos).
     */
-  private def packedOrder: org.apache.spark.sql.Column = {
+  // private[operators] (not private): the IncJoinAB dev harness reuses
+  // the exact production expression so its A/B carries identical
+  // key/payload shapes (advice r10)
+  private[operators] def packedOrder: org.apache.spark.sql.Column = {
     val ok = col("doc_id") >= 0 && col("doc_id") < (1L << 42) &&
       col("pos") < (1L << 21)
     when(ok, shiftleft(col("doc_id"), 21) + col("pos"))
@@ -224,6 +227,16 @@ object SubstringDedup {
   /** Fold a new batch into a [[gramIndex]] (associative: two batches
     * folded in sequence equal the combined batch, equal a fresh
     * gramIndex over the union — the invariant the spec pins).
+    *
+    * PRECONDITION (here and in [[cleanKeepFirstIncremental]]): batch
+    * doc_ids must be DISJOINT from every previously-indexed doc_id.
+    * Re-ingesting an existing id conflates its packed (doc_id, pos)
+    * orders with the indexed ones and double-counts `cnt`, silently
+    * breaking the incremental-equals-full invariant. "For ANY id
+    * ordering" below means ids need not be monotone across batches —
+    * NOT that an id may repeat. Ingest sinks that can replay (e.g.
+    * foreachBatch retries) must dedup ids before folding; see
+    * [[assertDisjointIds]] for a fail-loud guard on debug paths.
     */
   def updateGramIndex(
       index: DataFrame, batch: DataFrame, k: Int = 8,
@@ -238,11 +251,39 @@ object SubstringDedup {
     * [[updateGramIndex]] for the next ingest). Exactly equal to
     * `cleanKeepFirst(corpus ∪ batch)` restricted to the batch's
     * doc_ids, for ANY id ordering (the merged first occurrence is the
-    * min over both sides), without ever re-processing the corpus.
+    * min over both sides — ids need not be monotone), without ever
+    * re-processing the corpus. Requires batch ids disjoint from
+    * indexed ids — see the precondition on [[updateGramIndex]].
     * Scale shape: one gram-keyed aggregate over the BATCH, one
     * shuffle_hash join against the index, then the per-doc cleaning
     * windows over batch tokens only.
     */
+  /** Debug-path guard for the id-disjointness precondition: fails loud
+    * (returning the offending ids) when a batch re-ingests a doc_id
+    * already represented in the index. The index stores no id column,
+    * but every indexed FIRST occurrence carries its id in the packed
+    * order (`fp >> 21`) — a sufficient witness set, because a doc whose
+    * every gram lost the min() to another doc contributed no state that
+    * a re-ingest could conflate with... except its `cnt`s; so this is a
+    * strong heuristic, not a complete proof, and is deliberately kept
+    * off the hot path (one distinct over the index per call). Empty
+    * result = safe to fold.
+    */
+  def overlappingIds(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(index.select(shiftright(col("fp"), 21).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+
+  /** [[overlappingIds]] as an assertion (spec/debug harness form). */
+  def assertDisjointIds(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val bad = overlappingIds(index, batch, idCol).limit(5).collect().map(_.getLong(0))
+    require(bad.isEmpty,
+      s"SubstringDedup incremental ingest: batch re-uses already-indexed doc_ids ${bad.mkString(", ")} — " +
+        "the incremental-equals-full invariant requires disjoint ids per batch")
+  }
+
   def cleanKeepFirstIncremental(
       index: DataFrame, batch: DataFrame, k: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

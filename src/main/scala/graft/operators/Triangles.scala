@@ -43,8 +43,14 @@ object Triangles {
 
   /** Out-neighbor adjacency under the chosen orientation, deduped,
     * materialized once (|V| rows; reused by both sides of the probe).
+    *
+    * Public so callers that need BOTH triangles and another
+    * adjacency-derived statistic (degrees, wedges — q186) can build the
+    * staging exactly once and pass it to [[trianglesFromAdjacency]] /
+    * [[degreesFromAdjacency]], instead of checkpointing the edge list
+    * themselves and paying a second materialization inside here.
     */
-  private def adjacency(edges: DataFrame, degreeOriented: Boolean): DataFrame = {
+  def adjacency(edges: DataFrame, degreeOriented: Boolean = false): DataFrame = {
     val o =
       if (!degreeOriented) edges.select(col("u").as("src"), col("v").as("dst"))
       else {
@@ -93,8 +99,17 @@ object Triangles {
     */
   def triangles(
       edges: DataFrame, degreeOriented: Boolean = false,
+      broadcastMaxAdjEntries: Long = BroadcastMaxAdjEntries): DataFrame =
+    trianglesFromAdjacency(adjacency(edges, degreeOriented), broadcastMaxAdjEntries)
+
+  /** [[triangles]] over a pre-built [[adjacency]] frame — for callers
+    * that reuse the adjacency for other statistics (q186's clustering
+    * coefficient derives wedges from it too). `adj` must come from
+    * [[adjacency]] (checkpointed, (src, nbrs) deduped).
+    */
+  def trianglesFromAdjacency(
+      adj: DataFrame,
       broadcastMaxAdjEntries: Long = BroadcastMaxAdjEntries): DataFrame = {
-    val adj = adjacency(edges, degreeOriented)
     val adjEntries = adj.agg(coalesce(sum(size(col("nbrs"))), lit(0L))).head.getLong(0)
     val probe = adj.select(col("src").as("b0"), col("nbrs").as("nb"))
     // shuffle_hash (not default sort-merge) on the fallback: no sort
@@ -116,6 +131,19 @@ object Triangles {
       .select(col("a"), col("b"),
         explode(array_intersect(col("na"), col("nb"))).as("c"))
   }
+
+  /** Undirected vertex degrees recovered from an [[adjacency]] frame:
+    * out-degree is `size(nbrs)` free per row, in-degree is one explode
+    * of the already-checkpointed |V|-row table — the same Σd shuffle the
+    * edge-list union formulation pays, but WITHOUT re-running (or
+    * re-materializing) the edge construction lineage. Only valid for
+    * the canonical (u < v) orientation, where out+in = total degree and
+    * each undirected edge contributes exactly one adjacency entry.
+    */
+  def degreesFromAdjacency(adj: DataFrame): DataFrame =
+    adj.select(col("src").as("x"), size(col("nbrs")).cast("long").as("c"))
+      .unionAll(adj.select(explode(col("nbrs")).as("x"), lit(1L).as("c")))
+      .groupBy(col("x")).agg(sum(col("c")).as("deg"))
 
   /** Per-vertex triangle participation counts. */
   def triangleCounts(

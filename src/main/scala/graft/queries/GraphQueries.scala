@@ -183,16 +183,19 @@ object GraphQueries {
     GraftQuery(
       "q186_clustering_coefficient",
       (s, d) => {
-        // one pair expansion feeds both sides (triangles + degrees) —
-        // unstaged, the groupBy/explode/distinct would run twice
-        val e = Relational5.coOrderPairs(s, d).distinct().localCheckpoint(true)
+        // ONE materialization total: the raw pair expansion flows
+        // straight into Triangles.adjacency (which dedups via
+        // array_distinct and checkpoints internally); triangles AND
+        // degrees/wedges both derive from that staged |V|-row frame.
+        // (Previously the edge list was localCheckpoint-ed here and the
+        // adjacency checkpointed again inside Triangles — paid twice.)
+        val adj = graft.operators.Triangles.adjacency(Relational5.coOrderPairs(s, d))
         // coalesce(…, 0): on a triangle-free/empty graph sum over zero
         // rows is NULL while the oracle's 3*count(*) is 0 — keep the
         // degenerate inputs convergent too (advice r8)
-        val tri3 = graft.operators.Triangles.triangleCounts(e)
-          .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("n_tri3"))
-        val wedges = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-          .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        val tri3 = graft.operators.Triangles.trianglesFromAdjacency(adj)
+          .agg(coalesce(lit(3L) * count(lit(1)), lit(0L)).as("n_tri3"))
+        val wedges = graft.operators.Triangles.degreesFromAdjacency(adj)
           .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
         tri3.crossJoin(wedges)
           .select(col("n_tri3"), col("n_wedges"),

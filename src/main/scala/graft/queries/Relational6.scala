@@ -1030,9 +1030,14 @@ object Relational6 {
 
     // ---- q197: month-over-month top movers — the parts whose revenue
     //      changed most vs the previous month (the "what happened"
-    //      BI drill). Monthly part revenue (one shuffle), lag within
-    //      each part's month series, distributed top-10 by absolute
-    //      delta with (part, month) tie-breaks. Exact cents. ----
+    //      BI drill). Monthly part revenue and the lag window SHARE ONE
+    //      exchange: the explicit repartition on l_partkey alone
+    //      satisfies both the groupBy's ClusteredDistribution(partkey,
+    //      month) — same partkey ⇒ same partition ⇒ same (partkey,
+    //      month) co-located — and the window's partitionBy(partkey),
+    //      so neither inserts its own shuffle (plan-asserted in
+    //      NewQueries8cSpec). Distributed top-10 by absolute delta with
+    //      (part, month) tie-breaks. Exact cents. ----
     GraftQuery(
       "q197_top_movers",
       (s, d) => {
@@ -1041,6 +1046,7 @@ object Relational6 {
             date_format(col("l_shipdate"), "yyyy-MM").as("month"),
             floor(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount"))) * 100)
               .cast("long").as("cents"))
+          .repartition(col("l_partkey"))
           .groupBy(col("l_partkey"), col("month"))
           .agg(sum(col("cents")).as("cents"))
         val w = org.apache.spark.sql.expressions.Window

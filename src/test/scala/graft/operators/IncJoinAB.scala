@@ -20,12 +20,16 @@ object IncJoinAB {
     val corpus = docs.where(!batchPred)
     val batch = docs.where(batchPred)
     def index = SubstringDedup.gramIndex(corpus, 8)
+    // identical key/payload shapes to cleanKeepFirstIncremental — the
+    // production packed order and least()-merge, not a lookalike
+    // (advice r10: a pos-only bfp + coalesce merge drifted the shape)
     def occB = SubstringDedup.gramOccurrences(batch, 8)
     def bStats = occB.groupBy(col("g"))
-      .agg(min(col("pos") * 0 + col("pos")).as("bfp"), count(lit(1)).as("bcnt"))
+      .agg(min(SubstringDedup.packedOrder).as("bfp"), count(lit(1)).as("bcnt"))
     def mergedWith(ix: org.apache.spark.sql.DataFrame) = bStats
       .join(ix.select(col("g"), col("fp"), col("cnt")), Seq("g"), "left")
-      .select(col("g"), coalesce(col("fp"), col("bfp")).as("gfp"),
+      .select(col("g"),
+        least(col("bfp"), coalesce(col("fp"), lit(Long.MaxValue))).as("gfp"),
         (col("bcnt") + coalesce(col("cnt"), lit(0L))).as("gcnt"))
       .where(col("gcnt") >= 2)
     for (round <- 1 to 2) {

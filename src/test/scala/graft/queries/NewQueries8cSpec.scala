@@ -320,6 +320,14 @@ class NewQueries8cSpec extends SparkTestBase {
     }
   }
 
+  test("q197: agg and lag window share ONE exchange (partkey repartition satisfies both)") {
+    val p = Registry.byName("q197_top_movers").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nShuffles == 1,
+      s"expected exactly 1 hash exchange (shared by groupBy + window), got $nShuffles:\n$p")
+  }
+
   test("q198: diversity histogram accounts for every order") {
     val out = Registry.byName("q198_basket_diversity").run(spark, sf).collect()
     val n = out.map(r => r.getLong(r.fieldIndex("n_orders"))).sum
