@@ -36,7 +36,8 @@ object Load {
     */
   def replaceTable(
       spark: SparkSession, df: DataFrame, destination: String,
-      format: String = "parquet"): Try[LoadReport] = {
+      format: String = "parquet",
+      decorateStaging: Path => Unit = _ => ()): Try[LoadReport] = {
     val result = Try {
       val dest = new Path(destination)
       val staging = new Path(destination + "__staging")
@@ -55,6 +56,12 @@ object Load {
       val writer = df.write.mode(SaveMode.Overwrite).format(format)
       (if (format == "csv") writer.option("header", "true") else writer)
         .save(staging.toString)
+      // decorateStaging: sidecar metadata (underscore-prefixed files,
+      // which Spark readers ignore) written INTO the staging dir so it
+      // publishes atomically with the table in the same swap — e.g.
+      // streaming.SubstringIngest's applied-batch watermark, which must
+      // never be observable without the index state it describes.
+      decorateStaging(staging)
       // Count-back with the WRITER's schema: inference would fail on an
       // empty json stage (no rows to infer from) and default csv parsing
       // (multiLine=false) miscounts values containing embedded newlines.

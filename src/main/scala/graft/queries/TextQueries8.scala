@@ -136,6 +136,37 @@ object TextQueries8 {
                               FILTER (WHERE cov = 0), '')) AS kept_md5
         FROM m WHERE doc_id % 4 = 3 GROUP BY doc_id
       """),
-      doc = "Incremental substring dedup: batch probe against the gram index")
+      doc = "Incremental substring dedup: batch probe against the gram index"),
+
+    // ---- q210: STREAM-folded gram index ≡ full recompute — the
+    //      production wiring end-to-end: the documents table is staged
+    //      as a 4-file drop, streamed through the REAL
+    //      streaming.SubstringIngest.substringIngestSink (foreachBatch
+    //      probe → report publish → atomic index fold under the lock),
+    //      and the PUBLISHED index is the query result. The oracle is
+    //      the batch definition (gramIndex over the whole corpus in
+    //      SQL), so the hash check pins stream ≡ batch through every
+    //      layer — micro-batching, the watermark skip logic, the staged
+    //      swap. Deterministic because the fold is associative and
+    //      min/sum are batching-order-free. ----
+    GraftQuery(
+      "q210_substring_index_streamed",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_q210").toString
+        val docs = Tables.documents(s, d)
+        docs.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val q = graft.streaming.SubstringIngest.substringIngestSink(
+          stream, s"$root/index", s"$root/reports", s"$root/ckpt", k = 8)
+        try q.processAllAvailable() finally q.stop()
+        graft.streaming.SubstringIngest.readState(s, s"$root/index")._1
+      },
+      Some(GramCte + """
+        SELECT g, CAST(min(doc_id * 2097152 + pos) AS BIGINT) AS fp,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY g
+      """),
+      doc = "Streaming substring-dedup ingest: published index equals batch gram index")
   )
 }

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.SubstringDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** First-class streaming substring-dedup ingest
+  * ([[SubstringIngest.substringIngestSink]]): the published index
+  * converges to the full-corpus gram index, per-batch reports equal the
+  * full recompute restricted to each batch, and both crash windows
+  * (report-published-but-index-not; index-published-but-checkpoint-not)
+  * replay to the identical store — byte-identical where the window
+  * demands a skip.
+  */
+class SubstringIngestSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val k = 4
+
+  private val b1 = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+  private val b2 = Seq((3L, "a b c d e f g h x y"), (4L, "p q r s t u"))
+  private val b3 = Seq((5L, "p q r s t u"))
+
+  private def dirs(): (String, String, String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssink").toString
+    (root, s"$root/index", s"$root/reports", s"$root/ckpt")
+  }
+
+  private def fileSig(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).map(f => f.getPath + ":" + f.length).toSet
+  }
+
+  test("sink: index converges to the full gram index; reports equal per-batch full recomputes") {
+    implicit val sqlCtx = spark.sqlContext
+    val (_, indexDir, reportDir, ckpt) = dirs()
+    val mem = MemoryStream[(Long, String)]
+    val q = SubstringIngest.substringIngestSink(
+      mem.toDF().toDF("doc_id", "text"), indexDir, reportDir, ckpt, k,
+      checkIds = true)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    try {
+      for (b <- Seq(b1, b2, b3)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        // published index == fresh gramIndex over everything so far
+        val (idx, _) = SubstringIngest.readState(spark, indexDir)
+        assertSameRows(idx,
+          SubstringDedup.gramIndex(seen.toSeq.toDF("doc_id", "text"), k))
+        // this batch's report == full recompute restricted to the batch
+        val ids = b.map(_._1)
+        assertSameRows(
+          SubstringIngest.readReports(spark, reportDir)
+            .where($"doc_id".isin(ids: _*)),
+          SubstringDedup.cleanKeepFirst(seen.toSeq.toDF("doc_id", "text"), k)
+            .where($"doc_id".isin(ids: _*)))
+      }
+      // the cross-batch dup (doc 5 = batch-2's doc 4) was fully removed
+      val d5 = SubstringIngest.readReports(spark, reportDir)
+        .where($"doc_id" === 5L)
+        .select($"n_tokens", $"removed_tokens", $"kept_md5")
+        .as[(Long, Long, String)].head()
+      assert(d5._1 == d5._2 && d5._3 == "d41d8cd98f00b204e9800998ecf8427e")
+    } finally q.stop()
+  }
+
+  test("crash window b: replay of a fully-applied batch is a byte-level no-op") {
+    val (_, indexDir, reportDir, _) = dirs()
+    val batch1 = b1.toDF("doc_id", "text")
+    SubstringIngest.applyBatch(batch1, 0L, indexDir, reportDir, k)
+    val sigIdx = fileSig(indexDir)
+    val sigRep = fileSig(reportDir)
+    // crash after publish, before checkpoint commit → the same batch
+    // replays: watermark says applied → full skip, nothing rewritten
+    SubstringIngest.applyBatch(batch1, 0L, indexDir, reportDir, k)
+    assert(fileSig(indexDir) == sigIdx, "replay rewrote the index")
+    assert(fileSig(reportDir) == sigRep, "replay rewrote the report")
+  }
+
+  test("crash window a: report written but index not published → replay converges to the clean run") {
+    val (_, indexDir, reportDir, _) = dirs()
+    val batch1 = b1.toDF("doc_id", "text")
+    val batch2 = b2.toDF("doc_id", "text")
+    SubstringIngest.applyBatch(batch1, 0L, indexDir, reportDir, k)
+    // simulate the crash: batch 1's report for batch-id 1 lands, the
+    // publish never runs (the exact window between the two writes)
+    val (idx1, applied1) = SubstringIngest.readState(spark, indexDir)
+    assert(applied1 == 0L)
+    SubstringDedup.cleanKeepFirstIncremental(idx1, batch2, k)
+      .write.mode("overwrite")
+      .parquet(s"$reportDir/${MetricsStore.BatchCol}=1")
+    // replay of batch 1 (watermark 0 < 1): recomputes the report from
+    // the unchanged index and folds — the terminal state must equal a
+    // clean uninterrupted run's
+    SubstringIngest.applyBatch(batch2, 1L, indexDir, reportDir, k)
+    val (cleanRoot, cleanIdx, cleanRep, _) = dirs()
+    SubstringIngest.applyBatch(batch1, 0L, cleanIdx, cleanRep, k)
+    SubstringIngest.applyBatch(batch2, 1L, cleanIdx, cleanRep, k)
+    assert(cleanRoot.nonEmpty)
+    val (gotIdx, gotApplied) = SubstringIngest.readState(spark, indexDir)
+    val (expIdx, expApplied) = SubstringIngest.readState(spark, cleanIdx)
+    assert(gotApplied == expApplied)
+    assertSameRows(gotIdx, expIdx)
+    assertSameRows(
+      SubstringIngest.readReports(spark, reportDir),
+      SubstringIngest.readReports(spark, cleanRep))
+  }
+
+  test("checkIds: a batch re-using an indexed doc_id is refused loudly") {
+    val (_, indexDir, reportDir, _) = dirs()
+    SubstringIngest.applyBatch(b1.toDF("doc_id", "text"), 0L, indexDir, reportDir, k)
+    val dup = Seq((1L, "completely different text but a re-used id x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SubstringIngest.applyBatch(dup, 1L, indexDir, reportDir, k, checkIds = true)
+    }
+    assert(e.getMessage.contains("doc_ids"), e.getMessage)
+  }
+}
