@@ -28,6 +28,75 @@ object TextQueries8 {
                        unnest(generate_series(1, len(toks) - 7)) AS i
                 FROM tk WHERE len(toks) >= 8))"""
 
+  private val BpeRounds = 8
+
+  /** The q211 oracle with `n` unrolled training rounds. Symbolizations
+    * are chr(1)-delimited strings exactly as in [[graft.operators.Bpe]];
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * picks the (count DESC, l, r) top, and folds it through every word
+    * via list_reduce with the string accumulator.
+    */
+  private def bpeOracleSql(n: Int): String =
+    bpeOracle(n, """
+      SELECT doc_id, CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens,
+             md5(string_agg(symstr, '' ORDER BY pos)) AS bpe_md5
+      FROM j GROUP BY doc_id""")
+
+  /** The q212 oracle: per-doc BPE counts from the shared prelude, then
+    * q87's shard-local cumulative packing in BPE tokens.
+    */
+  private def bpePackOracleSql(n: Int): String =
+    bpeOracle(n, """
+      , bd AS (SELECT doc_id, CAST(sum(nsym) AS BIGINT) AS nt FROM j GROUP BY doc_id),
+      c AS (SELECT d.doc_id, d.lang, bd.nt,
+              COALESCE(sum(bd.nt) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM bd JOIN documents d ON d.doc_id = bd.doc_id)
+      SELECT lang, CAST(floor(cum_before / 4096) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM c GROUP BY lang, bin""")
+
+  private def bpeOracle(n: Int, finalSelect: String): String = {
+    val rounds = (1 to n).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""
+        p$i AS (
+          SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS n
+          FROM (SELECT freq,
+                       list_filter(string_split(symstr, chr(1)), s -> s <> '') AS syms,
+                       unnest(generate_series(1,
+                         len(list_filter(string_split(symstr, chr(1)), s -> s <> '')) - 1)) AS i
+                FROM $prev)
+          GROUP BY 1, 2),
+        t$i AS (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+        s$i AS (
+          SELECT w, freq,
+            list_reduce(
+              list_prepend(chr(1), list_filter(string_split(symstr, chr(1)), s -> s <> '')),
+              (acc, x) -> CASE WHEN ends_with(acc, chr(1) || t.l || chr(1)) AND x = t.r
+                               THEN substr(acc, 1, length(acc) - length(t.l) - 1) || t.l || t.r || chr(1)
+                               ELSE acc || x || chr(1) END) AS symstr
+          FROM $prev, t$i t)"""
+    }.mkString(",")
+    s"""
+      WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+      wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+             FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+      s0 AS (SELECT w, freq,
+               chr(1) || array_to_string(
+                 list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+                 chr(1)) || chr(1) AS symstr
+             FROM wf),
+      $rounds,
+      tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w
+              FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tk)),
+      j AS (SELECT tok.doc_id, tok.pos, sN.symstr,
+                   len(list_filter(string_split(sN.symstr, chr(1)), s -> s <> '')) AS nsym
+            FROM tok JOIN s$n sN ON sN.w = tok.w)
+      $finalSelect
+    """
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- q207: duplicated-span report — for every document, the
@@ -167,6 +236,54 @@ object TextQueries8 {
                CAST(count(*) AS BIGINT) AS cnt
         FROM g GROUP BY g
       """),
-      doc = "Streaming substring-dedup ingest: published index equals batch gram index")
+      doc = "Streaming substring-dedup ingest: published index equals batch gram index"),
+
+    // ---- q211: BPE train→apply end-to-end — 8 greedy merges trained
+    //      on the corpus word-frequency table, then applied to tokenize
+    //      every document; per-doc subword count + md5 witness of the
+    //      full symbolization. The oracle UNROLLS the 8 training rounds
+    //      in SQL (pair count → top-1 by (n DESC, l, r) → list_reduce
+    //      fold apply — the identical string-accumulator fold the
+    //      engine's `aggregate` runs), then applies via the trained
+    //      word→symbolization map. Operator semantics + the
+    //      O(vocab)-not-O(corpus) scale argument live on
+    //      [[graft.operators.Bpe]]. ----
+    GraftQuery(
+      "q211_bpe_train_apply",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Bpe.subwordReport(docs,
+          graft.operators.Bpe.trainMerges(docs, BpeRounds))
+      },
+      Some(bpeOracleSql(BpeRounds)),
+      doc = "BPE: train 8 merges, tokenize the corpus, per-doc subword report"),
+
+    // ---- q212: sequence packing in BPE tokens — q87's shard-local
+    //      cumulative-capacity packing, but with REAL subword counts
+    //      from the trained merge table instead of whitespace tokens
+    //      (what a pipeline actually packs context windows by). Same
+    //      window shape: per-language running total, bin = floor of the
+    //      pre-doc cumulative / 4096 — embarrassingly parallel across
+    //      shards, no global sort. ----
+    GraftQuery(
+      "q212_bpe_packing",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, count, floor, lit, sum}
+        val docs = Tables.documents(s, d)
+        val counts = graft.operators.Bpe.subwordReport(docs,
+          graft.operators.Bpe.trainMerges(docs, BpeRounds))
+          .select(col("doc_id"), col("n_bpe_tokens").as("nt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs.select(col("doc_id"), col("lang")).join(counts, Seq("doc_id"))
+          .withColumn("cum_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+          .withColumn("bin", floor(col("cum_before") / 4096L).cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      },
+      Some(bpePackOracleSql(BpeRounds)),
+      doc = "Sequence packing in BPE tokens: shard-local cumulative bins")
   )
+
 }
