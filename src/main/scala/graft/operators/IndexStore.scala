@@ -71,11 +71,42 @@ object IndexStore {
 
   // ---- IVF-flat ----
 
-  def saveIvf(spark: SparkSession, index: (DataFrame, DataFrame), dir: String): Unit =
+  /** `sidecars`: small underscore-named metadata files (e.g. a
+    * streaming sink's applied-batch watermark) written INTO the staging
+    * directory so they publish atomically with the index — never
+    * observable without the index state they describe.
+    */
+  def saveIvf(spark: SparkSession, index: (DataFrame, DataFrame), dir: String,
+      sidecars: Map[String, String] = Map.empty): Unit =
     swapInto(spark, dir) { staging =>
       index._1.write.parquet(s"$staging/centroids")
       index._2.write.parquet(s"$staging/assignments")
+      writeSidecars(spark, staging, sidecars)
     }
+
+  private def writeSidecars(
+      spark: SparkSession, staging: String, sidecars: Map[String, String]): Unit =
+    sidecars.foreach { case (name, content) =>
+      require(name.startsWith("_"),
+        s"sidecar '$name' must be underscore-prefixed (invisible to Spark readers)")
+      val p = new Path(staging, name)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Read a sidecar written by a `save*(…, sidecars)` call; None when
+    * the index dir or the sidecar is absent.
+    */
+  def readSidecar(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
 
   /** Loaded components are persisted (the `Ivf.build` contract — an
     * index is probed many times); release with [[Ivf.release]].
@@ -108,7 +139,8 @@ object IndexStore {
 
   // ---- IVF-PQ ----
 
-  def saveIvfPq(spark: SparkSession, ix: IvfPq.Index, dir: String): Unit = {
+  def saveIvfPq(spark: SparkSession, ix: IvfPq.Index, dir: String,
+      sidecars: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
     val meta = Seq((ix.cb.m, ix.cb.k, ix.cb.subDim)).toDF("m", "k", "subDim")
     val cents = ix.cb.cents.zipWithIndex.flatMap { case (codes, j) =>
@@ -119,6 +151,7 @@ object IndexStore {
       ix.coded.write.parquet(s"$staging/coded")
       meta.write.parquet(s"$staging/cb_meta")
       cents.write.parquet(s"$staging/cb_cents")
+      writeSidecars(spark, staging, sidecars)
     }
   }
 

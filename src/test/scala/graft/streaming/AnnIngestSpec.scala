@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Tables
+import graft.operators.{IndexStore, Ivf, IvfPq}
+
+/** Streaming ANN index maintenance ([[AnnIngest]]): probe results on
+  * the stream-extended index equal those on the batch-extended one
+  * (stream ≡ batch through the extend + atomic publish path), and
+  * replayed micro-batches are byte-level no-ops on the store.
+  */
+class AnnIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb: DataFrame = Tables.embeddings(spark, sf)
+
+  private def fileSig(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).map(f => f.getPath + ":" + f.length).toSet
+  }
+
+  test("IVF sink: stream-extended index probes identically to batch-extended") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_annivf").toString
+    val (indexDir, ckpt) = (s"$root/index", s"$root/ckpt")
+    val base = emb.where($"vec_id" % 3 === 0)
+    val d1 = emb.where($"vec_id" % 3 === 1)
+    val d2 = emb.where($"vec_id" % 3 === 2)
+    // bootstrap: batch build + persist (reads as watermark -1)
+    val built = Ivf.build(base, "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvf(spark, built, indexDir)
+
+    val toRows = (df: DataFrame) =>
+      df.select($"vec_id", $"embedding").as[(Long, Array[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = AnnIngest.ivfIngestSink(
+      mem.toDF().toDF("vec_id", "embedding"), indexDir, ckpt)
+    try {
+      mem.addData(toRows(d1): _*)
+      q.processAllAvailable()
+      mem.addData(toRows(d2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch path: same base index extended twice in memory
+    val batchExtended = Ivf.extend(Ivf.extend(built, d1, "vec_id", "embedding"),
+      d2, "vec_id", "embedding")
+    val streamed = IndexStore.loadIvf(spark, indexDir)
+    val queries = emb.where($"vec_id" < 5)
+    assertSameRows(
+      Ivf.probe(streamed._1, streamed._2, queries, "vec_id", "embedding", k = 10, nProbe = 4),
+      Ivf.probe(batchExtended._1, batchExtended._2, queries, "vec_id", "embedding", k = 10, nProbe = 4))
+    assert(streamed._2.count() == emb.count())
+    Ivf.release(streamed); Ivf.release(batchExtended)
+  }
+
+  test("IVF sink: replay of an applied batch is a byte-level no-op; fresh batch advances") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annrep").toString
+    val indexDir = s"$root/index"
+    val base = emb.where($"vec_id" % 3 === 0)
+    val d1 = emb.where($"vec_id" % 3 === 1)
+    val d2 = emb.where($"vec_id" % 3 === 2)
+    IndexStore.saveIvf(spark, Ivf.build(base, "vec_id", "embedding", nCentroids = 8), indexDir)
+    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding")
+    val sig = fileSig(indexDir)
+    // crash after publish, before checkpoint commit → same batch replays
+    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding")
+    assert(fileSig(indexDir) == sig, "replay rewrote the index")
+    // a genuinely new batch still applies on top
+    AnnIngest.applyIvfBatch(d2, 1L, indexDir, "vec_id", "embedding")
+    val ix = IndexStore.loadIvf(spark, indexDir)
+    assert(ix._2.count() == emb.count())
+    Ivf.release(ix)
+  }
+
+  test("IVF-PQ sink: stream-extended equals batch-extended; replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_annpq").toString
+    val (indexDir, ckpt) = (s"$root/index", s"$root/ckpt")
+    val base = emb.where($"vec_id" % 2 === 0)
+    val d1 = emb.where($"vec_id" % 2 =!= 0)
+    IndexStore.saveIvfPq(spark,
+      IvfPq.build(base, "vec_id", "embedding", nCentroids = 8), indexDir)
+
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = AnnIngest.ivfPqIngestSink(
+      mem.toDF().toDF("vec_id", "embedding"), indexDir, ckpt)
+    try {
+      mem.addData(d1.select($"vec_id", $"embedding")
+        .as[(Long, Array[Double])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sig = fileSig(indexDir)
+    AnnIngest.applyIvfPqBatch(d1, 0L, indexDir, "vec_id", "embedding")
+    assert(fileSig(indexDir) == sig, "replay rewrote the IVF-PQ index")
+
+    val streamed = IndexStore.loadIvfPq(spark, indexDir)
+    val batchExtended = IvfPq.extend(
+      IvfPq.build(base, "vec_id", "embedding", nCentroids = 8),
+      d1, "vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 3)
+    assertSameRows(
+      IvfPq.probe(streamed, queries, "vec_id", "embedding", k = 10, nProbe = 4),
+      IvfPq.probe(batchExtended, queries, "vec_id", "embedding", k = 10, nProbe = 4))
+    IvfPq.release(streamed); IvfPq.release(batchExtended)
+  }
+
+  test("missing bootstrap index is refused loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annmiss").toString
+    val e = intercept[IllegalArgumentException] {
+      AnnIngest.applyIvfBatch(emb.limit(5), 0L, s"$root/nope", "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("not a saved index"), e.getMessage)
+  }
+}
