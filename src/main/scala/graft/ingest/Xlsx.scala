@@ -46,16 +46,16 @@ object Xlsx {
     */
   /** Per-task memory bound for the distributed path: one workbook's
     * residency is its raw `content` bytes (binaryFile materializes the
-    * file per row) + the consumed XML parts (each individually bounded
-    * against zip bombs by [[MaxPartBytes]]) + the parsed string grid.
-    * A workbook above `maxWorkbookBytes` fails loudly WITH ITS PATH
-    * instead of silently pressuring the executor — config-shaped
-    * workbooks are small; a 64 MB+ "workbook" in a fleet directory is
-    * almost always a mislabeled data export that belongs in
-    * `spark.read` (house fail-loud style, cf. the header-mismatch
-    * check).
+    * file per row) + the parsed string grid — and NOTHING else, since
+    * round 11's central-directory streaming ([[ZipBytesParts]]) removed
+    * the inflated-part buffers that used to triple the footprint (the
+    * old 64 MB bound's rationale). The bound is therefore 4× looser
+    * now; a workbook above it still fails loudly WITH ITS PATH — a
+    * 256 MB+ "workbook" in a fleet directory is almost always a
+    * mislabeled data export that belongs in `spark.read` (house
+    * fail-loud style, cf. the header-mismatch check).
     */
-  val MaxWorkbookBytes: Long = 64L << 20
+  val MaxWorkbookBytes: Long = 256L << 20
 
   /** Zip-bomb guard: max DECOMPRESSED size of any single consumed zip
     * part. A crafted xlsx can expand a few KB of deflate into GBs of
@@ -153,56 +153,15 @@ object Xlsx {
       bytes: Array[Byte], sheetName: String,
       sourceName: String = "<bytes>",
       maxPartBytes: Long = MaxPartBytes): Seq[Seq[String]] = {
-    val entries = Map.newBuilder[String, Array[Byte]]
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    // bounded inflate: a zip bomb's tiny deflate stream must not expand
-    // into executor memory past the part bound — cut off loudly instead
-    def readBounded(name: String): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = zin.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size() > maxPartBytes)
+    val parts =
+      try new ZipBytesParts(bytes, sourceName, maxPartBytes)
+      catch {
+        case ex: java.io.IOException =>
           throw new IllegalArgumentException(
-            s"$sourceName: zip part $name inflates past the $maxPartBytes-byte " +
-              "bound — refusing a probable zip bomb")
-        n = zin.read(buf)
+            s"$sourceName is not a readable xlsx: ${ex.getMessage}", ex)
       }
-      out.toByteArray
-    }
-    try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory && isConsumedPart(e.getName))
-          entries += e.getName -> readBounded(e.getName)
-        zin.closeEntry()
-        e = zin.getNextEntry
-      }
-    } catch {
-      case ex: java.io.IOException =>
-        throw new IllegalArgumentException(
-          s"$sourceName is not a readable xlsx: ${ex.getMessage}", ex)
-    } finally zin.close()
-    readParts(new BytesParts(entries.result(), sourceName), sheetName)
+    readParts(parts, sheetName)
   }
-
-  /** Zip parts the StAX pipeline might read are buffered into executor
-    * memory; the known-heavy part families it NEVER reads (media,
-    * embedded objects, drawings, charts, themes, pivot caches) are
-    * skipped — a media-heavy workbook would otherwise roughly TRIPLE
-    * its per-task footprint on top of binaryFile's content bytes.
-    * A blocklist, not an allowlist: `resolveSheetPart` honors arbitrary
-    * rels targets (a writer may store sheets outside xl/worksheets/),
-    * so excluding only the provably-unconsumed families keeps every
-    * previously-readable workbook readable.
-    */
-  private def isConsumedPart(name: String): Boolean =
-    name.startsWith("xl/") &&
-      !Seq("xl/media/", "xl/embeddings/", "xl/drawings/", "xl/charts/",
-        "xl/theme/", "xl/printerSettings/", "xl/pivotCache/", "xl/activeX/")
-        .exists(name.startsWith)
 
   private def readParts(parts: Parts, sheetName: String): Seq[Seq[String]] = {
     val shared = readSharedStrings(parts)
@@ -224,10 +183,114 @@ object Xlsx {
       Option(zip.getEntry(name)).map(zip.getInputStream)
     def describe: String = zip.getName
   }
-  private final class BytesParts(
-      entries: Map[String, Array[Byte]], val describe: String) extends Parts {
+  /** Random-access Parts over workbook BYTES via the zip CENTRAL
+    * DIRECTORY — no part is ever inflated into a buffer (round 11,
+    * replacing the former prefetch-everything entry map): each `open`
+    * locates the entry from the directory and STREAMS it through an
+    * Inflater, so per-task residency is the raw content bytes + the
+    * parsed grid, independent of how large the XML parts inflate.
+    * Never-consumed parts (media, themes, pivot caches) are never even
+    * inflated — the old blocklist is obsolete by construction.
+    *
+    * The zip-bomb refusal survives as a READ-SIDE bound: the returned
+    * stream counts inflated bytes and throws past `maxPartBytes`
+    * (sharedStrings/styles materialize parser-side state, so unbounded
+    * inflation must still cut off loudly rather than OOM).
+    *
+    * Central-directory sizes are authoritative even for streamed-writer
+    * zips (data-descriptor entries whose LOCAL headers carry zeros —
+    * the case ZipInputStream must inflate-to-skip). Zip64 workbooks
+    * (≥ 4 GiB or ≥ 65535 entries) are refused loudly — far past any
+    * sane config-workbook bound.
+    */
+  private final class ZipBytesParts(
+      bytes: Array[Byte], val describe: String, maxPartBytes: Long) extends Parts {
+    private def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    private def u32(off: Int): Long =
+      (u16(off).toLong) | (u16(off + 2).toLong << 16)
+
+    // EOCD: scan back for PK\5\6 (comment can trail, max 64 KiB)
+    private val eocd: Int = {
+      val lo = math.max(0, bytes.length - 22 - 0xffff)
+      var i = bytes.length - 22
+      while (i >= lo && !(bytes(i) == 0x50 && bytes(i + 1) == 0x4b &&
+        bytes(i + 2) == 0x05 && bytes(i + 3) == 0x06)) i -= 1
+      if (i < lo) throw new java.io.IOException(
+        s"$describe: no zip end-of-central-directory record")
+      i
+    }
+    private val nEntries = u16(eocd + 10)
+    private val cdOffset = u32(eocd + 16)
+    if (nEntries == 0xffff || cdOffset == 0xffffffffL)
+      throw new java.io.IOException(
+        s"$describe: zip64 workbook (>4 GiB or >65534 parts) — not a config workbook")
+
+    /** name → (localHeaderOffset, method, compressedSize). */
+    private val dir: Map[String, (Long, Int, Long)] = {
+      val b = Map.newBuilder[String, (Long, Int, Long)]
+      var off = cdOffset.toInt
+      var i = 0
+      while (i < nEntries) {
+        if (off + 46 > bytes.length || u32(off) != 0x02014b50L)
+          throw new java.io.IOException(
+            s"$describe: corrupt central directory at offset $off")
+        val method = u16(off + 10)
+        val csize = u32(off + 20)
+        val nameLen = u16(off + 28)
+        val extraLen = u16(off + 30)
+        val commentLen = u16(off + 32)
+        val lho = u32(off + 42)
+        val name = new String(bytes, off + 46, nameLen, "UTF-8")
+        b += name -> ((lho, method, csize))
+        off += 46 + nameLen + extraLen + commentLen
+        i += 1
+      }
+      b.result()
+    }
+
     def open(name: String): Option[java.io.InputStream] =
-      entries.get(name).map(new java.io.ByteArrayInputStream(_))
+      dir.get(name).map { case (lho, method, csize) =>
+        val o = lho.toInt
+        if (o + 30 > bytes.length || u32(o) != 0x04034b50L)
+          throw new java.io.IOException(
+            s"$describe: corrupt local header for $name at offset $o")
+        // LOCAL name/extra lengths (may differ from the CD's extra)
+        val dataOff = o + 30 + u16(o + 26) + u16(o + 28)
+        val raw = new java.io.ByteArrayInputStream(
+          bytes, dataOff, math.min(csize, (bytes.length - dataOff).toLong).toInt)
+        val stream = method match {
+          case 0 => raw // stored
+          case 8 => new java.util.zip.InflaterInputStream(
+            raw, new java.util.zip.Inflater(true), 64 * 1024)
+          case m => throw new java.io.IOException(
+            s"$describe: zip part $name uses unsupported compression method $m")
+        }
+        new BoundedStream(stream, name)
+      }
+
+    /** Counts inflated bytes and refuses past the bound — the zip-bomb
+      * guard, now enforced at read time instead of prefetch time.
+      */
+    private final class BoundedStream(in: java.io.InputStream, name: String)
+      extends java.io.FilterInputStream(in) {
+      private var seen = 0L
+      private def bump(n: Int): Int = {
+        if (n > 0) {
+          seen += n
+          if (seen > maxPartBytes)
+            throw new IllegalArgumentException(
+              s"$describe: zip part $name inflates past the $maxPartBytes-byte " +
+                "bound — refusing a probable zip bomb")
+        }
+        n
+      }
+      override def read(): Int = {
+        val c = super.read(); if (c >= 0) bump(1); c
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        bump(super.read(b, off, len))
+    }
   }
 
   /** Built-in OOXML numFmtIds that render as dates/times (ECMA-376
@@ -358,7 +421,19 @@ object Xlsx {
   private def withPart[A](parts: Parts, name: String)(f: XMLStreamReader => A): Option[A] =
     parts.open(name).map { in =>
       val r = factory.createXMLStreamReader(in)
-      try f(r) finally { r.close(); in.close() }
+      // the zip-bomb refusal fires inside the parser's reads now
+      // (read-time bound, ZipBytesParts) — unwrap it from any StAX
+      // wrapping so callers keep seeing the named IllegalArgumentException
+      try f(r)
+      catch {
+        case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .collectFirst { case b: IllegalArgumentException
+              if b.getMessage != null && b.getMessage.contains("zip bomb") => b }
+            .foreach(throw _)
+          throw e
+      }
+      finally { r.close(); in.close() }
     }
 
   /** sharedStrings.xml: each <si> is one string — concatenate every <t>

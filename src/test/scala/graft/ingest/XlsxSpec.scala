@@ -206,6 +206,85 @@ class XlsxSpec extends SparkTestBase {
     assert(e.getMessage.contains("zip bomb") && e.getMessage.contains("bomb.xlsx"))
   }
 
+  /** Peak LIVE heap during `body`, sampled with forced GC so transient
+    * garbage doesn't pollute the reading — a part-sized buffer held
+    * across the parse (the pre-round-11 implementation) is live and
+    * cannot hide from this.
+    */
+  private def peakLiveHeapDuring[A](body: => A): (A, Long) = {
+    val rt = Runtime.getRuntime
+    def used(): Long = { System.gc(); rt.totalMemory() - rt.freeMemory() }
+    val base = used()
+    @volatile var peak = 0L
+    @volatile var stop = false
+    val sampler = new Thread(() => {
+      while (!stop) { peak = math.max(peak, used() - base); Thread.sleep(200) }
+    })
+    sampler.setDaemon(true); sampler.start()
+    val r = try body finally { stop = true; sampler.join() }
+    (r, math.max(peak, used() - base))
+  }
+
+  test("round 11: a 150 MB-inflating sheet part streams through the parser, no part-sized buffer") {
+    // worksheet = the normal fixture rows + 150 x 1 MiB XML comments:
+    // huge inflated part, tiny cell content, tiny compressed bytes
+    val f = java.nio.file.Files.createTempFile("graft_bigsheet", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml", workbookXml)
+    put("xl/_rels/workbook.xml.rels", relsXml)
+    put("xl/sharedStrings.xml", sharedXml)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData/></worksheet>""")
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet2.xml"))
+    zos.write(sheet2Xml.replace("</worksheet>", "").getBytes("UTF-8"))
+    val comment = ("<!-- " + "pad " * ((1 << 20) / 4) + " -->").getBytes("UTF-8")
+    (1 to 150).foreach(_ => zos.write(comment))
+    zos.write("</worksheet>".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    assert(bytes.length < 16 * 1024 * 1024, "fixture should compress small")
+    val ((grid), peak) = peakLiveHeapDuring {
+      Xlsx.readGridBytes(bytes, "Local_authority", "big.xlsx",
+        maxPartBytes = 512L * 1024 * 1024)
+    }
+    // content identical to the plain fixture's sheet
+    assert(grid(3)(0) == "camden" && grid(4)(0) == "barnet")
+    // bounded heap: the old prefetch would hold a ~150 MB live buffer
+    // (plus BAOS doubling) across the whole parse; streaming holds
+    // 64 KiB inflate buffers + the tiny grid
+    assert(peak < 75L * 1024 * 1024,
+      s"peak live heap ${peak / 1024 / 1024} MB — part-sized buffering is back?")
+  }
+
+  test("round 11: a 70 MB workbook (media ballast) ingests end-to-end — the 64 MB bound is lifted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_70mb").toString
+    val f = java.nio.file.Files.createTempFile("graft_big", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml", workbookXml)
+    put("xl/_rels/workbook.xml.rels", relsXml)
+    put("xl/sharedStrings.xml", sharedXml)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="x"><sheetData/></worksheet>""")
+    put("xl/worksheets/sheet2.xml", sheet2Xml)
+    // 70 MB of incompressible media: the parser must never inflate it
+    // (central-directory access reads only the parts it consumes)
+    zos.putNextEntry(new ZipEntry("xl/media/image1.bin"))
+    val rnd = new java.util.Random(7)
+    val chunk = new Array[Byte](1 << 20)
+    (1 to 70).foreach { _ => rnd.nextBytes(chunk); zos.write(chunk) }
+    zos.closeEntry(); zos.close()
+    java.nio.file.Files.move(f, java.nio.file.Paths.get(dir, "big.xlsx"))
+    assert(new java.io.File(dir, "big.xlsx").length() > 64L * 1024 * 1024)
+    val got = Xlsx.readWorkbooks(spark, dir, "Local_authority").collect()
+    assert(got.length == 2 && got.map(_.getString(2)).toSet == Set("camden", "barnet"))
+  }
+
   test("distributed ingest fails loudly on a header-mismatched workbook") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_mism").toString
     variantXlsx(dir, "a.xlsx", "Coverage A", "camden")
