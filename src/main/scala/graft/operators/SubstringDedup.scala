@@ -132,16 +132,29 @@ object SubstringDedup {
     * true maximal duplicated runs (see the object doc for the
     * soundness/over-approximation argument).
     */
+  /** Replace the gram TEXT key with its 16-byte md5 (binary) — the
+    * wide-gram shuffle reduction. At k=8 the text keys WIN (round-10
+    * A/B: md5 keys were ~2× slower — short gram strings shuffle
+    * cheaper than the extra per-row hashing); at k=20 the ~120-char
+    * gram text dwarfs the 16-byte digest and the md5 lane flips ahead
+    * (round-11 A/B in BASELINE.md). Exactness: a conflated pair of
+    * distinct grams needs an md5 collision — ~n²/2^129 at any corpus
+    * size, the same md5-family argument minhash already rests on.
+    */
+  private def hashedGramKeys(occ: DataFrame): DataFrame =
+    occ.withColumn("g", unhex(md5(col("g"))))
+
   def duplicatedSpans(
       docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", hashGramKeys: Boolean = false): DataFrame = {
     // NO staging checkpoint, measured: the fused gram kernel recomputes
     // in 1.4 s at sf10 where reading a 26.5 M-row staged gram table
     // cost ~50 s PER CONSUMER (deserialized block-manager rows lose to
     // re-running codegen over the 180 MB parquet scan). Recompute-both-
     // sides is also the only shape that scales: at 100 TB the gram
     // table is k× the corpus and could never be pinned in storage.
-    val d = duplicatedStarts(gramOccurrences(docs, k, idCol, textCol))
+    val occ0 = gramOccurrences(docs, k, idCol, textCol)
+    val d = duplicatedStarts(if (hashGramKeys) hashedGramKeys(occ0) else occ0)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     d.withColumn("ni",
         when(lag(col("pos"), 1).over(w).isNull
@@ -177,10 +190,11 @@ object SubstringDedup {
     */
   def cleanKeepFirst(
       docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", hashGramKeys: Boolean = false): DataFrame = {
     // Same no-staging rationale as duplicatedSpans (kernel recompute
     // beats reading back a materialized gram table, measured at sf10).
-    val nonFirst = nonFirstStarts(gramOccurrences(docs, k, idCol, textCol))
+    val occ0 = gramOccurrences(docs, k, idCol, textCol)
+    val nonFirst = nonFirstStarts(if (hashGramKeys) hashedGramKeys(occ0) else occ0)
     retentionReport(docs, nonFirst, k, idCol, textCol)
   }
 

@@ -17,6 +17,23 @@ object Derive {
     */
   def cleanName(c: Column): Column = initcap(trim(c))
 
+  /** D1 COMPAT lane (opt-in, round 11): pandas `str.title` semantics to
+    * the letter — a letter is uppercased iff the PREVIOUS character is
+    * non-alphabetic (so "king's lynn" → "King'S Lynn", apostrophe
+    * included), all other letters lowercased. Implemented as a native
+    * per-character fold (`aggregate` over `split`) — no UDF; the
+    * `upper(x) = lower(x)` test is the case-insensitive "not a letter"
+    * predicate. Default pipelines keep [[cleanName]] (initcap), which
+    * is the better behavior for LA names and what the oracle encodes;
+    * this lane exists for byte-parity with the reference output.
+    */
+  def cleanNamePandasTitle(c: Column): Column =
+    aggregate(split(trim(c), ""), lit(""), (acc, x) => {
+      val prev = substring(acc, -1, 1)
+      val prevNonAlpha = upper(prev) === lower(prev) // '' and punct ⇒ true
+      concat(acc, when(prevNonAlpha, upper(x)).otherwise(lower(x)))
+    })
+
   /** E3: first digit-run in a melted header name; null (not "") when
     * absent — `regexp_extract` returns "" on no-match where pandas
     * returns NaN.

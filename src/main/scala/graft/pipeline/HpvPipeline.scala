@@ -29,6 +29,25 @@ import graft.ops.{Clean, Combine, Derive, Reshape, Rollup}
   */
 object HpvPipeline {
 
+  /** Opt-in pandas-exact compatibility (round 11): flips the documented
+    * D1/D2/D6 divergences to reproduce the reference byte-for-byte —
+    * `str.title` capitalization after any non-alpha, all-null groups
+    * summing to 0, null-key rows dropped from rollup re-aggregation.
+    * [[Compat.Off]] (default) keeps the engine's SQL semantics, which
+    * the register argues are the better ones and which every oracle
+    * encodes. [[Compat.PandasExact]] completes reference parity to the
+    * letter for migrations that diff outputs against the legacy run.
+    */
+  final case class Compat(
+      pandasTitle: Boolean = false,
+      rollup: Rollup.PandasCompat = Rollup.PandasCompat())
+  object Compat {
+    val Off: Compat = Compat()
+    val PandasExact: Compat =
+      Compat(pandasTitle = true, rollup = Rollup.PandasCompat(
+        allNullSumZero = true, dropNullKeyGroups = true))
+  }
+
   val IdCol = "Local authority"
   val Grain: Seq[String] = Seq(
     "Borough_Name", "Year_Group_Number", "Gender_Name",
@@ -49,8 +68,11 @@ object HpvPipeline {
   /** Per-file transform (`main.py:24-74`): clean → drop-by-name → melt →
     * derive → pivot (asserted) → rename → per-file metadata (N7).
     */
-  def perFile(wb: Workbook, extractDate: LocalDate): DataFrame = {
-    val cleaned = wb.data.withColumn(IdCol, Derive.cleanName(col(IdCol)))
+  def perFile(wb: Workbook, extractDate: LocalDate,
+      compat: Compat = Compat.Off): DataFrame = {
+    val cleaned = wb.data.withColumn(IdCol,
+      if (compat.pandasTitle) Derive.cleanNamePandasTitle(col(IdCol))
+      else Derive.cleanName(col(IdCol)))
     val pruned = Clean.dropColumnsWhere(
       cleaned, c => c != IdCol && (c.contains("%") || c.contains("2 doses")))
     val melted = Reshape.unpivot(pruned, Seq(IdCol))
@@ -79,7 +101,8 @@ object HpvPipeline {
     * sentinel replace (P4, N2) → numeric cast → Both/All rollups (A3,
     * N5) → uppercase column names (P6).
     */
-  def combine(perFiles: Seq[DataFrame]): DataFrame = {
+  def combine(perFiles: Seq[DataFrame],
+      compat: Compat = Compat.Off): DataFrame = {
     val unioned = Combine.unionByNameAll(perFiles)
     val dropped = Clean.dropNullRows(unioned, Measures)
     val scrubbed = Clean.sentinelsToNull(dropped)
@@ -88,7 +111,8 @@ object HpvPipeline {
       .withColumn("Students_Vaccinated", trim(col("Students_Vaccinated")).cast(LongType))
     val rolled = Rollup.byUnion(
       typed, Grain, Measures,
-      roll1 = ("Gender_Name", "Both"), roll2 = ("Year_Group_Number", "All"))
+      roll1 = ("Gender_Name", "Both"), roll2 = ("Year_Group_Number", "All"),
+      compat = compat.rollup)
     rolled.toDF(rolled.columns.map(_.toUpperCase).toIndexedSeq: _*)
   }
 
@@ -106,13 +130,14 @@ object HpvPipeline {
   /** Full pipeline: workbooks → fact table, with the output-schema
     * assertion the reference delegates to its destination DDL.
     */
-  def transform(workbooks: Seq[Workbook], extractDate: LocalDate = LocalDate.now()): DataFrame = {
+  def transform(workbooks: Seq[Workbook], extractDate: LocalDate = LocalDate.now(),
+      compat: Compat = Compat.Off): DataFrame = {
     duplicateAcademicYears(workbooks).foreach { case (yr, n) =>
       System.err.println(
         s"[hpv] WARNING (D7): academic year ${yr.getOrElse("<unparsed>")} appears in $n " +
           "workbooks — reference semantics double-count it in the rollups")
     }
-    val out = combine(workbooks.map(perFile(_, extractDate)))
+    val out = combine(workbooks.map(perFile(_, extractDate, compat)), compat)
       .select(OutputSchema.fieldNames.map(col).toIndexedSeq: _*)
     val got = out.schema.fields.map(f => f.name -> f.dataType).toSeq
     val want = OutputSchema.fields.map(f => f.name -> f.dataType).toSeq

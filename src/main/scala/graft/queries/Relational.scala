@@ -319,7 +319,7 @@ object Relational {
     // ---- q14/q14b: the reference's rollup-by-union (A3) two ways ----
     GraftQuery(
       "q14_rollup_union",
-      (s, d) => rollupBase(s, d, Rollup.byUnion),
+      (s, d) => rollupBase(s, d, Rollup.byUnion(_, _, _, _, _)),
       Some(rollupOracle)),
     GraftQuery(
       "q14b_rollup_cube",

@@ -66,6 +66,15 @@ class OpsSpec extends SparkTestBase {
     assert(out == Seq("King's Lynn", "Camden")) // pandas would give King'S Lynn
   }
 
+  test("D1 compat lane (round 11): pandas str.title to the letter") {
+    val out = Seq("king's lynn", " camden ", "st. albans", "a1b c", "")
+      .toDF("n")
+      .select(Derive.cleanNamePandasTitle($"n").as("c")).as[String].collect().toSeq
+    // pandas: >>> "king's lynn".title() -> "King'S Lynn";
+    // digits are non-alpha so the letter after '1' capitalizes
+    assert(out == Seq("King'S Lynn", "Camden", "St. Albans", "A1B C", ""))
+  }
+
   test("E3 no-match regex yields null, not empty string") {
     val out = Seq("Year 8 females", "no digits here").toDF("h")
       .select(Derive.yearGroupFromHeader($"h").as("y")).collect().toSeq

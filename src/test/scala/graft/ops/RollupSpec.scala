@@ -59,4 +59,34 @@ class RollupSpec extends SparkTestBase {
     assert(m(("Both", "All")) == 70L) // grand total, not double-counted
     assert(out.count() == 3 + 2 + 3)  // base + Both/yg + All/(F,M,Both)
   }
+
+  test("PandasCompat (round 11): D2 all-null groups sum to 0, D6 null keys dropped from rollups") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      Row("F", "8", "a", null, Long.box(10L)),   // m1 all-null in (F,8)
+      Row("F", "8", "a", null, Long.box(5L)),
+      Row(null, "9", "a", Long.box(7L), Long.box(1L)), // null g1 (rolled col in roll1 — relabeled, never a key there)
+      Row("M", null, "a", Long.box(3L), Long.box(2L))) // null g2 (kept key in roll1)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val grain = Seq("g1", "g2", "k")
+    val meas = Seq("m1", "m2")
+    val sql = Rollup.byUnion(df, grain, meas, ("g1", "Both"), ("g2", "All"))
+    val compat = Rollup.byUnion(df, grain, meas, ("g1", "Both"), ("g2", "All"),
+      Rollup.PandasCompat(allNullSumZero = true, dropNullKeyGroups = true))
+    // D2: the (Both, 8, a) gender-rollup group has only null m1 values ->
+    // SQL null, pandas 0
+    def cell(out: org.apache.spark.sql.DataFrame, g1: String, g2: String) =
+      out.where(col("g1") === g1 && col("g2") === g2).select("m1").collect()
+    assert(cell(sql, "Both", "8").exists(_.isNullAt(0)))
+    assert(cell(compat, "Both", "8").forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+    // D6: the row with null g2 forms a null-key group under SQL GROUP BY
+    // but is DROPPED from pandas re-aggregation (base copy survives both)
+    val sqlNullG2 = sql.where(col("g1") === "Both" && col("g2").isNull).count()
+    val compatNullG2 = compat.where(col("g1") === "Both" && col("g2").isNull).count()
+    assert(sqlNullG2 == 1 && compatNullG2 == 0)
+    // base rows pass through untouched in both
+    assert(sql.where(col("g2").isNull && col("g1") === "M").count()
+      == compat.where(col("g2").isNull && col("g1") === "M").count())
+  }
 }

@@ -58,7 +58,11 @@ class AnnIngestSpec extends SparkTestBase {
       Ivf.probe(streamed._1, streamed._2, queries, "vec_id", "embedding", k = 10, nProbe = 4),
       Ivf.probe(batchExtended._1, batchExtended._2, queries, "vec_id", "embedding", k = 10, nProbe = 4))
     assert(streamed._2.count() == emb.count())
-    Ivf.release(streamed); Ivf.release(batchExtended)
+    // release EVERYTHING this test persisted (built's assignment table
+    // was superseded inside extend; centroids are shared and idempotent
+    // to unpersist) — the suite-level storage-hygiene assertions in
+    // SimilaritySpec run in the same shared session
+    Ivf.release(streamed); Ivf.release(batchExtended); Ivf.release(built)
   }
 
   test("IVF sink: replay of an applied batch is a byte-level no-op; fresh batch advances") {
@@ -67,7 +71,9 @@ class AnnIngestSpec extends SparkTestBase {
     val base = emb.where($"vec_id" % 3 === 0)
     val d1 = emb.where($"vec_id" % 3 === 1)
     val d2 = emb.where($"vec_id" % 3 === 2)
-    IndexStore.saveIvf(spark, Ivf.build(base, "vec_id", "embedding", nCentroids = 8), indexDir)
+    val boot = Ivf.build(base, "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvf(spark, boot, indexDir)
+    Ivf.release(boot)
     AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding")
     val sig = fileSig(indexDir)
     // crash after publish, before checkpoint commit → same batch replays
@@ -86,8 +92,9 @@ class AnnIngestSpec extends SparkTestBase {
     val (indexDir, ckpt) = (s"$root/index", s"$root/ckpt")
     val base = emb.where($"vec_id" % 2 === 0)
     val d1 = emb.where($"vec_id" % 2 =!= 0)
-    IndexStore.saveIvfPq(spark,
-      IvfPq.build(base, "vec_id", "embedding", nCentroids = 8), indexDir)
+    val boot = IvfPq.build(base, "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvfPq(spark, boot, indexDir)
+    IvfPq.release(boot)
 
     val mem = MemoryStream[(Long, Array[Double])]
     val q = AnnIngest.ivfPqIngestSink(
