@@ -242,6 +242,14 @@ object Xlsx {
         val commentLen = u16(off + 32)
         val lho = u32(off + 42)
         val name = new String(bytes, off + 46, nameLen, "UTF-8")
+        // Per-ENTRY zip64 markers (the real value lives in the zip64
+        // extra field this parser deliberately doesn't read): clamping
+        // a 0xffffffff csize/offset would read into the next entry's
+        // bytes and parse garbage — fail loudly like the EOCD-level
+        // markers above (advice r11).
+        if (csize == 0xffffffffL || lho == 0xffffffffL)
+          throw new java.io.IOException(
+            s"$describe: zip64 entry $name (csize/offset marker) — not a config workbook")
         b += name -> ((lho, method, csize))
         off += 46 + nameLen + extraLen + commentLen
         i += 1
@@ -290,6 +298,14 @@ object Xlsx {
       }
       override def read(b: Array[Byte], off: Int, len: Int): Int =
         bump(super.read(b, off, len))
+      // skip() inflates and DISCARDS — without this override the
+      // inherited FilterInputStream.skip would bypass the bound
+      // entirely for a parser that skips content (advice r11).
+      override def skip(n: Long): Long = {
+        val s = super.skip(n)
+        if (s > 0) bump(math.min(s, Int.MaxValue).toInt)
+        s
+      }
     }
   }
 

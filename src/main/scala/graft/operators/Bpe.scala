@@ -57,11 +57,18 @@ object Bpe {
   /** Apply ONE merge (l, r) to a symbolization — the string-accumulator
     * fold derived in the object doc. `l`/`r` are plan-time literals
     * (merge tables are driver-small by nature).
+    *
+    * The tail-trim length is in CODE POINTS (`codePointCount`), because
+    * Spark's `length`/`substr` count code points while Java's
+    * `String.length` counts UTF-16 units — a supplementary-plane char
+    * in `l` (emoji in web text) would otherwise over-trim by one per
+    * astral char and silently corrupt the symbolization (advice r11).
     */
   def applyOneMerge(symstr: Column, l: String, r: String): Column =
     aggregate(symsOf(symstr), lit(Sep), (acc, x) =>
       when(acc.endsWith(lit(Sep + l + Sep)) && x === lit(r),
-        concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)), lit(l + r + Sep)))
+        concat(acc.substr(lit(1),
+          length(acc) - lit(l.codePointCount(0, l.length) + 1)), lit(l + r + Sep)))
         .otherwise(concat(acc, x, lit(Sep))))
 
   /** Full merge-table application: fold a word through the trained

@@ -99,10 +99,22 @@ object TextQueries8 {
 
   /** Stage the q210 input: the documents table as a 4-file drop under a
     * fresh temp root (the arriving-files shape a real ingest consumes).
-    * Returns the root; index/reports/ckpt live beside it.
+    * Returns the root; index/reports/ckpt live beside it. The root is
+    * registered for recursive deletion at JVM exit — the published
+    * index must outlive this call (the returned DataFrame is consumed
+    * lazily by Verify/Bench), so exit-time is the earliest safe point;
+    * repeated runs are separate JVMs, so /tmp holds at most one copy
+    * per live process (advice r11).
     */
   private def q210Stage(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val root = java.nio.file.Files.createTempDirectory("graft_q210").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }))
     Tables.documents(s, d).repartition(4).write.mode("overwrite").parquet(s"$root/in")
     root
   }
