@@ -62,11 +62,111 @@ object IndexStore {
     val p = new Path(s"$dir/$part")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$dir has no '$part' component — not a saved index")
-    val df = spark.read.parquet(p.toString)
+    // recursiveFileLookup: a component holds its batch-built files at
+    // the root PLUS append-only `seg_<batchId>/` subdirectories from
+    // streaming maintenance ([[appendSegment]]); one recursive read is
+    // the merge-on-read view. Staging dirs live OUTSIDE the component
+    // (committed by rename INTO it), so a crashed append is invisible.
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(p.toString)
     require(expectCols.forall(df.columns.contains),
       s"$dir/$part lacks ${expectCols.filterNot(df.columns.contains).mkString(",")} — " +
         "not written by IndexStore")
     df
+  }
+
+  // ---- streaming append segments (the LSM shape: publish O(batch)) ----
+
+  private val SegPrefix = "seg_"
+  private val StagingSuffix = "__staging"
+
+  /** Per-segment row-count sidecar (drift accounting without a
+    * per-trigger table scan).
+    */
+  val SegCountFile = "_count"
+
+  /** Append one micro-batch's rows to a component as an immutable
+    * segment, committed by a single atomic rename — the O(batch)
+    * alternative to re-saving the whole index per trigger. The staging
+    * directory lives BESIDE the component (not inside), so readers
+    * never see a half-written segment; a crashed staging dir is
+    * deleted by [[cleanStaleStaging]] on the next trigger.
+    */
+  def appendSegment(
+      spark: SparkSession, dir: String, component: String,
+      rows: DataFrame, batchId: Long): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir, s"$component$SegPrefix$batchId$StagingSuffix")
+    val dest = new Path(s"$dir/$component/$SegPrefix$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    rows.write.mode("overwrite").parquet(staging.toString)
+    // footer-only count of what was just staged (no column reads)
+    val n = spark.read.parquet(staging.toString).count()
+    val out = fs.create(new Path(staging, SegCountFile), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, true) // window-a replay debris
+    if (!fs.rename(staging, dest))
+      throw new java.io.IOException(s"segment commit rename $staging -> $dest failed")
+  }
+
+  /** Delete crashed segment-staging directories (safe under the
+    * caller's index lock).
+    */
+  def cleanStaleStaging(spark: SparkSession, dir: String): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d))
+      fs.listStatus(d).foreach { s =>
+        if (s.isDirectory && s.getPath.getName.contains(SegPrefix) &&
+          s.getPath.getName.endsWith(StagingSuffix))
+          fs.delete(s.getPath, true)
+      }
+  }
+
+  /** Committed segment ids of a component (empty for a pure batch
+    * save).
+    */
+  def segmentIds(spark: SparkSession, dir: String, component: String): Seq[Long] = {
+    val p = new Path(s"$dir/$component")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith(SegPrefix) =>
+        s.getPath.getName.stripPrefix(SegPrefix).toLongOption
+    }.flatten.sorted
+  }
+
+  /** (base rows, streamed rows) of a component — drift accounting for
+    * streaming maintenance. Streamed rows come from the per-segment
+    * `_count` sidecars (driver-side, O(segments)); the base count is
+    * computed once per index generation (footer-only scan of the
+    * non-segment files) and cached in a `_base_count_<component>`
+    * sidecar at the index root — a rebuild wipes the dir, so the cache
+    * can never go stale. A crash between compute and cache write just
+    * recomputes the same value (idempotent).
+    */
+  def componentCounts(spark: SparkSession, dir: String, component: String): (Long, Long) = {
+    val root = new Path(dir)
+    val comp = new Path(s"$dir/$component")
+    val fs = comp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(comp), s"$dir has no '$component' component — not a saved index")
+    val children = fs.listStatus(comp).toSeq
+    val streamed = children.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith(SegPrefix) =>
+        readSidecar(spark, s.getPath.toString, SegCountFile)
+          .map(_.trim.toLong).getOrElse(0L)
+    }.sum
+    val cacheName = s"_base_count_$component"
+    val base = readSidecar(spark, dir, cacheName).map(_.trim.toLong).getOrElse {
+      val baseFiles = children.collect {
+        case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") => s.getPath.toString
+      }
+      val n = if (baseFiles.isEmpty) 0L else spark.read.parquet(baseFiles: _*).count()
+      val out = fs.create(new Path(root, cacheName), true)
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+      n
+    }
+    (base, streamed)
   }
 
   // ---- IVF-flat ----
@@ -107,6 +207,13 @@ object IndexStore {
       try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     }
   }
+
+  /** Centroids only, un-persisted — the streaming sink's per-trigger
+    * need (assign one batch, append; the assignments table is never
+    * read). Tiny by contract; every consumer broadcasts it.
+    */
+  def loadIvfCentroids(spark: SparkSession, dir: String): DataFrame =
+    readPart(spark, dir, "centroids", Seq("cid", "cvec"))
 
   /** Loaded components are persisted (the `Ivf.build` contract — an
     * index is probed many times); release with [[Ivf.release]].
@@ -161,6 +268,17 @@ object IndexStore {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val coded = readPart(spark, dir, "coded", Seq("vid", "cid", "codes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfPq.Index(centroids, coded, loadCodebooks(spark, dir))
+  }
+
+  /** Frozen quantizer only (centroids un-persisted + codebooks) — the
+    * streaming sink's per-trigger need: encode one batch, append;
+    * the coded table is never read.
+    */
+  def loadIvfPqCodec(spark: SparkSession, dir: String): (DataFrame, Pq.Codebooks) =
+    (readPart(spark, dir, "centroids", Seq("cid", "cvec")), loadCodebooks(spark, dir))
+
+  private def loadCodebooks(spark: SparkSession, dir: String): Pq.Codebooks = {
     val metaRow = readPart(spark, dir, "cb_meta", Seq("m", "k", "subDim")).head()
     val (m, k, subDim) = (metaRow.getInt(0), metaRow.getInt(1), metaRow.getInt(2))
     val cents = Array.fill(m)(Array.ofDim[Array[Double]](k))
@@ -169,6 +287,6 @@ object IndexStore {
     }
     require(cents.forall(_.forall(_ != null)),
       s"$dir/cb_cents is missing (subspace, code) entries — truncated save?")
-    IvfPq.Index(centroids, coded, Pq.Codebooks(m, k, subDim, cents))
+    Pq.Codebooks(m, k, subDim, cents)
   }
 }

@@ -188,10 +188,21 @@ object Ivf {
     * collision — feed deduplicated batches (Dedup.* upstream) or
     * duplicate ids will shadow each other in top-k scoring.
     */
+  /** Assign NEW vectors to frozen centroids — the per-batch rows of
+    * [[extend]] alone, without the union: what a segmented streaming
+    * store ([[graft.streaming.AnnIngest]]) appends per trigger so its
+    * publish is O(batch), not O(index). Same (vid, v, cid) schema as
+    * the assignments table.
+    */
+  def assignNew(
+      centroids: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    nearest(prep(newVecs, idCol, vecCol), centroids, keep = 1)
+
   def extend(
       index: (DataFrame, DataFrame), newVecs: DataFrame,
       idCol: String, vecCol: String): (DataFrame, DataFrame) = {
-    val assigned = nearest(prep(newVecs, idCol, vecCol), index._1, keep = 1)
+    val assigned = assignNew(index._1, newVecs, idCol, vecCol)
     val merged = index._2.unionByName(assigned)
       .persist(StorageLevel.MEMORY_AND_DISK)
     merged.count() // materialize before the superseded table unpins

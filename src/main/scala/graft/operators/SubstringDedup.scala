@@ -298,6 +298,15 @@ object SubstringDedup {
         "the incremental-equals-full invariant requires disjoint ids per batch")
   }
 
+  /** `index` may hold MULTIPLE rows per gram — the segmented (LSM)
+    * store's merge-on-read contract: a union of per-batch segments is
+    * probed directly, with the per-gram min(fp)/sum(cnt) folded AFTER
+    * the gram join instead of in a pre-aggregate over the whole index
+    * (the join filters to batch grams first, so the fold touches only
+    * matched rows; the post-join groupBy keys start with `g`, which the
+    * join's hash(g) partitioning already satisfies — no extra
+    * exchange). Single-row indexes behave exactly as before.
+    */
   def cleanKeepFirstIncremental(
       index: DataFrame, batch: DataFrame, k: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -314,9 +323,14 @@ object SubstringDedup {
       // sort-merge pick (7-11 s vs 14-16 s). Hints follow the measured
       // build-side size, not a blanket idiom.
       .join(index.select(col("g"), col("fp"), col("cnt")), Seq("g"), "left")
+      // bfp/bcnt are functionally dependent on g — grouping by all
+      // three keeps them in scope while hash(g) satisfies the
+      // clustering (no exchange between the join and this fold)
+      .groupBy(col("g"), col("bfp"), col("bcnt"))
+      .agg(min(col("fp")).as("ifp"), sum(col("cnt")).as("icnt"))
       .select(col("g"),
-        least(col("bfp"), coalesce(col("fp"), lit(Long.MaxValue))).as("gfp"),
-        (col("bcnt") + coalesce(col("cnt"), lit(0L))).as("gcnt"))
+        least(col("bfp"), coalesce(col("ifp"), lit(Long.MaxValue))).as("gfp"),
+        (col("bcnt") + coalesce(col("icnt"), lit(0L))).as("gcnt"))
       .where(col("gcnt") >= 2)
     val nonFirst = occB.join(merged.hint("shuffle_hash"), Seq("g"))
       .where(packedOrder =!= col("gfp"))

@@ -266,6 +266,37 @@ object TextQueries8 {
       prepare = Some((s, d) => graft.core.Prepared.put(
         "q210_substring_index_streamed", q210Stage(s, d)))),
 
+    // ---- q213: LSM-compacted gram store ≡ batch gram index — the
+    //      SAME wiring as q210 but with maxSegments=2, so the 4-batch
+    //      drop FORCES a mid-stream compaction (segments fold into
+    //      base/ through the staged swap, later batches land beside
+    //      it). The published state the query returns is therefore
+    //      base + live segments merged on read — the oracle (identical
+    //      to q210's) pins the whole LSM lifecycle: O(batch) appends,
+    //      the fold, the liveness rule, and merge-on-read. ----
+    GraftQuery(
+      "q213_substring_index_compacted",
+      (s, d) => {
+        val root = graft.core.Prepared.take[String]("q213_substring_index_compacted")
+          .getOrElse(q210Stage(s, d))
+        val docs = Tables.documents(s, d)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val q = graft.streaming.SubstringIngest.substringIngestSink(
+          stream, s"$root/index", s"$root/reports", s"$root/ckpt", k = 8,
+          maxSegments = 2)
+        try q.processAllAvailable() finally q.stop()
+        graft.streaming.SubstringIngest.readState(s, s"$root/index")._1
+      },
+      Some(GramCte + """
+        SELECT g, CAST(min(doc_id * 2097152 + pos) AS BIGINT) AS fp,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY g
+      """),
+      doc = "LSM-compacted streaming gram store: base+segments merge equals batch gram index",
+      prepare = Some((s, d) => graft.core.Prepared.put(
+        "q213_substring_index_compacted", q210Stage(s, d)))),
+
     // ---- q211: BPE train→apply end-to-end — 8 greedy merges trained
     //      on the corpus word-frequency table, then applied to tokenize
     //      every document; per-doc subword count + md5 witness of the

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -9,47 +10,111 @@ import graft.operators.{IndexStore, Ivf, IvfPq}
 /** Structured-Streaming maintenance of a persisted ANN index — the
   * daily-embedding-ingest shape: a PRE-BUILT index (centroids/codebooks
   * trained once by a batch `build`) is extended append-only per
-  * micro-batch with frozen centroids ([[Ivf.extend]] /
-  * [[IvfPq.extend]]) and republished through [[IndexStore]]'s atomic
-  * whole-directory swap. Probes see either the pre-batch or the
-  * post-batch index, never a half-extended one.
+  * micro-batch with frozen centroids.
   *
-  * Exactly-once across crashes (the SubstringIngest discipline, one
-  * state directory so only one crash window): the applied-batch
-  * watermark rides the swap as a sidecar INSIDE the index dir —
-  * watermark < batchId replays the extend against the intact old index;
-  * watermark >= batchId skips (the publish completed, only the stream
-  * checkpoint commit was lost). The whole body runs under
-  * [[Load.withLock]] on the index directory — a concurrent writer (a
-  * rebuild job, a second stream) is refused loudly.
+  * == Segmented appends — per-trigger publish is O(batch) ==
   *
-  * Preconditions: the index must exist (a frozen-centroid extend of
-  * nothing is meaningless — bootstrap with `Ivf.build`/`IvfPq.build` +
-  * `IndexStore.save*`, which reads as watermark −1); batch ids must be
+  * Round 11 republished the ENTIRE assignments/coded table per trigger
+  * through the whole-directory swap — O(index) publish bytes. New
+  * vectors never modify existing rows (frozen centroids, append-only
+  * semantics), so each trigger now assigns/encodes ONLY the batch and
+  * commits it as an immutable `seg_<batchId>/` child of the component
+  * directory ([[IndexStore.appendSegment]] — staged beside the
+  * component, one atomic rename in). [[IndexStore.loadIvf]]/
+  * [[IndexStore.loadIvfPq]] read components recursively, so probes see
+  * base + segments as one table; a probe mid-commit sees either the
+  * pre- or post-batch file set, never a torn segment. No compaction
+  * stage is needed (unlike the gram store there is no per-key merge —
+  * segments are plain disjoint row sets; a periodic batch REBUILD is
+  * the compaction, and it is already mandated by recall drift below).
+  *
+  * Exactly-once across crashes: the applied-batch watermark is the max
+  * committed segment id (the rename IS the commit — no separate
+  * watermark write to tear), seeded by the `_applied_batch` sidecar a
+  * rebuild publishes via `IndexStore.save*(…, sidecars)`. A replay of
+  * an applied batch skips byte-identically; a crash inside the staged
+  * write leaves only an invisible staging dir, swept on the next
+  * trigger. The body runs under [[Load.withLock]] on the index
+  * directory — a concurrent writer (a rebuild job, a second stream) is
+  * refused loudly. NOTE the lock has no expiry: a HARD crash inside
+  * the locked body leaves `<indexDir>__lock` on disk and every replay
+  * fails with [[graft.load.LockHeldException]] until an operator
+  * confirms no writer is alive and deletes the lock file — recovery is
+  * fail-loud, not automatic (advice r11).
+  *
+  * == Recall drift — measured and ENFORCED ==
+  *
+  * Frozen centroids mean appended vectors never re-balance cells, so
+  * recall decays as the streamed fraction grows. The sink now tracks
+  * base-vs-streamed row counts ([[IndexStore.componentCounts]] — per-
+  * segment `_count` sidecars plus a cached base count, no table scan)
+  * and acts on two documented thresholds of
+  * streamed / (base + streamed), both measured INCLUDING the incoming
+  * batch:
+  *  - above `warnStreamedFraction` (default 0.25): log a warning per
+  *    trigger naming the counts — schedule the rebuild now;
+  *  - above `maxStreamedFraction` (default 0.5): REFUSE the batch
+  *    (fail-loud IllegalStateException) before anything is written —
+  *    rebuild via `Ivf.build`/`IvfPq.build` + `IndexStore.save*` with
+  *    an `_applied_batch` sidecar carrying the last applied id, then
+  *    restart the stream. At 0.5 half the corpus was assigned to
+  *    centroids trained on the other half; past it the index is more
+  *    drift than index.
+  *
+  * Preconditions: the index must exist (bootstrap with
+  * `Ivf.build`/`IvfPq.build` + `IndexStore.save*`); batch ids must be
   * globally unique across the stream (Ivf's documented contract —
   * duplicate ids shadow each other in top-k scoring; replays of the
   * SAME batch are the watermark's job, not this rule's).
-  *
-  * Recall drift: frozen centroids mean the extend never re-balances
-  * cells. The [[Ivf.extend]] scaladoc's recall-floor guidance applies —
-  * schedule a periodic batch rebuild when the streamed fraction grows
-  * large; this sink is the between-rebuilds path.
   */
-object AnnIngest {
+object AnnIngest extends Logging {
 
   val AppliedBatchFile = "_applied_batch"
 
-  private def appliedBatch(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    IndexStore.readSidecar(spark, dir, AppliedBatchFile).map(_.trim.toLong).getOrElse(-1L)
+  val DefaultWarnStreamedFraction = 0.25
+  val DefaultMaxStreamedFraction = 0.5
+
+  private def appliedBatch(
+      spark: org.apache.spark.sql.SparkSession, dir: String, component: String): Long = {
+    val sidecar = IndexStore.readSidecar(spark, dir, AppliedBatchFile)
+      .map(_.trim.toLong).getOrElse(-1L)
+    (sidecar +: IndexStore.segmentIds(spark, dir, component)).max
+  }
+
+  /** Drift gate: warn/refuse on the streamed fraction AFTER this batch
+    * lands. Runs before any write, so a refused batch leaves the store
+    * untouched (the stream dies loudly; rebuild and restart).
+    */
+  private def enforceDrift(
+      spark: org.apache.spark.sql.SparkSession, dir: String, component: String,
+      batchRows: Long, warnAt: Double, maxAt: Double, batchId: Long): Unit = {
+    val (base, streamed) = IndexStore.componentCounts(spark, dir, component)
+    val after = streamed + batchRows
+    val frac = if (base + after == 0L) 0.0 else after.toDouble / (base + after)
+    if (frac > maxAt)
+      throw new IllegalStateException(
+        f"ANN index $dir: streamed fraction $frac%.3f after batch $batchId " +
+          f"($after streamed vs $base base rows) exceeds maxStreamedFraction=$maxAt%.2f " +
+          "— frozen centroids have drifted too far; rebuild (Ivf/IvfPq.build + " +
+          "IndexStore.save* with an _applied_batch sidecar) and restart the stream")
+    if (frac > warnAt)
+      logWarning(
+        f"ANN index $dir: streamed fraction $frac%.3f ($after streamed vs $base base " +
+          f"rows) exceeds warnStreamedFraction=$warnAt%.2f — schedule a batch rebuild " +
+          "before recall decays further")
+  }
 
   /** Start an IVF-flat ingest stream over `vecs` (idCol + vecCol). */
   def ivfIngestSink(
       vecs: DataFrame, indexDir: String, checkpoint: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      warnStreamedFraction: Double = DefaultWarnStreamedFraction,
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIvfBatch(batch, batchId, indexDir, idCol, vecCol)
+        applyIvfBatch(batch, batchId, indexDir, idCol, vecCol,
+          warnStreamedFraction, maxStreamedFraction)
       }
       .start()
 
@@ -59,20 +124,21 @@ object AnnIngest {
     */
   def applyIvfBatch(
       batch: DataFrame, batchId: Long, indexDir: String,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String,
+      warnStreamedFraction: Double = DefaultWarnStreamedFraction,
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction): Unit = {
     batch.persist()
     try {
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         Load.withLock(spark, indexDir, s"ivfIngestSink batch=$batchId") {
-          if (batchId > appliedBatch(spark, indexDir)) {
-            val index = IndexStore.loadIvf(spark, indexDir)
-            try {
-              val extended = Ivf.extend(index, batch, idCol, vecCol)
-              try IndexStore.saveIvf(spark, extended, indexDir,
-                Map(AppliedBatchFile -> batchId.toString))
-              finally Ivf.release(extended)
-            } finally Ivf.release(index)
+          if (batchId > appliedBatch(spark, indexDir, "assignments")) {
+            IndexStore.cleanStaleStaging(spark, indexDir)
+            val centroids = IndexStore.loadIvfCentroids(spark, indexDir)
+            enforceDrift(spark, indexDir, "assignments", batch.count(),
+              warnStreamedFraction, maxStreamedFraction, batchId)
+            IndexStore.appendSegment(spark, indexDir, "assignments",
+              Ivf.assignNew(centroids, batch, idCol, vecCol), batchId)
           }
         }.get
       }
@@ -85,31 +151,35 @@ object AnnIngest {
     */
   def ivfPqIngestSink(
       vecs: DataFrame, indexDir: String, checkpoint: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      warnStreamedFraction: Double = DefaultWarnStreamedFraction,
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIvfPqBatch(batch, batchId, indexDir, idCol, vecCol)
+        applyIvfPqBatch(batch, batchId, indexDir, idCol, vecCol,
+          warnStreamedFraction, maxStreamedFraction)
       }
       .start()
 
   /** One IVF-PQ micro-batch application. Idempotent per batchId. */
   def applyIvfPqBatch(
       batch: DataFrame, batchId: Long, indexDir: String,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String,
+      warnStreamedFraction: Double = DefaultWarnStreamedFraction,
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction): Unit = {
     batch.persist()
     try {
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         Load.withLock(spark, indexDir, s"ivfPqIngestSink batch=$batchId") {
-          if (batchId > appliedBatch(spark, indexDir)) {
-            val index = IndexStore.loadIvfPq(spark, indexDir)
-            try {
-              val extended = IvfPq.extend(index, batch, idCol, vecCol)
-              try IndexStore.saveIvfPq(spark, extended, indexDir,
-                Map(AppliedBatchFile -> batchId.toString))
-              finally IvfPq.release(extended)
-            } finally IvfPq.release(index)
+          if (batchId > appliedBatch(spark, indexDir, "coded")) {
+            IndexStore.cleanStaleStaging(spark, indexDir)
+            val (centroids, cb) = IndexStore.loadIvfPqCodec(spark, indexDir)
+            enforceDrift(spark, indexDir, "coded", batch.count(),
+              warnStreamedFraction, maxStreamedFraction, batchId)
+            IndexStore.appendSegment(spark, indexDir, "coded",
+              IvfPq.encodeNew(centroids, cb, batch, idCol, vecCol), batchId)
           }
         }.get
       }

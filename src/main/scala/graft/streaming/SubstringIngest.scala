@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.load.Load
 import graft.operators.SubstringDedup
@@ -12,118 +13,299 @@ import graft.operators.SubstringDedup
   * al. 2021 keep-first shape, reference semantics on
   * [[graft.operators.SubstringDedup]]): each micro-batch of documents
   * is probed against the persisted gram index of everything ingested
-  * before it, its retention report is published, and the index is
-  * folded forward — the corpus is never re-tokenized. This is the
-  * daily-crawl-drop shape at 100 TB: per-trigger work is
-  * O(batch grams) for the probe plus one index fold, not O(corpus).
+  * before it, its retention report is published, and the batch's OWN
+  * gram segment is appended — the corpus is never re-tokenized and the
+  * index is never rewritten per trigger.
   *
-  * Exactly-once across crashes (the metricsStoreSink discipline,
-  * adapted to TABLE-valued state that cannot be recomputed from a raw
-  * landing without re-tokenizing history):
+  * == Segmented (LSM) store — per-trigger publish is O(batch) ==
   *
-  *  - The published index carries an applied-batch watermark in a
-  *    sidecar file INSIDE the swapped directory ([[AppliedBatchFile]]),
-  *    so index content and watermark are atomic by construction —
-  *    [[Load.replaceTable]]'s staged swap publishes both or neither.
-  *  - Per batch, the order is: report first (from the PRE-fold index,
-  *    `overwrite` into a batch-id-keyed directory), then fold+publish.
-  *    The two crash windows replay cleanly:
-  *    (a) crash after the report, before the publish — the replay sees
-  *        watermark < batchId, recomputes the report from the UNCHANGED
-  *        index (same bytes, overwritten in place) and folds;
-  *    (b) crash after the publish, before the stream checkpoint commit
-  *        — the replay sees watermark >= batchId and skips the batch
-  *        entirely (the report was written before the fold, so it is
-  *        already complete; re-probing the post-fold index would
-  *        misreport every batch gram as duplicated — the skip is
-  *        correctness, not just economy).
-  *  - A crash INSIDE the publish leaves either the old state (replay =
-  *    window a) or the new state (replay = window b); replaceTable's
-  *    backup/restore contract covers the swap itself.
+  * Round 11 published the index by folding the batch in and rewriting
+  * the WHOLE table each trigger — O(index) publish bytes, which at
+  * 100 TB makes steady-state ingest O(corpus distinct grams) per
+  * trigger. The gram merge (min(fp), sum(cnt)) is associative, so the
+  * store is now log-structured:
+  *
+  * {{{
+  * <indexDir>/
+  *   base/           compacted segment: parquet rows (g, fp, cnt)
+  *                   + _compacted_through (max batch id folded in)
+  *                   + _ids_bloom (merged doc-id bloom, see guard)
+  *   seg_<batchId>/  one APPEND-ONLY segment per applied micro-batch:
+  *                   the batch's own gramIndex + _ids_bloom sidecar
+  * }}}
+  *
+  *  - '''Publish''' = write the batch's gram segment under a staging
+  *    name, then one atomic rename to `seg_<batchId>` — the rename IS
+  *    the commit (no separate watermark file whose update could tear).
+  *    Publish bytes are O(batch grams) + one constant-size bloom.
+  *  - '''Probe''' = merge-on-read: the batch is probed against the
+  *    UNION of live segments; [[SubstringDedup.cleanKeepFirstIncremental]]
+  *    folds per-gram min/sum AFTER its gram join, so multi-row grams
+  *    cost no extra exchange.
+  *  - '''Compaction''' bounds read amplification: when live segments
+  *    exceed `maxSegments`, they fold into `base/` through
+  *    [[Load.replaceTable]]'s staged swap (crash-safe: the swap's
+  *    backup/restore contract), with `_compacted_through` recording the
+  *    highest folded batch id. Segments with id <= that are DEAD by
+  *    rule the instant the swap lands — deleting them afterwards is
+  *    pure cleanup, retried opportunistically on later triggers, so a
+  *    crash between swap and delete double-counts nothing.
+  *
+  * Liveness rule (what [[readState]] reads): `base/` if present, else
+  * a legacy round-11 layout's root parquet files; plus every
+  * `seg_<b>` with b > compacted-through. Applied watermark = max of
+  * compacted-through and live segment ids.
+  *
+  * == Exactly-once across crashes ==
+  *
+  * Per batch, the order is: report first (from the PRE-append live
+  * set, `overwrite` into a batch-id-keyed directory), then the segment
+  * rename. The two crash windows replay cleanly:
+  *  (a) crash after the report, before the segment commit — the replay
+  *      sees applied < batchId, recomputes the report from the
+  *      UNCHANGED live set (same bytes, overwritten in place) and
+  *      appends;
+  *  (b) crash after the segment commit, before the stream checkpoint
+  *      commit — the replay sees applied >= batchId and skips the
+  *      batch entirely (the report was written before the commit, so
+  *      it is already complete; re-probing a live set that now
+  *      includes the batch's own segment would misreport every batch
+  *      gram as duplicated — the skip is correctness, not economy).
+  * A crash INSIDE the segment write leaves only a staging directory,
+  * which is invisible to readers and deleted on the next trigger.
   *
   * The whole body runs under [[Load.withLock]] on the index directory:
-  * concurrent writers (a second stream, a batch backfill) are refused
-  * loudly rather than silently interleaving fold state.
+  * concurrent writers (a second stream, a batch backfill, a manual
+  * [[compact]]) are refused loudly rather than silently interleaving.
+  * NOTE the lock has no expiry: a HARD crash inside the locked body
+  * leaves `<indexDir>__lock` on disk and every replay fails with
+  * [[graft.load.LockHeldException]] until an operator confirms no
+  * writer is alive and deletes the lock file — recovery is fail-loud,
+  * not automatic (advice r11).
   *
-  * PRECONDITION (inherited from [[SubstringDedup.updateGramIndex]]):
-  * doc_ids must be globally unique across the stream's lifetime —
-  * foreachBatch replays of the SAME batch are handled by the watermark,
-  * but a SOURCE that re-emits an id under a new batch would conflate
-  * packed orders. Set `checkIds = true` to pay one index distinct per
-  * trigger for a fail-loud guard ([[SubstringDedup.overlappingIds]]).
+  * == doc_id re-use guard (default ON) ==
+  *
+  * [[SubstringDedup.updateGramIndex]]'s precondition — ids globally
+  * unique across the stream's lifetime — is now enforced by default at
+  * bounded cost: every segment carries a bloom filter of its batch's
+  * doc ids (`_ids_bloom`, constant size, published atomically inside
+  * the segment rename), and each trigger checks the batch's ids
+  * against the merged blooms of the live set before folding. A hit
+  * refuses the batch loudly. False positives are ~`bloomFpp` per id
+  * (default 1e-4; a refused CLEAN batch is possible but rare — widen
+  * `bloomExpectedItems`/lower `bloomFpp` if ids are very dense).
+  * Coverage is exact for stores built entirely through this sink or
+  * [[bootstrap]]; a legacy bootstrap (replaceTable at the root) has no
+  * bloom, its ids are unguarded, and the store carries an
+  * `_ids_bloom_incomplete` marker through compaction so the gap is
+  * visible. Replays of the SAME batch are the watermark's job and are
+  * skipped before the guard runs.
   */
 object SubstringIngest {
 
-  /** Watermark sidecar inside the index dir (underscore-prefixed:
-    * invisible to Spark's parquet reader). Content: the last APPLIED
-    * micro-batch id as a decimal string.
-    */
+  /** Legacy (round-11) root watermark file — honored read-only. */
   val AppliedBatchFile = "_applied_batch"
 
-  /** Schema of [[SubstringDedup.gramIndex]] — needed to read an index
+  /** Sidecar inside `base/`: highest batch id folded into it. */
+  val CompactedThroughFile = "_compacted_through"
+
+  /** Per-segment doc-id bloom sidecar. */
+  val IdsBloomFile = "_ids_bloom"
+
+  /** Marker: some live data predates the bloom guard (legacy
+    * bootstrap) — id coverage is best-effort, not complete.
+    */
+  val BloomIncompleteFile = "_ids_bloom_incomplete"
+
+  private val SegPrefix = "seg_"
+  private val StagingSuffix = "__staging"
+
+  /** Schema of [[SubstringDedup.gramIndex]] — needed to read segments
     * that may be empty (zero parquet rows defeat inference).
     */
   val IndexSchema: StructType = StructType(Seq(
     StructField("g", StringType), StructField("fp", LongType),
     StructField("cnt", LongType)))
 
-  /** Published index state: (index-so-far, last applied batch id).
-    * A missing directory (first start) and a PRE-EXISTING index built
-    * by a batch bootstrap (gramIndex + replaceTable, no watermark) both
-    * read as watermark -1 — every stream batch id (>= 0) applies on
-    * top of whatever index content is there.
-    */
-  def readState(spark: SparkSession, indexDir: String): (DataFrame, Long) = {
-    val dir = new Path(indexDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir))
-      (spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema), -1L)
-    else {
-      val marker = new Path(dir, AppliedBatchFile)
-      val applied =
-        if (!fs.exists(marker)) -1L
-        else {
-          val in = fs.open(marker)
-          try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-        }
-      (spark.read.schema(IndexSchema).parquet(indexDir), applied)
+  /** One live data part: its path(s) and whether it carries a bloom. */
+  private case class Part(paths: Seq[Path], bloomAt: Option[Path])
+
+  /** Parsed store state under the liveness rule. */
+  private case class Store(
+      fs: FileSystem,
+      dir: Path,
+      exists: Boolean,
+      baseDir: Option[Path],
+      legacyRootFiles: Seq[Path],
+      compactedThrough: Long,
+      liveSegs: Seq[(Long, Path)], // ascending batch id
+      deadSegs: Seq[Path],
+      staleStaging: Seq[Path],
+      bloomIncomplete: Boolean) {
+    def applied: Long =
+      (compactedThrough +: liveSegs.map(_._1)).max
+    def liveParts: Seq[Part] = {
+      val basePart = baseDir match {
+        case Some(b) => Seq(Part(Seq(b), someIfExists(fs, new Path(b, IdsBloomFile))))
+        case None if legacyRootFiles.nonEmpty =>
+          Seq(Part(legacyRootFiles, None)) // legacy layout: no bloom
+        case None => Nil
+      }
+      basePart ++ liveSegs.map { case (_, p) =>
+        Part(Seq(p), someIfExists(fs, new Path(p, IdsBloomFile)))
+      }
     }
   }
 
-  /** Atomic publish of a folded index + its applied-batch watermark
-    * (one staged swap — see the crash-window analysis above).
+  private def someIfExists(fs: FileSystem, p: Path): Option[Path] =
+    if (fs.exists(p)) Some(p) else None
+
+  private def readLongFile(fs: FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong) finally in.close()
+    }
+
+  private def readStore(spark: SparkSession, indexDir: String): Store = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      return Store(fs, dir, exists = false, None, Nil, -1L, Nil, Nil, Nil,
+        bloomIncomplete = false)
+    val children = fs.listStatus(dir).toSeq
+    val baseDir = children.find(s => s.isDirectory && s.getPath.getName == "base")
+      .map(_.getPath)
+    val compactedThrough = baseDir
+      .flatMap(b => readLongFile(fs, new Path(b, CompactedThroughFile)))
+      // legacy root watermark only meaningful while its root files are live
+      .orElse(if (baseDir.isEmpty) readLongFile(fs, new Path(dir, AppliedBatchFile)) else None)
+      .getOrElse(-1L)
+    val segDirs = children.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(SegPrefix) &&
+        !s.getPath.getName.endsWith(StagingSuffix))
+      .flatMap { s =>
+        val idStr = s.getPath.getName.stripPrefix(SegPrefix)
+        idStr.toLongOption.map(_ -> s.getPath)
+      }
+    val (live, dead) = segDirs.partition(_._1 > compactedThrough)
+    val staleStaging = children.filter(s =>
+      s.isDirectory && s.getPath.getName.endsWith(StagingSuffix)).map(_.getPath)
+    // legacy root data files (round-11 layout): dead once base exists
+    val rootFiles = children.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath)
+    Store(fs, dir, exists = true, baseDir,
+      legacyRootFiles = if (baseDir.isEmpty) rootFiles else Nil,
+      compactedThrough = compactedThrough,
+      liveSegs = live.sortBy(_._1),
+      deadSegs = dead.map(_._2) ++ (if (baseDir.isDefined) rootFiles else Nil),
+      staleStaging = staleStaging,
+      bloomIncomplete = fs.exists(new Path(dir, BloomIncompleteFile)))
+  }
+
+  /** Raw live rows — the merge-on-read UNION, possibly multiple rows
+    * per gram (one per contributing segment). What the probe join and
+    * [[compact]] consume.
     */
-  def publishState(
-      spark: SparkSession, folded: DataFrame, indexDir: String,
-      appliedBatch: Long): Unit =
-    Load.replaceTable(spark, folded, indexDir, decorateStaging = { staging =>
-      val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(new Path(staging, AppliedBatchFile), true)
-      try out.write(appliedBatch.toString.getBytes("UTF-8")) finally out.close()
-    }).get
+  private def readLive(spark: SparkSession, st: Store): DataFrame = {
+    val paths = st.liveParts.flatMap(_.paths).map(_.toString)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], IndexSchema)
+    else spark.read.schema(IndexSchema).parquet(paths: _*)
+  }
+
+  private def mergeRows(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.groupBy(col("g")).agg(min(col("fp")).as("fp"), sum(col("cnt")).as("cnt"))
+  }
+
+  /** Published index state: (merged one-row-per-gram view, applied
+    * batch watermark). A missing directory (first start) reads as
+    * watermark -1; a PRE-EXISTING index from [[bootstrap]] — or a
+    * legacy round-11 layout, or a batch gramIndex + replaceTable at
+    * the root — reads as its recorded watermark (-1 when none), with
+    * every stream batch id (>= 0) applying on top.
+    */
+  def readState(spark: SparkSession, indexDir: String): (DataFrame, Long) = {
+    val st = readStore(spark, indexDir)
+    (mergeRows(readLive(spark, st)), st.applied)
+  }
+
+  /** Batch bootstrap of a segmented store: the full corpus-so-far gram
+    * index lands in `base/` (staged swap) with a complete doc-id bloom
+    * — the recommended seed for a store whose id guard should have
+    * full coverage. `appliedBatch` seeds the watermark (-1 = nothing
+    * streamed yet).
+    */
+  def bootstrap(
+      spark: SparkSession, docs: DataFrame, indexDir: String, k: Int = 8,
+      appliedBatch: Long = -1L,
+      bloomExpectedItems: Long = DefaultBloomItems,
+      bloomFpp: Double = DefaultBloomFpp): Unit = {
+    val bloom = docs.stat.bloomFilter("doc_id", bloomExpectedItems, bloomFpp)
+    Load.replaceTable(spark, SubstringDedup.gramIndex(docs, k), s"$indexDir/base",
+      decorateStaging = { staging =>
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        writeLongFile(fs, new Path(staging, CompactedThroughFile), appliedBatch)
+        writeBloom(fs, new Path(staging, IdsBloomFile), bloom)
+      }).get
+    ()
+  }
+
+  private def writeLongFile(fs: FileSystem, p: Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def writeBloom(fs: FileSystem, p: Path, bloom: BloomFilter): Unit = {
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  private def readBloom(fs: FileSystem, p: Path): BloomFilter = {
+    val in = fs.open(p)
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Defaults size the per-segment bloom at ~2.3 MB — constant per
+    * segment regardless of index size, merged away at compaction.
+    */
+  val DefaultBloomItems: Long = 1L * 1000 * 1000
+  val DefaultBloomFpp: Double = 1e-4
+
+  private val DefaultMaxSegments = 16
 
   /** Start the ingest stream.
     *
     * @param docs       streaming DataFrame with (`doc_id` long-castable,
     *                   `text` string) columns
-    * @param indexDir   persisted gram index (created if absent; a batch
-    *                   bootstrap via gramIndex + replaceTable is honored)
+    * @param indexDir   persisted gram index (created if absent; a
+    *                   [[bootstrap]] or legacy batch bootstrap is honored)
     * @param reportDir  retention reports, one `__batch=<id>` child per
     *                   micro-batch (same columns as cleanKeepFirst:
     *                   doc_id, n_tokens, removed_tokens, removed_ppm,
     *                   kept_md5)
     * @param checkpoint stream checkpoint location
     * @param k          gram width in tokens
-    * @param checkIds   fail loudly if a batch re-uses an indexed doc_id
+    * @param checkIds   refuse a batch whose ids hit the live blooms
+    *                   (default ON — see the guard section above)
+    * @param maxSegments compact into `base/` when live segments exceed
+    *                   this (read amplification bound)
     */
   def substringIngestSink(
       docs: DataFrame, indexDir: String, reportDir: String,
       checkpoint: String, k: Int = 8,
-      checkIds: Boolean = false): StreamingQuery =
+      checkIds: Boolean = true,
+      maxSegments: Int = DefaultMaxSegments,
+      bloomExpectedItems: Long = DefaultBloomItems,
+      bloomFpp: Double = DefaultBloomFpp): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, indexDir, reportDir, k, checkIds)
+        applyBatch(batch, batchId, indexDir, reportDir, k, checkIds,
+          maxSegments, bloomExpectedItems, bloomFpp)
       }
       .start()
 
@@ -133,35 +315,114 @@ object SubstringIngest {
     */
   def applyBatch(
       batch: DataFrame, batchId: Long, indexDir: String, reportDir: String,
-      k: Int = 8, checkIds: Boolean = false): Unit = {
+      k: Int = 8, checkIds: Boolean = true,
+      maxSegments: Int = DefaultMaxSegments,
+      bloomExpectedItems: Long = DefaultBloomItems,
+      bloomFpp: Double = DefaultBloomFpp): Unit = {
     // one evaluation of the micro-batch source: the empty check, the
-    // report probe, and the index fold all read cached rows
+    // id guard, the report probe, the segment write and the bloom all
+    // read cached rows
     batch.persist()
     try {
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         Load.withLock(spark, indexDir, s"substringIngestSink batch=$batchId") {
-          val (index, applied) = readState(spark, indexDir)
-          if (batchId > applied) {
-            if (checkIds) SubstringDedup.assertDisjointIds(index, batch)
-            // the probe and the fold both gram the batch — the
-            // persist() above makes that two cache reads, not two
-            // source evaluations; the index side is plain parquet,
-            // shared lazily by both plans
-            SubstringDedup.cleanKeepFirstIncremental(index, batch, k)
+          val st = readStore(spark, indexDir)
+          if (batchId > st.applied) {
+            // cleanup debris first: crashed staging dirs and
+            // already-compacted segments (dead by the liveness rule)
+            (st.staleStaging ++ st.deadSegs).foreach(st.fs.delete(_, true))
+            if (checkIds) bloomGuard(spark, st, batch, batchId)
+            val live = readLive(spark, st)
+            SubstringDedup.cleanKeepFirstIncremental(live, batch, k)
               .write.mode("overwrite")
               .parquet(s"$reportDir/${MetricsStore.BatchCol}=$batchId")
-            publishState(spark,
-              SubstringDedup.updateGramIndex(index, batch, k),
-              indexDir, batchId)
+            // O(batch) publish: the batch's own gram segment, committed
+            // by one atomic rename (bloom sidecar rides inside)
+            val bloom = batch.stat.bloomFilter("doc_id", bloomExpectedItems, bloomFpp)
+            val segFinal = new Path(st.dir, f"$SegPrefix$batchId%d")
+            val segStaging = new Path(st.dir, segFinal.getName + StagingSuffix)
+            SubstringDedup.gramIndex(batch, k)
+              .write.mode("overwrite").parquet(segStaging.toString)
+            writeBloom(st.fs, new Path(segStaging, IdsBloomFile), bloom)
+            if (!st.fs.rename(segStaging, segFinal))
+              throw new java.io.IOException(
+                s"segment commit rename $segStaging -> $segFinal failed")
+            if (st.liveSegs.size + 1 > maxSegments) compactLocked(spark, indexDir)
           }
           // else: replayed fully-applied batch — the report was
-          // written BEFORE the publish, so it already exists with
-          // the right bytes; recomputing it against the post-fold
-          // index would be wrong, not just wasteful (window b)
+          // written BEFORE the segment commit, so it already exists
+          // with the right bytes; recomputing it against a live set
+          // containing the batch's own segment would be wrong, not
+          // just wasteful (window b)
         }.get
       }
     } finally batch.unpersist()
+    ()
+  }
+
+  /** Refuse the batch if any of its ids hits the live set's merged
+    * blooms (constant-size driver read per live part; one pass over
+    * the batch). Blooms are sized identically per store, so
+    * mergeInPlace is always compatible.
+    */
+  private def bloomGuard(
+      spark: SparkSession, st: Store, batch: DataFrame, batchId: Long): Unit = {
+    val bloomPaths = st.liveParts.flatMap(_.bloomAt)
+    val unguarded = st.liveParts.exists(_.bloomAt.isEmpty) || st.bloomIncomplete
+    if (unguarded && !st.fs.exists(new Path(st.dir, BloomIncompleteFile)) && st.exists)
+      writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
+    if (bloomPaths.nonEmpty) {
+      val merged = bloomPaths.map(readBloom(st.fs, _)).reduce { (a, b) =>
+        a.mergeInPlace(b); a
+      }
+      import org.apache.spark.sql.functions.{col, udf}
+      val hit = udf((id: Long) => merged.mightContainLong(id))
+      val hits = batch.select(col("doc_id").cast("long").as("doc_id"))
+        .where(hit(col("doc_id"))).limit(5).collect().map(_.getLong(0))
+      require(hits.isEmpty,
+        s"substringIngestSink batch=$batchId re-uses already-ingested doc_ids " +
+          s"${hits.mkString(", ")} (bloom hit, fpp ~$DefaultBloomFpp) — ids must be " +
+          "globally unique across the stream; replays of the same batch are " +
+          "skipped by the watermark, so this is a source re-emitting ids")
+    }
+  }
+
+  /** Fold base + live segments into a fresh `base/` (staged swap) and
+    * drop the folded segments. Safe to call concurrently with nothing
+    * — takes the same index lock as the sink; call between triggers or
+    * on a stopped stream.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    Load.withLock(spark, indexDir, "substringIngest compact") {
+      compactLocked(spark, indexDir)
+    }.get
+    ()
+  }
+
+  private def compactLocked(spark: SparkSession, indexDir: String): Unit = {
+    val st = readStore(spark, indexDir)
+    if (st.liveSegs.isEmpty) return // nothing to fold
+    val through = st.applied
+    val parts = st.liveParts
+    val blooms = parts.flatMap(_.bloomAt).map(readBloom(st.fs, _))
+    val mergedBloom =
+      if (blooms.isEmpty) None
+      else Some(blooms.reduce { (a, b) => a.mergeInPlace(b); a })
+    val incomplete = st.bloomIncomplete || parts.exists(_.bloomAt.isEmpty)
+    Load.replaceTable(spark, mergeRows(readLive(spark, st)), s"$indexDir/base",
+      decorateStaging = { staging =>
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        writeLongFile(fs, new Path(staging, CompactedThroughFile), through)
+        mergedBloom.foreach(writeBloom(fs, new Path(staging, IdsBloomFile), _))
+      }).get
+    if (incomplete)
+      writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
+    // the swap made these dead by rule; deleting is cleanup (crash
+    // here → next trigger's debris sweep finishes the job)
+    st.liveSegs.foreach { case (_, p) => st.fs.delete(p, true) }
+    st.legacyRootFiles.foreach(st.fs.delete(_, false))
+    st.fs.delete(new Path(st.dir, AppliedBatchFile), false)
     ()
   }
 

@@ -40,8 +40,11 @@ class AnnIngestSpec extends SparkTestBase {
     val toRows = (df: DataFrame) =>
       df.select($"vec_id", $"embedding").as[(Long, Array[Double])].collect().toSeq
     val mem = MemoryStream[(Long, Array[Double])]
+    // this fixture deliberately streams 2/3 of the corpus — disable the
+    // drift refusal (exercised by its own test below)
     val q = AnnIngest.ivfIngestSink(
-      mem.toDF().toDF("vec_id", "embedding"), indexDir, ckpt)
+      mem.toDF().toDF("vec_id", "embedding"), indexDir, ckpt,
+      maxStreamedFraction = 1.0)
     try {
       mem.addData(toRows(d1): _*)
       q.processAllAvailable()
@@ -74,13 +77,16 @@ class AnnIngestSpec extends SparkTestBase {
     val boot = Ivf.build(base, "vec_id", "embedding", nCentroids = 8)
     IndexStore.saveIvf(spark, boot, indexDir)
     Ivf.release(boot)
-    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding")
+    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding",
+      maxStreamedFraction = 1.0)
     val sig = fileSig(indexDir)
     // crash after publish, before checkpoint commit → same batch replays
-    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding")
+    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding",
+      maxStreamedFraction = 1.0)
     assert(fileSig(indexDir) == sig, "replay rewrote the index")
     // a genuinely new batch still applies on top
-    AnnIngest.applyIvfBatch(d2, 1L, indexDir, "vec_id", "embedding")
+    AnnIngest.applyIvfBatch(d2, 1L, indexDir, "vec_id", "embedding",
+      maxStreamedFraction = 1.0)
     val ix = IndexStore.loadIvf(spark, indexDir)
     assert(ix._2.count() == emb.count())
     Ivf.release(ix)
@@ -118,6 +124,47 @@ class AnnIngestSpec extends SparkTestBase {
       IvfPq.probe(streamed, queries, "vec_id", "embedding", k = 10, nProbe = 4),
       IvfPq.probe(batchExtended, queries, "vec_id", "embedding", k = 10, nProbe = 4))
     IvfPq.release(streamed); IvfPq.release(batchExtended)
+  }
+
+  test("recall drift: a batch pushing the streamed fraction past the threshold is refused before any write; a rebuild resets it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anndrift").toString
+    val indexDir = s"$root/index"
+    val base = emb.where($"vec_id" % 3 === 0)
+    val d1 = emb.where($"vec_id" % 3 === 1)
+    val d2 = emb.where($"vec_id" % 3 === 2)
+    val boot = Ivf.build(base, "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvf(spark, boot, indexDir)
+    Ivf.release(boot)
+    // batch 0: streamed fraction ~0.5 — allowed at the default 0.5? No:
+    // d1 ≈ base, so frac ≈ 0.5 exactly; use a tighter threshold to trip
+    val e = intercept[IllegalStateException] {
+      AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding",
+        maxStreamedFraction = 0.3)
+    }
+    assert(e.getMessage.contains("maxStreamedFraction"), e.getMessage)
+    // refusal happened BEFORE any write: no segments landed
+    assert(IndexStore.segmentIds(spark, indexDir, "assignments").isEmpty)
+    // under the threshold the same batch applies…
+    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding",
+      maxStreamedFraction = 0.75)
+    assert(IndexStore.segmentIds(spark, indexDir, "assignments") == Seq(0L))
+    // …and a batch REBUILD (the mandated compaction) resets the
+    // fraction: full save with the applied watermark riding the swap
+    val ix = IndexStore.loadIvf(spark, indexDir)
+    val rebuilt = Ivf.build(ix._2.select($"vid".as("vec_id"), $"v".as("embedding")),
+      "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvf(spark, rebuilt, indexDir, Map(AnnIngest.AppliedBatchFile -> "0"))
+    Ivf.release(ix); Ivf.release(rebuilt)
+    assert(IndexStore.segmentIds(spark, indexDir, "assignments").isEmpty)
+    // replay of batch 0 against the rebuilt index skips (watermark 0)
+    val sig = fileSig(indexDir)
+    AnnIngest.applyIvfBatch(d1, 0L, indexDir, "vec_id", "embedding")
+    assert(fileSig(indexDir) == sig, "replayed batch was re-applied after rebuild")
+    // batch 1 now lands on a fresh base (fraction back under 0.5)
+    AnnIngest.applyIvfBatch(d2, 1L, indexDir, "vec_id", "embedding")
+    val after = IndexStore.loadIvf(spark, indexDir)
+    assert(after._2.count() == emb.count())
+    Ivf.release(after)
   }
 
   test("missing bootstrap index is refused loudly") {

@@ -119,4 +119,102 @@ class SubstringIngestSinkSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("doc_ids"), e.getMessage)
   }
+
+  /** Distinct-text batches of equal shape: batch i contributes 3 docs
+    * of 6 unique tokens each (every gram globally unique), so every
+    * committed segment should hold the same ~9 gram rows regardless of
+    * how large the accumulated index has grown.
+    */
+  private def uniformBatch(i: Int) =
+    (0 until 3).map(j => ((i * 10 + j).toLong,
+      s"u${i}x${j}a u${i}x${j}b u${i}x${j}c u${i}x${j}d u${i}x${j}e u${i}x${j}f"))
+
+  private def segParquetBytes(indexDir: String, batchId: Long): Long = {
+    val seg = new java.io.File(s"$indexDir/seg_$batchId")
+    assert(seg.isDirectory, s"segment seg_$batchId not committed")
+    seg.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+  }
+
+  test("segmented store: per-trigger publish bytes stay O(batch) as the index grows") {
+    val (_, indexDir, reportDir, _) = dirs()
+    val n = 12
+    for (i <- 0 until n)
+      SubstringIngest.applyBatch(uniformBatch(i).toDF("doc_id", "text"), i.toLong,
+        indexDir, reportDir, k, maxSegments = 100, bloomExpectedItems = 1000)
+    // publish bytes per trigger: an early and a late segment of equal
+    // batch shape must be the same size (the round-11 fold republished
+    // the WHOLE index — seg 11 would be ~12x seg 1)
+    val early = segParquetBytes(indexDir, 1L)
+    val late = segParquetBytes(indexDir, (n - 1).toLong)
+    assert(late <= early * 2 && early <= late * 2,
+      s"publish bytes grew with index size: seg_1=$early bytes, seg_${n - 1}=$late bytes")
+    // merge-on-read equals the batch definition over everything
+    val all = (0 until n).flatMap(uniformBatch).toDF("doc_id", "text")
+    assertSameRows(SubstringIngest.readState(spark, indexDir)._1,
+      SubstringDedup.gramIndex(all, k))
+  }
+
+  test("compaction: folding segments into base preserves state, watermark and the id guard") {
+    val (_, indexDir, reportDir, _) = dirs()
+    val batches = Seq(b1, b2, b3, Seq((7L, "fresh words after the fold here")))
+    for ((b, i) <- batches.zipWithIndex)
+      SubstringIngest.applyBatch(b.toDF("doc_id", "text"), i.toLong,
+        indexDir, reportDir, k, maxSegments = 2, bloomExpectedItems = 1000)
+    // maxSegments=2 forced at least one fold: base exists, few live segs
+    assert(new java.io.File(s"$indexDir/base").isDirectory, "no compaction happened")
+    val liveSegs = new java.io.File(indexDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+    assert(liveSegs.length <= 2, s"compaction left ${liveSegs.length} live segments")
+    // state: merged view equals the full recompute; watermark survived the fold
+    val all = batches.flatten.toDF("doc_id", "text")
+    val (idx, applied) = SubstringIngest.readState(spark, indexDir)
+    assert(applied == 3L)
+    assertSameRows(idx, SubstringDedup.gramIndex(all, k))
+    // reports: every batch equals the full recompute restricted to it
+    assertSameRows(SubstringIngest.readReports(spark, reportDir),
+      SubstringDedup.cleanKeepFirst(all, k))
+    // the id guard survived the fold (blooms merged into base): re-use
+    // of a batch-0 id is still refused
+    val dup = Seq((1L, "unrelated text entirely new tokens")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SubstringIngest.applyBatch(dup, 9L, indexDir, reportDir, k,
+        maxSegments = 2, bloomExpectedItems = 1000)
+    }
+    assert(e.getMessage.contains("doc_ids"), e.getMessage)
+    // manual compact of the remaining segments is state-preserving
+    SubstringIngest.compact(spark, indexDir)
+    val (idx2, applied2) = SubstringIngest.readState(spark, indexDir)
+    assert(applied2 == 3L)
+    assertSameRows(idx2, SubstringDedup.gramIndex(all, k))
+  }
+
+  test("legacy round-11 layout (root parquet + _applied_batch) reads, extends and compacts away") {
+    val (_, indexDir, reportDir, _) = dirs()
+    val corpus = b1.toDF("doc_id", "text")
+    // simulate a round-11 store: whole index at the root + watermark file
+    assert(graft.load.Load.replaceTable(
+      spark, SubstringDedup.gramIndex(corpus, k), indexDir).isSuccess)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, SubstringIngest.AppliedBatchFile),
+      "0".getBytes("UTF-8"))
+    val (idx0, applied0) = SubstringIngest.readState(spark, indexDir)
+    assert(applied0 == 0L)
+    assertSameRows(idx0, SubstringDedup.gramIndex(corpus, k))
+    // a new batch appends beside the legacy files (replay of 0 skips)
+    SubstringIngest.applyBatch(b2.toDF("doc_id", "text"), 1L, indexDir, reportDir, k,
+      bloomExpectedItems = 1000)
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    assertSameRows(SubstringIngest.readState(spark, indexDir)._1,
+      SubstringDedup.gramIndex(all, k))
+    // legacy ids predate the bloom guard — the store must carry the
+    // incomplete-coverage marker once it notices
+    assert(new java.io.File(s"$indexDir/${SubstringIngest.BloomIncompleteFile}").exists)
+    // compaction migrates everything into base/ and drops the root files
+    SubstringIngest.compact(spark, indexDir)
+    val (idx2, applied2) = SubstringIngest.readState(spark, indexDir)
+    assert(applied2 == 1L)
+    assertSameRows(idx2, SubstringDedup.gramIndex(all, k))
+    assert(!new java.io.File(indexDir).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")), "legacy root files survived compaction")
+  }
 }
