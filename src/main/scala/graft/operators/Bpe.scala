@@ -89,20 +89,57 @@ object Bpe {
       .otherwise(array().cast("array<struct<l:string,r:string>>"))
   }
 
+  /** Vocabulary-size gate for the in-memory trainer: ~2 M distinct
+    * words ≈ a few hundred MB of driver heap with the pair maps — the
+    * [[Components]] driverUnionFind sizing discipline. Web-text
+    * vocabularies are ~100 k words INDEPENDENT of corpus size (the one
+    * corpus pass already collapsed occurrences), so at 100 TB this
+    * gate still admits the driver path; the distributed fallback
+    * exists for pathological vocabularies (random strings, binary
+    * spill), not for big corpora.
+    */
+  val MaxDriverVocab: Long = 2L * 1000 * 1000
+
   /** Train `nMerges` BPE merges over the corpus (greedy, classic):
     * per round, the most frequent adjacent symbol pair — occurrence
     * counts weighted by word frequency — is merged everywhere. Returns
     * the merges in rank order. Fails loudly if the corpus runs out of
     * pairs before `nMerges` (a caller asking for a 32k vocab over a
     * 10-word corpus should hear about it, not get 7 merges silently).
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table;
+    * when it fits under `maxDriverVocab` (the normal case — see the
+    * gate's doc) training runs IN MEMORY on the driver with an
+    * incremental pair-count lazy-heap: O(total pair updates · log)
+    * instead of one Spark job per merge round, which at a production
+    * 32 k-merge vocabulary is the difference between seconds and hours
+    * of job-launch overhead (round-11 verdict #3). Above the gate, the
+    * round-per-merge distributed fold runs (localCheckpoint-ed per
+    * round with superseded-block release). Both paths are exactly
+    * equivalent — same greedy pick order (count desc, then l, r in
+    * UTF-8 byte order, matching Spark/DuckDB binary string collation),
+    * same leftmost-rescan merge semantics (BpeSpec pins it).
     */
   def trainMerges(
-      docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(String, String)] = {
+      docs: DataFrame, nMerges: Int, textCol: String = "text",
+      maxDriverVocab: Long = MaxDriverVocab): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     // ONE corpus pass: everything after this is vocabulary-sized
-    var vocab = docs
+    val wordFreq = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    try {
+      if (wordFreq.count() <= maxDriverVocab)
+        trainInMemory(
+          wordFreq.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      else trainDistributed(wordFreq, nMerges)
+    } finally Lineage.release(wordFreq)
+  }
+
+  private def trainDistributed(
+      wordFreq: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var vocab = wordFreq
       .select(col("w"), col("freq"), initialSymstr(col("w")).as("symstr"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
@@ -128,6 +165,135 @@ object Bpe {
       }
       merges.result()
     } finally Lineage.release(vocab)
+  }
+
+  /** UTF-8 byte order — Spark's (and DuckDB's) binary string
+    * collation, which the distributed trainer's `orderBy(l, r)` uses.
+    * Java's String.compareTo orders by UTF-16 units and DISAGREES for
+    * supplementary-plane vs some BMP characters, so the in-memory
+    * tie-break must not use it.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /** A word as its initial code-point symbols (the in-memory mirror of
+    * [[initialSymstr]], whose substr() walks code points).
+    */
+  private def codePointSyms(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One leftmost-rescan merge pass — the in-memory mirror of
+    * [[applyOneMerge]]'s string-accumulator fold: after a merge the new
+    * symbol becomes the scan's tail and cannot re-match `l` (it equals
+    * l+r, never l), which is exactly the skip-two advance here.
+    * Returns the input array unchanged (same reference) when nothing
+    * merged, so callers can cheaply detect no-ops.
+    */
+  private[operators] def mergeLeftScan(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    var i = 0
+    var hits = 0
+    while (i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) { hits += 1; i += 2 } else i += 1
+    }
+    if (hits == 0) return syms
+    val out = new Array[String](syms.length - hits)
+    var j = 0
+    i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out(j) = l + r; j += 1; i += 2
+      } else { out(j) = syms(i); j += 1; i += 1 }
+    }
+    out
+  }
+
+  /** Greedy in-memory trainer: incremental pair counts + a lazy-
+    * deletion max-heap (stale entries are discarded when their stored
+    * count no longer matches the live map) + a pair→words index so
+    * each round touches only the words containing the merged pair.
+    * Exactly the distributed trainer's semantics; `private[operators]`
+    * so the equivalence spec can drive it directly.
+    */
+  private[operators] def trainInMemory(
+      vocab: Array[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = vocab.map { case (w, _) => codePointSyms(w) }
+    val freqs: Array[Long] = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val members = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    // max-heap: count desc, then l, r ASC in utf8 order (reversed here
+    // because PriorityQueue dequeues the ordering's maximum)
+    val ord: Ordering[(Long, String, String)] = (x, y) => {
+      val c = java.lang.Long.compare(x._1, y._1)
+      if (c != 0) c
+      else {
+        val lc = utf8Compare(y._2, x._2)
+        if (lc != 0) lc else utf8Compare(y._3, x._3)
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long, wid: Int): Unit = {
+      val next = counts.getOrElse(p, 0L) + delta
+      if (next <= 0L) counts.remove(p)
+      else {
+        counts(p) = next
+        pq.enqueue((next, p._1, p._2))
+      }
+      if (delta > 0L && wid >= 0)
+        members.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wid
+    }
+    def pairsOf(s: Array[String], delta: Long, wid: Int, freq: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        bump((s(i), s(i + 1)), delta * freq, if (delta > 0) wid else -1)
+        i += 1
+      }
+    }
+    var wid = 0
+    while (wid < syms.length) { pairsOf(syms(wid), 1L, wid, freqs(wid)); wid += 1 }
+    val merges = Seq.newBuilder[(String, String)]
+    for (i <- 1 to nMerges) {
+      var best: (String, String) = null
+      while (best == null) {
+        require(pq.nonEmpty,
+          s"BPE training exhausted adjacent pairs after ${i - 1} merges (requested $nMerges)")
+        val (c, l, r) = pq.dequeue()
+        if (counts.getOrElse((l, r), 0L) == c) best = (l, r)
+      }
+      merges += best
+      val (l, r) = best
+      // the members list may hold stale ids (word since rewritten) and
+      // duplicates (pair added twice to one word) — mergeLeftScan's
+      // same-reference no-op return makes both harmless
+      for (w <- members.remove(best).getOrElse(mutable.ArrayBuffer.empty)) {
+        val old = syms(w)
+        val merged = mergeLeftScan(old, l, r)
+        if (merged ne old) {
+          pairsOf(old, -1L, w, freqs(w))
+          pairsOf(merged, 1L, w, freqs(w))
+          syms(w) = merged
+        }
+      }
+    }
+    merges.result()
   }
 
   /** Tokenize a corpus with a trained merge table: per document, the

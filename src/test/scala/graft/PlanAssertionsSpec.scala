@@ -203,6 +203,23 @@ class PlanAssertionsSpec extends SparkTestBase {
       "documents must not shuffle to meet the bucket-offset table")
   }
 
+  test("q212: packing prefix sum is two-phase — no per-lang near-global window scan") {
+    val p = plan("q212_bpe_packing")
+    // the intra-bucket window partitions by (lang, bkt); the offset
+    // window runs over the 1024x-smaller bucket list and its result
+    // broadcasts back — the document stream must never meet it via a
+    // shuffle, and no window may partition by lang alone
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast back onto the document stream")
+    // the lang-alone window EXISTS but runs over the bucket aggregate
+    // (1024x smaller); the window over the document stream must be
+    // bucketed — its partition spec carries bkt alongside lang
+    val windowParts = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windowParts.exists(sp => sp.contains("lang#") && sp.contains("bkt#")),
+      s"document-stream window must partition by (lang, bkt), got: $windowParts")
+  }
+
   test("q178/q180: dimension-sized score/count frames broadcast; no cartesian") {
     val p1 = plan("q178_hits_paths")
     assert(p1.contains("BroadcastHashJoin"), "auth1 (|suppliers| rows) must broadcast")

@@ -60,6 +60,23 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("driver-gated trainer ≡ distributed trainer (ties, multibyte, astral-plane symbols)") {
+    // engineered: repeated count ties (zz/qq, aa/ba), supplementary-
+    // plane 𝕏 (U+1D54F — where Java UTF-16 ordering disagrees with
+    // UTF-8 byte order) and BMP multibyte é, so the in-memory pick
+    // order and code-point splitting are both exercised
+    val docs = Seq(
+      (1L, "aa ab ba 𝕏a 𝕏a a𝕏b 𝕏𝕏 z"),
+      (2L, "aa ba ba 𝕏a zz zz qq qq"),
+      (3L, "aa ab 𝕏𝕏𝕏 eée eée")
+    ).toDF("doc_id", "text")
+    val n = 8
+    val fast = Bpe.trainMerges(docs, n) // vocab << gate → driver path
+    val slow = Bpe.trainMerges(docs, n, maxDriverVocab = 0L) // forced distributed
+    assert(fast == slow, s"driver $fast != distributed $slow")
+    assertSameRows(Bpe.subwordReport(docs, fast), Bpe.subwordReport(docs, slow))
+  }
+
   test("exhaustion fails loudly") {
     val docs = Seq((1L, "aa ab")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] { Bpe.trainMerges(docs, 5) }
