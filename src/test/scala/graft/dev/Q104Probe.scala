@@ -24,8 +24,12 @@ object Q104Probe {
         val dur = for {
           s <- si.submissionTime; c <- si.completionTime
         } yield (c - s) / 1e3
+        val m = si.taskMetrics
         println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d " +
-          f"dur=${dur.getOrElse(-1.0)}%6.2f s  ${si.name.take(90)}")
+          f"dur=${dur.getOrElse(-1.0)}%6.2f s " +
+          f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e9}%6.2f GB " +
+          f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e9}%6.2f GB " +
+          f"spill=${m.diskBytesSpilled / 1e9}%5.2f GB  ${si.name.take(70)}")
       }
     })
 

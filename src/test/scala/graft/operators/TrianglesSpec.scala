@@ -72,4 +72,49 @@ class TrianglesSpec extends SparkTestBase {
     assert(!hasBroadcast(Triangles.triangles(e, broadcastMaxAdjEntries = 0L)),
       "over-threshold adjacency must not broadcast")
   }
+
+  test("packed adjacency kernels: pack/intersect agree with the naive set intersection") {
+    import graft.expressions.PackedAdjacency
+    val rnd = new scala.util.Random(7)
+    def arr(n: Int, bound: Long): Array[Long] =
+      Seq.fill(n)(rnd.nextLong().abs % bound).distinct.sorted.toArray
+    for (_ <- 0 until 50) {
+      val a = arr(rnd.nextInt(40), 200)
+      val b = arr(rnd.nextInt(40), 200)
+      val got = PackedAdjacency.intersect(
+        PackedAdjacency.pack(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)),
+        PackedAdjacency.pack(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b)))
+      assert(got.toSeq == a.toSet.intersect(b.toSet).toSeq.sorted,
+        s"a=${a.toSeq} b=${b.toSeq}")
+    }
+    // wide gaps (varint multi-byte lanes) and negatives via zigzag first
+    val wide = Array(-5L, 3L, 1L << 40, (1L << 40) + 1, Long.MaxValue - 1)
+    val packed = PackedAdjacency.pack(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(wide))
+    assert(PackedAdjacency.intersect(packed, packed).toSeq == wide.toSeq)
+    // fail-loud on unsorted input
+    intercept[IllegalArgumentException] {
+      PackedAdjacency.pack(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(3L, 2L)))
+    }
+  }
+
+  test("hub chunking: every payload lane with split probe rows enumerates the identical triangle set") {
+    // star-plus-ring: vertex 0 is a hub of degree 24 (its adjacency row
+    // splits into many chunks at maxAdjChunk=4); ring edges close
+    // triangles through the hub
+    val hub = (1L to 24L).map(v => (0L, v))
+    val ring = (1L until 24L).map(v => (v, v + 1))
+    val edges = (hub ++ ring).toDF("u", "v")
+    val expected = Triangles.triangles(edges) // broadcast lane, unchunked
+      .select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+    assert(expected.size == 23, s"fixture should close 23 hub triangles, got ${expected.size}")
+    val adj = Triangles.adjacency(Triangles.canonicalEdges(edges, "u", "v"))
+    for (p <- Triangles.AdjPayload.values) {
+      val chunked = Triangles.trianglesFromAdjacency(
+        adj, broadcastMaxAdjEntries = 0L, maxAdjChunk = 4, payload = p)
+        .select("a", "b", "c").as[(Long, Long, Long)].collect().toSet
+      assert(chunked == expected, s"chunked fallback lane $p diverged")
+    }
+  }
 }
