@@ -298,6 +298,14 @@ object SubstringDedup {
         "the incremental-equals-full invariant requires disjoint ids per batch")
   }
 
+  /** False-positive rate of the batch-gram bloom that prunes the
+    * index side of the incremental probe. FPs only cost shuffle bytes
+    * (the pruned-in rows die in the join); false negatives are
+    * impossible by the bloom contract, so correctness never depends on
+    * this number.
+    */
+  val IndexPrefilterFpp: Double = 0.01
+
   /** `index` may hold MULTIPLE rows per gram — the segmented (LSM)
     * store's merge-on-read contract: a union of per-batch segments is
     * probed directly, with the per-gram min(fp)/sum(cnt) folded AFTER
@@ -306,13 +314,38 @@ object SubstringDedup {
     * matched rows; the post-join groupBy keys start with `g`, which the
     * join's hash(g) partitioning already satisfies — no extra
     * exchange). Single-row indexes behave exactly as before.
+    *
+    * `indexGramPrefilter` (default ON): the index side is filtered by
+    * a bloom of the BATCH's grams BEFORE its exchange. At steady state
+    * a daily batch is a tiny fraction of the corpus, but the gram join
+    * must still see every index row — without the prefilter that is an
+    * O(index) shuffle per trigger. The bloom turns it into an
+    * O(index) SCAN (which the probe pays regardless) plus an
+    * O(batch ∩ index + fpp·index) shuffle. Cost: one batch-sized
+    * count + one bloom aggregate; at fixture scale the overhead and
+    * the win both round to zero, at 100 TB the shuffle reduction is
+    * the difference between a probe that scales with the batch and
+    * one that scales with the corpus (A/B in BASELINE.md round-12).
     */
   def cleanKeepFirstIncremental(
       index: DataFrame, batch: DataFrame, k: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      indexGramPrefilter: Boolean = true): DataFrame = {
     val occB = gramOccurrences(batch, k, idCol, textCol)
     val bStats = occB.groupBy(col("g"))
       .agg(min(packedOrder).as("bfp"), count(lit(1)).as("bcnt"))
+    val indexSide = {
+      val plain = index.select(col("g"), col("fp"), col("cnt"))
+      if (!indexGramPrefilter) plain
+      else {
+        val spark = batch.sparkSession
+        val nOcc = math.max(1L, occB.count()) // ≥ distinct grams
+        val bloom = occB.stat.bloomFilter("g", nOcc, IndexPrefilterFpp)
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightHave = udf((g: String) => bc.value.mightContainString(g))
+        plain.where(mightHave(col("g")))
+      }
+    }
     // merged per-gram view of corpus ∪ batch, batch grams only (grams
     // absent from the batch cannot mark any batch position)
     val merged = bStats
@@ -322,7 +355,7 @@ object SubstringDedup {
       // hash-building 23.6 M string-keyed entries loses to AQE's
       // sort-merge pick (7-11 s vs 14-16 s). Hints follow the measured
       // build-side size, not a blanket idiom.
-      .join(index.select(col("g"), col("fp"), col("cnt")), Seq("g"), "left")
+      .join(indexSide, Seq("g"), "left")
       // bfp/bcnt are functionally dependent on g — grouping by all
       // three keeps them in scope while hash(g) satisfies the
       // clustering (no exchange between the join and this fold)

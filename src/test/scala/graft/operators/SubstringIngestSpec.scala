@@ -58,4 +58,21 @@ class SubstringIngestSpec extends SparkTestBase {
     assert(got2.select($"removed_tokens").as[Long].head() ==
       got2.select($"n_tokens").as[Long].head())
   }
+
+  test("index-side gram bloom prefilter changes nothing but the shuffle") {
+    val corpus = Seq(
+      (1L, "shared run of tokens appears here today"),
+      (2L, "other content nothing else shares it"),
+      (3L, "third doc with its own private words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared run of tokens appears here today again"),
+      (11L, "fully fresh text no overlap anywhere now")
+    ).toDF("doc_id", "text")
+    val index = SubstringDedup.gramIndex(corpus, k)
+    assertSameRows(
+      SubstringDedup.cleanKeepFirstIncremental(index, batch, k),
+      SubstringDedup.cleanKeepFirstIncremental(index, batch, k,
+        indexGramPrefilter = false))
+  }
 }
