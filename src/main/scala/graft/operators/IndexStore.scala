@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -59,15 +59,18 @@ object IndexStore {
 
   private def readPart(spark: SparkSession, dir: String, part: String,
       expectCols: Seq[String]): DataFrame = {
-    val p = new Path(s"$dir/$part")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"$dir has no '$part' component — not a saved index")
-    // recursiveFileLookup: a component holds its batch-built files at
-    // the root PLUS append-only `seg_<batchId>/` subdirectories from
-    // streaming maintenance ([[appendSegment]]); one recursive read is
-    // the merge-on-read view. Staging dirs live OUTSIDE the component
-    // (committed by rename INTO it), so a crashed append is invisible.
-    val df = spark.read.option("recursiveFileLookup", "true").parquet(p.toString)
+    // a component holds its batch-built files at the root PLUS
+    // append-only `seg_<batchId>/` subdirectories from streaming
+    // maintenance ([[appendSegment]]) PLUS at most one LIVE compacted
+    // segment ([[compactSegments]]); the liveness view is the
+    // merge-on-read union. Staging dirs live OUTSIDE the component
+    // (committed by rename INTO it), so a crashed append is invisible;
+    // dead parts (folded into a newer cseg) are excluded by rule.
+    val v = componentView(spark, dir, part)
+    val paths = (v.baseFiles ++ v.liveCseg.map(_._2) ++ v.liveSegs.map(_._2))
+      .map(_.toString)
+    require(paths.nonEmpty, s"$dir/$part has no data files — not a saved index")
+    val df = spark.read.parquet(paths: _*)
     require(expectCols.forall(df.columns.contains),
       s"$dir/$part lacks ${expectCols.filterNot(df.columns.contains).mkString(",")} — " +
         "not written by IndexStore")
@@ -77,12 +80,53 @@ object IndexStore {
   // ---- streaming append segments (the LSM shape: publish O(batch)) ----
 
   private val SegPrefix = "seg_"
+  private val CsegPrefix = "cseg_"
   private val StagingSuffix = "__staging"
 
   /** Per-segment row-count sidecar (drift accounting without a
     * per-trigger table scan).
     */
   val SegCountFile = "_count"
+
+  /** Liveness view of a component: batch-built parquet files at the
+    * root, the NEWEST compacted segment (if any), and streaming
+    * segments newer than it. Older csegs and segments with id <= the
+    * live cseg's fold-through are DEAD by rule the instant the cseg
+    * commit-rename lands — a crash between that rename and the dead
+    * deletes double-counts nothing, because every reader goes through
+    * this view.
+    */
+  private case class ComponentView(
+      fs: FileSystem,
+      comp: Path,
+      baseFiles: Seq[Path],
+      liveCseg: Option[(Long, Path)],
+      liveSegs: Seq[(Long, Path)], // ascending id, all > cseg through
+      dead: Seq[Path])
+
+  private def componentView(
+      spark: SparkSession, dir: String, component: String): ComponentView = {
+    val comp = new Path(s"$dir/$component")
+    val fs = comp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(comp), s"$dir has no '$component' component — not a saved index")
+    val children = fs.listStatus(comp).toSeq
+    val baseFiles = children.collect {
+      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => s.getPath
+    }
+    def ids(prefix: String): Seq[(Long, Path)] = children.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith(prefix) =>
+        s.getPath.getName.stripPrefix(prefix).toLongOption.map(_ -> s.getPath)
+    }.flatten.sortBy(_._1)
+    val csegs = ids(CsegPrefix)
+    val segs = ids(SegPrefix) // "cseg_…" does not start with "seg_"
+    val through = csegs.lastOption.map(_._1).getOrElse(Long.MinValue)
+    val (live, deadSegs) = segs.partition(_._1 > through)
+    ComponentView(fs, comp, baseFiles,
+      liveCseg = csegs.lastOption,
+      liveSegs = live,
+      dead = deadSegs.map(_._2) ++ csegs.dropRight(1).map(_._2))
+  }
 
   /** Append one micro-batch's rows to a component as an immutable
     * segment, committed by a single atomic rename — the O(batch)
@@ -122,18 +166,27 @@ object IndexStore {
       }
   }
 
-  /** Committed segment ids of a component (empty for a pure batch
-    * save).
+  /** Committed streaming batch ids visible in a component (empty for a
+    * pure batch save): live segment ids plus the live compacted
+    * segment's fold-through id — the max is a stable applied-batch
+    * watermark across compactions (the cseg's id IS the highest id it
+    * folded, so compaction never regresses the watermark).
     */
   def segmentIds(spark: SparkSession, dir: String, component: String): Seq[Long] = {
     val p = new Path(s"$dir/$component")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.collect {
-      case s if s.isDirectory && s.getPath.getName.startsWith(SegPrefix) =>
-        s.getPath.getName.stripPrefix(SegPrefix).toLongOption
-    }.flatten.sorted
+    else {
+      val v = componentView(spark, dir, component)
+      (v.liveCseg.map(_._1).toSeq ++ v.liveSegs.map(_._1)).sorted
+    }
   }
+
+  /** Number of live UNCOMPACTED streaming segments — what a sink
+    * compares against its maxSegments bound.
+    */
+  def liveStreamSegments(spark: SparkSession, dir: String, component: String): Int =
+    componentView(spark, dir, component).liveSegs.size
 
   /** (base rows, streamed rows) of a component — drift accounting for
     * streaming maintenance. Streamed rows come from the per-segment
@@ -146,27 +199,74 @@ object IndexStore {
     */
   def componentCounts(spark: SparkSession, dir: String, component: String): (Long, Long) = {
     val root = new Path(dir)
-    val comp = new Path(s"$dir/$component")
-    val fs = comp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(comp), s"$dir has no '$component' component — not a saved index")
-    val children = fs.listStatus(comp).toSeq
-    val streamed = children.collect {
-      case s if s.isDirectory && s.getPath.getName.startsWith(SegPrefix) =>
-        readSidecar(spark, s.getPath.toString, SegCountFile)
-          .map(_.trim.toLong).getOrElse(0L)
+    val v = componentView(spark, dir, component)
+    val fs = v.fs
+    // streamed = live segments + the live compacted segment, whose
+    // _count sidecar carries the SUM of everything it folded — rows
+    // assigned with frozen centroids stay streamed through compaction,
+    // so the drift clock never resets without a rebuild
+    val streamed = (v.liveCseg.map(_._2).toSeq ++ v.liveSegs.map(_._2)).map { p =>
+      readSidecar(spark, p.toString, SegCountFile).map(_.trim.toLong).getOrElse(0L)
     }.sum
     val cacheName = s"_base_count_$component"
     val base = readSidecar(spark, dir, cacheName).map(_.trim.toLong).getOrElse {
-      val baseFiles = children.collect {
-        case s if s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".") => s.getPath.toString
-      }
+      val baseFiles = v.baseFiles.map(_.toString)
       val n = if (baseFiles.isEmpty) 0L else spark.read.parquet(baseFiles: _*).count()
       val out = fs.create(new Path(root, cacheName), true)
       try out.write(n.toString.getBytes("UTF-8")) finally out.close()
       n
     }
     (base, streamed)
+  }
+
+  /** Fold the live compacted segment (if any) and ALL live streaming
+    * segments of a component into ONE `cseg_<T>` (T = highest folded
+    * batch id), committed by a single atomic rename — the bound on
+    * segment-count growth that the drift gate alone does not give
+    * (many small triggers keep the streamed FRACTION low while the
+    * segment COUNT grows without limit: every probe lists each
+    * segment, every trigger reads each `_count` sidecar).
+    *
+    * Unlike a batch rebuild, compaction does NOT reset drift
+    * accounting: the folded rows were assigned/encoded with frozen
+    * centroids and remain STREAMED rows — the cseg's `_count` sidecar
+    * carries the sum of everything folded.
+    *
+    * Crash-safe by the [[componentView]] liveness rule: a crash inside
+    * the staged write leaves only an invisible staging dir (swept by
+    * [[cleanStaleStaging]]); a crash after the commit rename but before
+    * the dead deletes leaves dead parts every reader already excludes
+    * — the next compaction (or [[sweepDead]]) finishes the cleanup.
+    * Callers serialize through the index lock (the sink's discipline).
+    */
+  def compactSegments(spark: SparkSession, dir: String, component: String): Unit = {
+    val v = componentView(spark, dir, component)
+    if (v.liveSegs.isEmpty) return
+    val through = v.liveSegs.map(_._1).max // > any prior cseg id by liveness
+    val folded = v.liveCseg.map(_._2).toSeq ++ v.liveSegs.map(_._2)
+    val streamed = folded.map { p =>
+      readSidecar(spark, p.toString, SegCountFile).map(_.trim.toLong).getOrElse(0L)
+    }.sum
+    val staging = new Path(dir, s"$component$CsegPrefix$through$StagingSuffix")
+    if (v.fs.exists(staging)) v.fs.delete(staging, true)
+    spark.read.parquet(folded.map(_.toString): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = v.fs.create(new Path(staging, SegCountFile), true)
+    try out.write(streamed.toString.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(v.comp, s"$CsegPrefix$through")
+    if (v.fs.exists(dest)) v.fs.delete(dest, true)
+    if (!v.fs.rename(staging, dest))
+      throw new java.io.IOException(s"cseg commit rename $staging -> $dest failed")
+    // dead by rule now; deletes are cleanup
+    (folded ++ v.dead).foreach(v.fs.delete(_, true))
+  }
+
+  /** Delete parts a prior compaction made dead but did not finish
+    * deleting (crash between the cseg rename and the cleanup).
+    */
+  def sweepDead(spark: SparkSession, dir: String, component: String): Unit = {
+    val v = componentView(spark, dir, component)
+    v.dead.foreach(v.fs.delete(_, true))
   }
 
   // ---- IVF-flat ----

@@ -21,12 +21,22 @@ import graft.operators.{IndexStore, Ivf, IvfPq}
   * commits it as an immutable `seg_<batchId>/` child of the component
   * directory ([[IndexStore.appendSegment]] — staged beside the
   * component, one atomic rename in). [[IndexStore.loadIvf]]/
-  * [[IndexStore.loadIvfPq]] read components recursively, so probes see
-  * base + segments as one table; a probe mid-commit sees either the
-  * pre- or post-batch file set, never a torn segment. No compaction
-  * stage is needed (unlike the gram store there is no per-key merge —
-  * segments are plain disjoint row sets; a periodic batch REBUILD is
-  * the compaction, and it is already mandated by recall drift below).
+  * [[IndexStore.loadIvfPq]] read components through the store's
+  * liveness view, so probes see base + live segments as one table; a
+  * probe mid-commit sees either the pre- or post-batch file set, never
+  * a torn segment.
+  *
+  * Segment COUNT is bounded separately from drift: many small triggers
+  * keep the streamed fraction low while segments pile up (every probe
+  * lists each one, every trigger reads each `_count` sidecar), so past
+  * `maxSegments` live segments the sink folds them into one compacted
+  * segment ([[IndexStore.compactSegments]] — single atomic rename,
+  * dead-by-rule cleanup). There is no per-key merge (segments are
+  * disjoint row sets), so compaction is a plain concatenating rewrite
+  * of STREAMED rows only — O(streamed), never O(base) — and it does
+  * NOT reset drift accounting: folded rows were encoded with frozen
+  * centroids and stay counted as streamed. A batch REBUILD (mandated
+  * by recall drift below) remains the only reset.
   *
   * Exactly-once across crashes: the applied-batch watermark is the max
   * committed segment id (the rename IS the commit — no separate
@@ -74,6 +84,14 @@ object AnnIngest extends Logging {
   val DefaultWarnStreamedFraction = 0.25
   val DefaultMaxStreamedFraction = 0.5
 
+  /** Compact live segments into one past this bound. Higher than the
+    * gram store's 16: ANN compaction rewrites ALL streamed rows (no
+    * per-key merge shrinks them), so the amortized per-trigger rewrite
+    * cost is streamed/maxSegments — 64 keeps it small while listing 64
+    * directories stays trivial.
+    */
+  val DefaultMaxSegments = 64
+
   private def appliedBatch(
       spark: org.apache.spark.sql.SparkSession, dir: String, component: String): Long = {
     val sidecar = IndexStore.readSidecar(spark, dir, AppliedBatchFile)
@@ -109,12 +127,13 @@ object AnnIngest extends Logging {
       vecs: DataFrame, indexDir: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
-      maxStreamedFraction: Double = DefaultMaxStreamedFraction): StreamingQuery =
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction,
+      maxSegments: Int = DefaultMaxSegments): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfBatch(batch, batchId, indexDir, idCol, vecCol,
-          warnStreamedFraction, maxStreamedFraction)
+          warnStreamedFraction, maxStreamedFraction, maxSegments)
       }
       .start()
 
@@ -126,7 +145,8 @@ object AnnIngest extends Logging {
       batch: DataFrame, batchId: Long, indexDir: String,
       idCol: String, vecCol: String,
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
-      maxStreamedFraction: Double = DefaultMaxStreamedFraction): Unit = {
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction,
+      maxSegments: Int = DefaultMaxSegments): Unit = {
     batch.persist()
     try {
       if (!batch.isEmpty) {
@@ -134,11 +154,14 @@ object AnnIngest extends Logging {
         Load.withLock(spark, indexDir, s"ivfIngestSink batch=$batchId") {
           if (batchId > appliedBatch(spark, indexDir, "assignments")) {
             IndexStore.cleanStaleStaging(spark, indexDir)
+            IndexStore.sweepDead(spark, indexDir, "assignments")
             val centroids = IndexStore.loadIvfCentroids(spark, indexDir)
             enforceDrift(spark, indexDir, "assignments", batch.count(),
               warnStreamedFraction, maxStreamedFraction, batchId)
             IndexStore.appendSegment(spark, indexDir, "assignments",
               Ivf.assignNew(centroids, batch, idCol, vecCol), batchId)
+            if (IndexStore.liveStreamSegments(spark, indexDir, "assignments") > maxSegments)
+              IndexStore.compactSegments(spark, indexDir, "assignments")
           }
         }.get
       }
@@ -153,12 +176,13 @@ object AnnIngest extends Logging {
       vecs: DataFrame, indexDir: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
-      maxStreamedFraction: Double = DefaultMaxStreamedFraction): StreamingQuery =
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction,
+      maxSegments: Int = DefaultMaxSegments): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfPqBatch(batch, batchId, indexDir, idCol, vecCol,
-          warnStreamedFraction, maxStreamedFraction)
+          warnStreamedFraction, maxStreamedFraction, maxSegments)
       }
       .start()
 
@@ -167,7 +191,8 @@ object AnnIngest extends Logging {
       batch: DataFrame, batchId: Long, indexDir: String,
       idCol: String, vecCol: String,
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
-      maxStreamedFraction: Double = DefaultMaxStreamedFraction): Unit = {
+      maxStreamedFraction: Double = DefaultMaxStreamedFraction,
+      maxSegments: Int = DefaultMaxSegments): Unit = {
     batch.persist()
     try {
       if (!batch.isEmpty) {
@@ -175,11 +200,14 @@ object AnnIngest extends Logging {
         Load.withLock(spark, indexDir, s"ivfPqIngestSink batch=$batchId") {
           if (batchId > appliedBatch(spark, indexDir, "coded")) {
             IndexStore.cleanStaleStaging(spark, indexDir)
+            IndexStore.sweepDead(spark, indexDir, "coded")
             val (centroids, cb) = IndexStore.loadIvfPqCodec(spark, indexDir)
             enforceDrift(spark, indexDir, "coded", batch.count(),
               warnStreamedFraction, maxStreamedFraction, batchId)
             IndexStore.appendSegment(spark, indexDir, "coded",
               IvfPq.encodeNew(centroids, cb, batch, idCol, vecCol), batchId)
+            if (IndexStore.liveStreamSegments(spark, indexDir, "coded") > maxSegments)
+              IndexStore.compactSegments(spark, indexDir, "coded")
           }
         }.get
       }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -100,11 +101,34 @@ import graft.operators.SubstringDedup
   * `_ids_bloom_incomplete` marker through compaction so the gap is
   * visible. Replays of the SAME batch are the watermark's job and are
   * skipped before the guard runs.
+  *
+  * '''Saturation''' (the guard's own scale bound): blooms merge by
+  * OR-ing fixed bitsets, so once the TOTAL ingested ids exceed
+  * `bloomExpectedItems` the merged filter's false-positive rate climbs
+  * toward 1 — past capacity the guard would start refusing CLEAN
+  * batches, an availability failure, and no driver-side bloom can be
+  * sized for a 100-TB corpus' id count. Each sidecar therefore carries
+  * its item count (`_ids_n`, summed through compaction); when the
+  * merged count crosses capacity the guard DEGRADES — logs, writes the
+  * incomplete marker, stops refusing — instead of failing wrong. Past
+  * that point (or for end-to-end certainty at any point) run
+  * [[auditIngestedIds]]: the retention reports carry every ingested
+  * doc_id, so one distributed aggregate over them is an EXACT id-reuse
+  * audit with no capacity bound.
   */
-object SubstringIngest {
+object SubstringIngest extends Logging {
 
   /** Legacy (round-11) root watermark file — honored read-only. */
   val AppliedBatchFile = "_applied_batch"
+
+  /** Sidecar beside each `_ids_bloom`: how many ids went into it
+    * (summed through compaction) — the saturation accounting that lets
+    * the guard degrade loudly instead of false-refusing past capacity.
+    * A bloom with no count (pre-upgrade store) counts as 0: such a
+    * store undercounts toward the capacity check, so pair it with
+    * [[auditIngestedIds]] if its true id count is near capacity.
+    */
+  val IdsNFile = "_ids_n"
 
   /** Sidecar inside `base/`: highest batch id folded into it. */
   val CompactedThroughFile = "_compacted_through"
@@ -244,12 +268,14 @@ object SubstringIngest {
       appliedBatch: Long = -1L,
       bloomExpectedItems: Long = DefaultBloomItems,
       bloomFpp: Double = DefaultBloomFpp): Unit = {
-    val bloom = docs.stat.bloomFilter("doc_id", bloomExpectedItems, bloomFpp)
+    val bloom = docIdBloom(docs, bloomExpectedItems, bloomFpp)
+    val nIds = docs.count()
     Load.replaceTable(spark, SubstringDedup.gramIndex(docs, k), s"$indexDir/base",
       decorateStaging = { staging =>
         val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         writeLongFile(fs, new Path(staging, CompactedThroughFile), appliedBatch)
         writeBloom(fs, new Path(staging, IdsBloomFile), bloom)
+        writeLongFile(fs, new Path(staging, IdsNFile), nIds)
       }).get
     ()
   }
@@ -262,6 +288,19 @@ object SubstringIngest {
   private def writeBloom(fs: FileSystem, p: Path, bloom: BloomFilter): Unit = {
     val out = fs.create(p, true)
     try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Bloom over doc_id AS LONG — `stat.bloomFilter` hashes a column by
+    * its NATIVE type (string ids go in as UTF-8 bytes), while the guard
+    * probes with `mightContainLong`; without the cast a long-castable
+    * but non-long id column would build a bloom the probe can never
+    * hit, silently disabling the guard instead of enforcing it.
+    */
+  private def docIdBloom(
+      docs: DataFrame, expectedItems: Long, fpp: Double): BloomFilter = {
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .stat.bloomFilter("doc_id", expectedItems, fpp)
   }
 
   private def readBloom(fs: FileSystem, p: Path): BloomFilter = {
@@ -332,19 +371,20 @@ object SubstringIngest {
             // cleanup debris first: crashed staging dirs and
             // already-compacted segments (dead by the liveness rule)
             (st.staleStaging ++ st.deadSegs).foreach(st.fs.delete(_, true))
-            if (checkIds) bloomGuard(spark, st, batch, batchId)
+            if (checkIds) bloomGuard(spark, st, batch, batchId, bloomExpectedItems)
             val live = readLive(spark, st)
             SubstringDedup.cleanKeepFirstIncremental(live, batch, k)
               .write.mode("overwrite")
               .parquet(s"$reportDir/${MetricsStore.BatchCol}=$batchId")
             // O(batch) publish: the batch's own gram segment, committed
             // by one atomic rename (bloom sidecar rides inside)
-            val bloom = batch.stat.bloomFilter("doc_id", bloomExpectedItems, bloomFpp)
+            val bloom = docIdBloom(batch, bloomExpectedItems, bloomFpp)
             val segFinal = new Path(st.dir, f"$SegPrefix$batchId%d")
             val segStaging = new Path(st.dir, segFinal.getName + StagingSuffix)
             SubstringDedup.gramIndex(batch, k)
               .write.mode("overwrite").parquet(segStaging.toString)
             writeBloom(st.fs, new Path(segStaging, IdsBloomFile), bloom)
+            writeLongFile(st.fs, new Path(segStaging, IdsNFile), batch.count())
             if (!st.fs.rename(segStaging, segFinal))
               throw new java.io.IOException(
                 s"segment commit rename $segStaging -> $segFinal failed")
@@ -364,15 +404,31 @@ object SubstringIngest {
   /** Refuse the batch if any of its ids hits the live set's merged
     * blooms (constant-size driver read per live part; one pass over
     * the batch). Blooms are sized identically per store, so
-    * mergeInPlace is always compatible.
+    * mergeInPlace is always compatible. Past capacity (total ingested
+    * ids > `bloomExpectedItems`) the merged filter's fpp is no longer
+    * the configured one — a refusal would mostly hit CLEAN batches, so
+    * the guard degrades: mark incomplete, warn, skip the check (the
+    * exact path past capacity is [[auditIngestedIds]]).
     */
   private def bloomGuard(
-      spark: SparkSession, st: Store, batch: DataFrame, batchId: Long): Unit = {
+      spark: SparkSession, st: Store, batch: DataFrame, batchId: Long,
+      bloomExpectedItems: Long): Unit = {
     val bloomPaths = st.liveParts.flatMap(_.bloomAt)
-    val unguarded = st.liveParts.exists(_.bloomAt.isEmpty) || st.bloomIncomplete
+    val mergedN = bloomPaths
+      .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
+    val saturated = mergedN > bloomExpectedItems
+    if (saturated)
+      logWarning(
+        s"substringIngest ${st.dir}: merged id blooms hold ~$mergedN ids, past their " +
+          s"$bloomExpectedItems capacity — the id guard is DEGRADED (would mostly " +
+          "false-refuse); marking the store _ids_bloom_incomplete. Run " +
+          "auditIngestedIds over the report directory for an exact check, or " +
+          "re-bootstrap with a larger bloomExpectedItems")
+    val unguarded =
+      st.liveParts.exists(_.bloomAt.isEmpty) || st.bloomIncomplete || saturated
     if (unguarded && !st.fs.exists(new Path(st.dir, BloomIncompleteFile)) && st.exists)
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
-    if (bloomPaths.nonEmpty) {
+    if (bloomPaths.nonEmpty && !saturated) {
       val merged = bloomPaths.map(readBloom(st.fs, _)).reduce { (a, b) =>
         a.mergeInPlace(b); a
       }
@@ -405,16 +461,22 @@ object SubstringIngest {
     if (st.liveSegs.isEmpty) return // nothing to fold
     val through = st.applied
     val parts = st.liveParts
-    val blooms = parts.flatMap(_.bloomAt).map(readBloom(st.fs, _))
+    val bloomPaths = parts.flatMap(_.bloomAt)
+    val blooms = bloomPaths.map(readBloom(st.fs, _))
     val mergedBloom =
       if (blooms.isEmpty) None
       else Some(blooms.reduce { (a, b) => a.mergeInPlace(b); a })
+    val mergedN = bloomPaths
+      .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
     val incomplete = st.bloomIncomplete || parts.exists(_.bloomAt.isEmpty)
     Load.replaceTable(spark, mergeRows(readLive(spark, st)), s"$indexDir/base",
       decorateStaging = { staging =>
         val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         writeLongFile(fs, new Path(staging, CompactedThroughFile), through)
-        mergedBloom.foreach(writeBloom(fs, new Path(staging, IdsBloomFile), _))
+        mergedBloom.foreach { b =>
+          writeBloom(fs, new Path(staging, IdsBloomFile), b)
+          writeLongFile(fs, new Path(staging, IdsNFile), mergedN)
+        }
       }).get
     if (incomplete)
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
@@ -426,15 +488,33 @@ object SubstringIngest {
     ()
   }
 
+  private val ReportSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_tokens", LongType),
+    StructField("removed_tokens", LongType), StructField("removed_ppm", LongType),
+    StructField("kept_md5", StringType),
+    StructField(MetricsStore.BatchCol, LongType)))
+
   /** All retention reports published so far, with the batch column
     * dropped (the read surface mirrors batch cleanKeepFirst's schema).
     */
-  def readReports(spark: SparkSession, reportDir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("n_tokens", LongType),
-      StructField("removed_tokens", LongType), StructField("removed_ppm", LongType),
-      StructField("kept_md5", StringType),
-      StructField(MetricsStore.BatchCol, LongType)))
-    spark.read.schema(schema).parquet(reportDir).drop(MetricsStore.BatchCol)
+  def readReports(spark: SparkSession, reportDir: String): DataFrame =
+    spark.read.schema(ReportSchema).parquet(reportDir).drop(MetricsStore.BatchCol)
+
+  /** EXACT id-reuse audit, no capacity bound: every applied batch's
+    * retention report carries one row per ingested doc_id, so one
+    * distributed aggregate over the report directory finds every id
+    * that appeared in more than one batch (or twice in one). Returns
+    * (doc_id, n_occurrences, batches) rows — empty means clean. This is
+    * the ground truth the per-trigger bloom guard approximates; run it
+    * periodically once a store is marked `_ids_bloom_incomplete`
+    * (legacy bootstrap or bloom saturation).
+    */
+  def auditIngestedIds(spark: SparkSession, reportDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.schema(ReportSchema).parquet(reportDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        sort_array(collect_set(col(MetricsStore.BatchCol))).as("batches"))
+      .where(col("n_occurrences") > 1)
   }
 }

@@ -167,6 +167,57 @@ class AnnIngestSpec extends SparkTestBase {
     Ivf.release(after)
   }
 
+  test("segment compaction: past maxSegments the live segments fold into one cseg — probe identity, stable watermark, drift accounting preserved, dead parts excluded then swept") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anncomp").toString
+    val indexDir = s"$root/index"
+    val base = emb.where($"vec_id" % 5 === 0)
+    val boot = Ivf.build(base, "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvf(spark, boot, indexDir)
+    Ivf.release(boot)
+    val batches = (1 to 4).map(i => emb.where($"vec_id" % 5 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      AnnIngest.applyIvfBatch(b, i.toLong, indexDir, "vec_id", "embedding",
+        maxStreamedFraction = 1.0, maxSegments = 2)
+    }
+    // maxSegments=2 over 4 batches forces a mid-stream compaction:
+    // batch 2's append makes 3 live segments -> cseg_2; batch 3 lands
+    // beside it
+    assert(IndexStore.liveStreamSegments(spark, indexDir, "assignments") <= 2,
+      "segment count not bounded by compaction")
+    val ids = IndexStore.segmentIds(spark, indexDir, "assignments")
+    assert(ids.max == 3L, s"watermark regressed across compaction: $ids")
+    assert(ids.contains(2L), s"live cseg fold-through id missing from $ids")
+    // replay of a batch folded INTO the cseg is still a byte-level no-op
+    val sig = fileSig(indexDir)
+    AnnIngest.applyIvfBatch(batches.head, 0L, indexDir, "vec_id", "embedding",
+      maxStreamedFraction = 1.0, maxSegments = 2)
+    assert(fileSig(indexDir) == sig, "replay of a compacted batch rewrote the index")
+    // drift accounting survives compaction: folded rows stay streamed
+    val (b0, s0) = IndexStore.componentCounts(spark, indexDir, "assignments")
+    assert(b0 == base.count() && s0 == batches.map(_.count()).sum,
+      s"compaction disturbed drift accounting: base=$b0 streamed=$s0")
+    // a crash between the cseg rename and the dead deletes leaves dead
+    // parts behind; readers must exclude them BY RULE (garbage schema
+    // proves it is never even opened) and the sweep removes them
+    val deadSeg = new java.io.File(s"$indexDir/assignments/seg_1")
+    spark.range(3).selectExpr("id AS not_an_assignment_column")
+      .write.parquet(deadSeg.getPath)
+    val streamed = IndexStore.loadIvf(spark, indexDir)
+    assert(streamed._2.count() == emb.count(), "dead segment leaked into the view")
+    IndexStore.sweepDead(spark, indexDir, "assignments")
+    assert(!deadSeg.exists(), "sweepDead left the dead segment")
+    // probe identity vs the batch-extended index
+    val batchExtended = batches.foldLeft(
+      Ivf.build(base, "vec_id", "embedding", nCentroids = 8)) { (ix, d) =>
+      Ivf.extend(ix, d, "vec_id", "embedding")
+    }
+    val queries = emb.where($"vec_id" < 5)
+    assertSameRows(
+      Ivf.probe(streamed._1, streamed._2, queries, "vec_id", "embedding", k = 10, nProbe = 4),
+      Ivf.probe(batchExtended._1, batchExtended._2, queries, "vec_id", "embedding", k = 10, nProbe = 4))
+    Ivf.release(streamed); Ivf.release(batchExtended)
+  }
+
   test("missing bootstrap index is refused loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_annmiss").toString
     val e = intercept[IllegalArgumentException] {

@@ -188,6 +188,38 @@ class SubstringIngestSinkSpec extends SparkTestBase {
     assertSameRows(idx2, SubstringDedup.gramIndex(all, k))
   }
 
+  test("bloom saturation degrades the guard (no false refusals) and auditIngestedIds stays exact") {
+    val (_, indexDir, reportDir, _) = dirs()
+    // capacity 3 ids: batch 0 (2 ids) leaves the guard active; after
+    // batch 1 the merged count is 4 > 3 — saturated
+    SubstringIngest.applyBatch(b1.toDF("doc_id", "text"), 0L, indexDir, reportDir, k,
+      bloomExpectedItems = 3)
+    SubstringIngest.applyBatch(b2.toDF("doc_id", "text"), 1L, indexDir, reportDir, k,
+      bloomExpectedItems = 3)
+    // a saturated merged bloom would mostly FALSE-refuse; instead the
+    // guard degrades — this clean batch must land…
+    SubstringIngest.applyBatch(b3.toDF("doc_id", "text"), 2L, indexDir, reportDir, k,
+      bloomExpectedItems = 3)
+    assert(SubstringIngest.readState(spark, indexDir)._2 == 2L)
+    // …and the degradation is VISIBLE on the store
+    assert(new java.io.File(s"$indexDir/${SubstringIngest.BloomIncompleteFile}").exists,
+      "saturated guard did not mark the store incomplete")
+    // past capacity even a true re-use slips the bloom guard — which is
+    // exactly what the exact report-side audit is for
+    SubstringIngest.applyBatch(
+      Seq((1L, "reused id entirely new words here now")).toDF("doc_id", "text"),
+      3L, indexDir, reportDir, k, bloomExpectedItems = 3)
+    val dups = SubstringIngest.auditIngestedIds(spark, reportDir)
+      .orderBy($"doc_id").collect()
+    assert(dups.length == 1 && dups(0).getLong(0) == 1L)
+    assert(dups(0).getAs[scala.collection.Seq[Long]]("batches").toSeq == Seq(0L, 3L))
+    // a store with no re-use audits clean
+    val (_, cleanIdx, cleanRep, _) = dirs()
+    SubstringIngest.applyBatch(b1.toDF("doc_id", "text"), 0L, cleanIdx, cleanRep, k)
+    SubstringIngest.applyBatch(b2.toDF("doc_id", "text"), 1L, cleanIdx, cleanRep, k)
+    assert(SubstringIngest.auditIngestedIds(spark, cleanRep).isEmpty)
+  }
+
   test("legacy round-11 layout (root parquet + _applied_batch) reads, extends and compacts away") {
     val (_, indexDir, reportDir, _) = dirs()
     val corpus = b1.toDF("doc_id", "text")
