@@ -28,9 +28,11 @@ import graft.operators.SubstringDedup
   *
   * {{{
   * <indexDir>/
-  *   base/           compacted segment: parquet rows (g, fp, cnt)
+  *   base/           major-compacted level: parquet rows (g, fp, cnt)
   *                   + _compacted_through (max batch id folded in)
-  *                   + _ids_bloom (merged doc-id bloom, see guard)
+  *                   + _ids_bloom / _ids_n (merged doc-id bloom, guard)
+  *   mseg_<T>/       minor-compacted runs: the fold of segments with
+  *                   ids in this run's range (see compaction below)
   *   seg_<batchId>/  one APPEND-ONLY segment per applied micro-batch:
   *                   the batch's own gramIndex + _ids_bloom sidecar
   * }}}
@@ -40,22 +42,35 @@ import graft.operators.SubstringDedup
   *    the commit (no separate watermark file whose update could tear).
   *    Publish bytes are O(batch grams) + one constant-size bloom.
   *  - '''Probe''' = merge-on-read: the batch is probed against the
-  *    UNION of live segments; [[SubstringDedup.cleanKeepFirstIncremental]]
+  *    UNION of live parts; [[SubstringDedup.cleanKeepFirstIncremental]]
   *    folds per-gram min/sum AFTER its gram join, so multi-row grams
   *    cost no extra exchange.
-  *  - '''Compaction''' bounds read amplification: when live segments
-  *    exceed `maxSegments`, they fold into `base/` through
-  *    [[Load.replaceTable]]'s staged swap (crash-safe: the swap's
-  *    backup/restore contract), with `_compacted_through` recording the
-  *    highest folded batch id. Segments with id <= that are DEAD by
-  *    rule the instant the swap lands — deleting them afterwards is
-  *    pure cleanup, retried opportunistically on later triggers, so a
-  *    crash between swap and delete double-counts nothing.
+  *  - '''Compaction''' is two-level, so amortized rewrite cost stays
+  *    O(1) per ingested byte instead of O(index)/maxSegments per
+  *    trigger (a single level folds the WHOLE base every maxSegments
+  *    triggers — at 100 TB that is a full-index rewrite on a schedule):
+  *     - '''minor''': when live segments exceed `maxSegments`, they —
+  *       and only they, never base — fold into one `mseg_<T>` run
+  *       (T = highest folded batch id), committed by a single atomic
+  *       rename. Cost O(data since the last minor).
+  *     - '''major''': when live mseg runs exceed `maxSegments` or
+  *       their data bytes reach `majorRatio` x base's (classic
+  *       size-ratio trigger — each major at least doubles base, so
+  *       majors are geometrically spaced and total rewrite work is
+  *       linear in ingested bytes), everything live folds into
+  *       `base/` through [[Load.replaceTable]]'s staged swap with
+  *       `_compacted_through` recording the highest folded batch id.
+  *    Parts below a newer fold are DEAD by rule the instant the
+  *    commit rename/swap lands — deleting them afterwards is pure
+  *    cleanup, retried opportunistically on later triggers, so a crash
+  *    between commit and delete double-counts nothing.
   *
   * Liveness rule (what [[readState]] reads): `base/` if present, else
-  * a legacy round-11 layout's root parquet files; plus every
-  * `seg_<b>` with b > compacted-through. Applied watermark = max of
-  * compacted-through and live segment ids.
+  * a legacy round-11 layout's root parquet files; plus every `mseg_<T>`
+  * with T > compacted-through; plus every `seg_<b>` with b above BOTH
+  * compacted-through and the highest live mseg T. Applied watermark =
+  * max over all of those ids. Read fan-out is bounded by
+  * 1 + 2·maxSegments parts.
   *
   * == Exactly-once across crashes ==
   *
@@ -142,6 +157,7 @@ object SubstringIngest extends Logging {
   val BloomIncompleteFile = "_ids_bloom_incomplete"
 
   private val SegPrefix = "seg_"
+  private val MsegPrefix = "mseg_"
   private val StagingSuffix = "__staging"
 
   /** Schema of [[SubstringDedup.gramIndex]] — needed to read segments
@@ -162,12 +178,13 @@ object SubstringIngest extends Logging {
       baseDir: Option[Path],
       legacyRootFiles: Seq[Path],
       compactedThrough: Long,
+      liveMsegs: Seq[(Long, Path)], // ascending fold-through id
       liveSegs: Seq[(Long, Path)], // ascending batch id
       deadSegs: Seq[Path],
       staleStaging: Seq[Path],
       bloomIncomplete: Boolean) {
     def applied: Long =
-      (compactedThrough +: liveSegs.map(_._1)).max
+      (compactedThrough +: (liveMsegs.map(_._1) ++ liveSegs.map(_._1))).max
     def liveParts: Seq[Part] = {
       val basePart = baseDir match {
         case Some(b) => Seq(Part(Seq(b), someIfExists(fs, new Path(b, IdsBloomFile))))
@@ -175,11 +192,28 @@ object SubstringIngest extends Logging {
           Seq(Part(legacyRootFiles, None)) // legacy layout: no bloom
         case None => Nil
       }
-      basePart ++ liveSegs.map { case (_, p) =>
+      basePart ++ (liveMsegs ++ liveSegs).map { case (_, p) =>
         Part(Seq(p), someIfExists(fs, new Path(p, IdsBloomFile)))
       }
     }
+    /** Parquet data bytes of base (or the legacy root files). */
+    def baseDataBytes: Long = baseDir match {
+      case Some(b) => dataBytes(fs, b)
+      case None => legacyRootFiles.map(p => fs.getFileStatus(p).getLen).sum
+    }
+    /** Parquet data bytes across the live minor-compacted runs. */
+    def msegDataBytes: Long = liveMsegs.map { case (_, p) => dataBytes(fs, p) }.sum
   }
+
+  /** Data-file bytes of one part dir (sidecars/_SUCCESS excluded —
+    * the constant-size id bloom would otherwise dominate small runs
+    * and skew the size-ratio major trigger).
+    */
+  private def dataBytes(fs: FileSystem, dir: Path): Long =
+    fs.listStatus(dir).collect {
+      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => s.getLen
+    }.sum
 
   private def someIfExists(fs: FileSystem, p: Path): Option[Path] =
     if (fs.exists(p)) Some(p) else None
@@ -195,7 +229,7 @@ object SubstringIngest extends Logging {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir))
-      return Store(fs, dir, exists = false, None, Nil, -1L, Nil, Nil, Nil,
+      return Store(fs, dir, exists = false, None, Nil, -1L, Nil, Nil, Nil, Nil,
         bloomIncomplete = false)
     val children = fs.listStatus(dir).toSeq
     val baseDir = children.find(s => s.isDirectory && s.getPath.getName == "base")
@@ -205,14 +239,17 @@ object SubstringIngest extends Logging {
       // legacy root watermark only meaningful while its root files are live
       .orElse(if (baseDir.isEmpty) readLongFile(fs, new Path(dir, AppliedBatchFile)) else None)
       .getOrElse(-1L)
-    val segDirs = children.filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith(SegPrefix) &&
+    def idDirs(prefix: String): Seq[(Long, Path)] = children.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(prefix) &&
         !s.getPath.getName.endsWith(StagingSuffix))
       .flatMap { s =>
-        val idStr = s.getPath.getName.stripPrefix(SegPrefix)
+        val idStr = s.getPath.getName.stripPrefix(prefix)
         idStr.toLongOption.map(_ -> s.getPath)
       }
-    val (live, dead) = segDirs.partition(_._1 > compactedThrough)
+    // "mseg_…" does not start with "seg_", so the two sets are disjoint
+    val (liveM, deadM) = idDirs(MsegPrefix).partition(_._1 > compactedThrough)
+    val segCover = (compactedThrough +: liveM.map(_._1)).max
+    val (live, dead) = idDirs(SegPrefix).partition(_._1 > segCover)
     val staleStaging = children.filter(s =>
       s.isDirectory && s.getPath.getName.endsWith(StagingSuffix)).map(_.getPath)
     // legacy root data files (round-11 layout): dead once base exists
@@ -223,8 +260,9 @@ object SubstringIngest extends Logging {
     Store(fs, dir, exists = true, baseDir,
       legacyRootFiles = if (baseDir.isEmpty) rootFiles else Nil,
       compactedThrough = compactedThrough,
+      liveMsegs = liveM.sortBy(_._1),
       liveSegs = live.sortBy(_._1),
-      deadSegs = dead.map(_._2) ++ (if (baseDir.isDefined) rootFiles else Nil),
+      deadSegs = (dead ++ deadM).map(_._2) ++ (if (baseDir.isDefined) rootFiles else Nil),
       staleStaging = staleStaging,
       bloomIncomplete = fs.exists(new Path(dir, BloomIncompleteFile)))
   }
@@ -303,10 +341,37 @@ object SubstringIngest extends Logging {
       .stat.bloomFilter("doc_id", expectedItems, fpp)
   }
 
-  private def readBloom(fs: FileSystem, p: Path): BloomFilter = {
+  /** A bloom sidecar may hold SEVERAL concatenated filters (writeTo /
+    * readFrom are self-delimiting): compaction folds parts whose blooms
+    * were sized differently (bootstrap vs sink params changed mid-
+    * stream), and differently-sized filters cannot mergeInPlace — so
+    * merging happens per size class and the residue rides as a list.
+    * A single-bloom file (every store before this) reads as a
+    * one-element list.
+    */
+  private def readBlooms(fs: FileSystem, p: Path): Seq[BloomFilter] = {
     val in = fs.open(p)
-    try BloomFilter.readFrom(in) finally in.close()
+    val bytes = try in.readAllBytes() finally in.close()
+    val bin = new java.io.ByteArrayInputStream(bytes)
+    val out = Seq.newBuilder[BloomFilter]
+    while (bin.available() > 0) out += BloomFilter.readFrom(bin)
+    out.result()
   }
+
+  private def writeBlooms(fs: FileSystem, p: Path, blooms: Seq[BloomFilter]): Unit = {
+    val out = fs.create(p, true)
+    try blooms.foreach(_.writeTo(out)) finally out.close()
+  }
+
+  /** Merge filters within each bit-size class (across classes they are
+    * incompatible by the sketch's own contract). One class in a
+    * consistently-configured store; mixed sizing degrades to a few
+    * probes per id instead of crashing.
+    */
+  private def mergeBySize(blooms: Seq[BloomFilter]): Seq[BloomFilter] =
+    blooms.groupBy(_.bitSize()).values.map(_.reduce { (a, b) =>
+      a.mergeInPlace(b); a
+    }).toSeq
 
   /** Defaults size the per-segment bloom at ~2.3 MB — constant per
     * segment regardless of index size, merged away at compaction.
@@ -315,6 +380,16 @@ object SubstringIngest extends Logging {
   val DefaultBloomFpp: Double = 1e-4
 
   private val DefaultMaxSegments = 16
+
+  /** Major-compaction size-ratio trigger: fold everything into `base/`
+    * when the live mseg runs' data bytes reach this fraction of base's.
+    * At 1.0 each major at least doubles base, so majors are
+    * geometrically spaced and total rewrite work stays linear in
+    * ingested bytes. Raise it to trade read fan-out for fewer
+    * full-index rewrites; the mseg-count bound (`maxSegments`) caps
+    * fan-out regardless.
+    */
+  val DefaultMajorRatio = 1.0
 
   /** Start the ingest stream.
     *
@@ -330,8 +405,11 @@ object SubstringIngest extends Logging {
     * @param k          gram width in tokens
     * @param checkIds   refuse a batch whose ids hit the live blooms
     *                   (default ON — see the guard section above)
-    * @param maxSegments compact into `base/` when live segments exceed
-    *                   this (read amplification bound)
+    * @param maxSegments minor-compact when live segments exceed this;
+    *                   major-compact when live mseg runs exceed it
+    *                   (read amplification bound, both levels)
+    * @param majorRatio  size-ratio major trigger (see
+    *                   [[DefaultMajorRatio]])
     */
   def substringIngestSink(
       docs: DataFrame, indexDir: String, reportDir: String,
@@ -339,12 +417,13 @@ object SubstringIngest extends Logging {
       checkIds: Boolean = true,
       maxSegments: Int = DefaultMaxSegments,
       bloomExpectedItems: Long = DefaultBloomItems,
-      bloomFpp: Double = DefaultBloomFpp): StreamingQuery =
+      bloomFpp: Double = DefaultBloomFpp,
+      majorRatio: Double = DefaultMajorRatio): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, indexDir, reportDir, k, checkIds,
-          maxSegments, bloomExpectedItems, bloomFpp)
+          maxSegments, bloomExpectedItems, bloomFpp, majorRatio)
       }
       .start()
 
@@ -357,7 +436,8 @@ object SubstringIngest extends Logging {
       k: Int = 8, checkIds: Boolean = true,
       maxSegments: Int = DefaultMaxSegments,
       bloomExpectedItems: Long = DefaultBloomItems,
-      bloomFpp: Double = DefaultBloomFpp): Unit = {
+      bloomFpp: Double = DefaultBloomFpp,
+      majorRatio: Double = DefaultMajorRatio): Unit = {
     // one evaluation of the micro-batch source: the empty check, the
     // id guard, the report probe, the segment write and the bloom all
     // read cached rows
@@ -388,7 +468,13 @@ object SubstringIngest extends Logging {
             if (!st.fs.rename(segStaging, segFinal))
               throw new java.io.IOException(
                 s"segment commit rename $segStaging -> $segFinal failed")
-            if (st.liveSegs.size + 1 > maxSegments) compactLocked(spark, indexDir)
+            if (st.liveSegs.size + 1 > maxSegments) {
+              minorCompactLocked(spark, indexDir)
+              val after = readStore(spark, indexDir)
+              if (after.liveMsegs.size > maxSegments ||
+                after.msegDataBytes >= majorRatio * math.max(1L, after.baseDataBytes))
+                compactLocked(spark, indexDir)
+            }
           }
           // else: replayed fully-applied batch — the report was
           // written BEFORE the segment commit, so it already exists
@@ -429,11 +515,9 @@ object SubstringIngest extends Logging {
     if (unguarded && !st.fs.exists(new Path(st.dir, BloomIncompleteFile)) && st.exists)
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
     if (bloomPaths.nonEmpty && !saturated) {
-      val merged = bloomPaths.map(readBloom(st.fs, _)).reduce { (a, b) =>
-        a.mergeInPlace(b); a
-      }
+      val merged = mergeBySize(bloomPaths.flatMap(readBlooms(st.fs, _)))
       import org.apache.spark.sql.functions.{col, udf}
-      val hit = udf((id: Long) => merged.mightContainLong(id))
+      val hit = udf((id: Long) => merged.exists(_.mightContainLong(id)))
       val hits = batch.select(col("doc_id").cast("long").as("doc_id"))
         .where(hit(col("doc_id"))).limit(5).collect().map(_.getLong(0))
       require(hits.isEmpty,
@@ -444,10 +528,10 @@ object SubstringIngest extends Logging {
     }
   }
 
-  /** Fold base + live segments into a fresh `base/` (staged swap) and
-    * drop the folded segments. Safe to call concurrently with nothing
-    * — takes the same index lock as the sink; call between triggers or
-    * on a stopped stream.
+  /** MAJOR compaction: fold base + live mseg runs + live segments into
+    * a fresh `base/` (staged swap) and drop everything folded. Safe to
+    * call concurrently with nothing — takes the same index lock as the
+    * sink; call between triggers or on a stopped stream.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     Load.withLock(spark, indexDir, "substringIngest compact") {
@@ -456,16 +540,49 @@ object SubstringIngest extends Logging {
     ()
   }
 
+  /** MINOR compaction: fold the live segments — and only them, never
+    * base or earlier mseg runs — into one `mseg_<T>` run, committed by
+    * a single atomic rename. Cost O(data since the last minor); the
+    * folded segments are dead by the liveness rule the instant the
+    * rename lands (deleting them is cleanup). Blooms and id counts of
+    * the folded segments merge into the run's sidecars, so the id
+    * guard's coverage is unchanged.
+    */
+  private def minorCompactLocked(spark: SparkSession, indexDir: String): Unit = {
+    val st = readStore(spark, indexDir)
+    if (st.liveSegs.isEmpty) return
+    val through = st.liveSegs.map(_._1).max // > any mseg/base cover by liveness
+    val segPaths = st.liveSegs.map(_._2)
+    val bloomPaths = segPaths.map(p => new Path(p, IdsBloomFile)).filter(st.fs.exists)
+    val mergedBlooms = mergeBySize(bloomPaths.flatMap(readBlooms(st.fs, _)))
+    val nIds = segPaths
+      .map(p => readLongFile(st.fs, new Path(p, IdsNFile)).getOrElse(0L)).sum
+    val staging = new Path(st.dir, s"$MsegPrefix$through$StagingSuffix")
+    if (st.fs.exists(staging)) st.fs.delete(staging, true)
+    mergeRows(spark.read.schema(IndexSchema).parquet(segPaths.map(_.toString): _*))
+      .write.mode("overwrite").parquet(staging.toString)
+    if (mergedBlooms.nonEmpty) {
+      writeBlooms(st.fs, new Path(staging, IdsBloomFile), mergedBlooms)
+      writeLongFile(st.fs, new Path(staging, IdsNFile), nIds)
+    }
+    if (bloomPaths.size < segPaths.size) // should not happen for sink-written segs
+      writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
+    val dest = new Path(st.dir, s"$MsegPrefix$through")
+    if (st.fs.exists(dest)) st.fs.delete(dest, true)
+    if (!st.fs.rename(staging, dest))
+      throw new java.io.IOException(s"mseg commit rename $staging -> $dest failed")
+    // dead by rule now; deleting is cleanup (crash here → next
+    // trigger's debris sweep finishes the job)
+    segPaths.foreach(st.fs.delete(_, true))
+  }
+
   private def compactLocked(spark: SparkSession, indexDir: String): Unit = {
     val st = readStore(spark, indexDir)
-    if (st.liveSegs.isEmpty) return // nothing to fold
+    if (st.liveSegs.isEmpty && st.liveMsegs.isEmpty) return // nothing to fold
     val through = st.applied
     val parts = st.liveParts
     val bloomPaths = parts.flatMap(_.bloomAt)
-    val blooms = bloomPaths.map(readBloom(st.fs, _))
-    val mergedBloom =
-      if (blooms.isEmpty) None
-      else Some(blooms.reduce { (a, b) => a.mergeInPlace(b); a })
+    val mergedBlooms = mergeBySize(bloomPaths.flatMap(readBlooms(st.fs, _)))
     val mergedN = bloomPaths
       .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
     val incomplete = st.bloomIncomplete || parts.exists(_.bloomAt.isEmpty)
@@ -473,8 +590,8 @@ object SubstringIngest extends Logging {
       decorateStaging = { staging =>
         val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         writeLongFile(fs, new Path(staging, CompactedThroughFile), through)
-        mergedBloom.foreach { b =>
-          writeBloom(fs, new Path(staging, IdsBloomFile), b)
+        if (mergedBlooms.nonEmpty) {
+          writeBlooms(fs, new Path(staging, IdsBloomFile), mergedBlooms)
           writeLongFile(fs, new Path(staging, IdsNFile), mergedN)
         }
       }).get
@@ -482,7 +599,7 @@ object SubstringIngest extends Logging {
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
     // the swap made these dead by rule; deleting is cleanup (crash
     // here → next trigger's debris sweep finishes the job)
-    st.liveSegs.foreach { case (_, p) => st.fs.delete(p, true) }
+    (st.liveMsegs ++ st.liveSegs).foreach { case (_, p) => st.fs.delete(p, true) }
     st.legacyRootFiles.foreach(st.fs.delete(_, false))
     st.fs.delete(new Path(st.dir, AppliedBatchFile), false)
     ()

@@ -188,6 +188,55 @@ class SubstringIngestSinkSpec extends SparkTestBase {
     assertSameRows(idx2, SubstringDedup.gramIndex(all, k))
   }
 
+  test("two-level compaction: minors fold segments into mseg runs without touching base; a major folds everything") {
+    val (_, indexDir, reportDir, _) = dirs()
+    // a bootstrapped base + a huge majorRatio → only MINOR compactions
+    // can run; base must never be rewritten by them
+    val baseDocs = (100 to 140).map(i =>
+      (i.toLong, (0 to 8).map(j => s"w${i}_$j").mkString(" ")))
+    SubstringIngest.bootstrap(spark, baseDocs.toDF("doc_id", "text"), indexDir, k)
+    val baseSig = fileSig(s"$indexDir/base")
+    val batches = Seq(b1, b2, b3,
+      Seq((7L, "alpha beta gamma delta epsilon zeta")),
+      Seq((8L, "eta theta iota kappa lambda mu")),
+      Seq((9L, "nu xi omicron pi rho sigma")))
+    for ((b, i) <- batches.zipWithIndex)
+      SubstringIngest.applyBatch(b.toDF("doc_id", "text"), i.toLong,
+        indexDir, reportDir, k, maxSegments = 2, bloomExpectedItems = 1000,
+        majorRatio = 1e9)
+    // batches 2 and 5 each pushed live segs to 3 > 2 → two mseg runs
+    val msegs = new java.io.File(indexDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("mseg_")).map(_.getName).sorted
+    assert(msegs.toSeq == Seq("mseg_2", "mseg_5"), s"unexpected runs: ${msegs.toSeq}")
+    val liveSegs = new java.io.File(indexDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+    assert(liveSegs.isEmpty, s"minor left segments: ${liveSegs.map(_.getName).toSeq}")
+    // minors never rewrote base — that is the O(1)-amortized claim
+    assert(fileSig(s"$indexDir/base") == baseSig, "a minor compaction rewrote base")
+    // merged state and watermark are exact across both levels
+    val all = (baseDocs ++ batches.flatten).toDF("doc_id", "text")
+    val (idx, applied) = SubstringIngest.readState(spark, indexDir)
+    assert(applied == 5L)
+    assertSameRows(idx, SubstringDedup.gramIndex(all, k))
+    // the id guard's coverage rode the minor folds: a reused batch id
+    // AND a reused bootstrap id are both still refused
+    for (reused <- Seq(1L, 120L)) {
+      val dup = Seq((reused, "totally fresh words for the reuse probe")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        SubstringIngest.applyBatch(dup, 9L, indexDir, reportDir, k,
+          maxSegments = 2, bloomExpectedItems = 1000, majorRatio = 1e9)
+      }
+      assert(e.getMessage.contains("doc_ids"), e.getMessage)
+    }
+    // manual MAJOR folds the runs into base and preserves everything
+    SubstringIngest.compact(spark, indexDir)
+    assert(!new java.io.File(indexDir).listFiles().exists(_.getName.startsWith("mseg_")),
+      "major left mseg runs")
+    val (idx2, applied2) = SubstringIngest.readState(spark, indexDir)
+    assert(applied2 == 5L)
+    assertSameRows(idx2, SubstringDedup.gramIndex(all, k))
+  }
+
   test("bloom saturation degrades the guard (no false refusals) and auditIngestedIds stays exact") {
     val (_, indexDir, reportDir, _) = dirs()
     // capacity 3 ids: batch 0 (2 ids) leaves the guard active; after
