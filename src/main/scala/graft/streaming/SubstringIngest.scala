@@ -469,11 +469,17 @@ object SubstringIngest extends Logging {
               throw new java.io.IOException(
                 s"segment commit rename $segStaging -> $segFinal failed")
             if (st.liveSegs.size + 1 > maxSegments) {
-              minorCompactLocked(spark, indexDir)
-              val after = readStore(spark, indexDir)
-              if (after.liveMsegs.size > maxSegments ||
-                after.msegDataBytes >= majorRatio * math.max(1L, after.baseDataBytes))
+              // decide the level BEFORE folding: if the minor's output
+              // would immediately trip the size-ratio major (or the
+              // mseg-count bound), fold everything straight into base —
+              // one rewrite, not a minor whose run is folded again in
+              // the same trigger
+              val cur = readStore(spark, indexDir)
+              val segBytes = cur.liveSegs.map { case (_, p) => dataBytes(cur.fs, p) }.sum
+              if (cur.liveMsegs.size >= maxSegments ||
+                cur.msegDataBytes + segBytes >= majorRatio * math.max(1L, cur.baseDataBytes))
                 compactLocked(spark, indexDir)
+              else minorCompactLocked(spark, indexDir)
             }
           }
           // else: replayed fully-applied batch — the report was
