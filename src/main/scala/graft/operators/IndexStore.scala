@@ -269,6 +269,22 @@ object IndexStore {
     v.dead.foreach(v.fs.delete(_, true))
   }
 
+  /** EXACT id-reuse audit over a component's LIVE rows (base + cseg +
+    * segments): ids appearing more than once, with their count. The
+    * streaming sinks' watermark skips replays of the same batch, but a
+    * SOURCE re-emitting ids across batches violates the uniqueness
+    * contract silently (duplicate ids shadow each other in top-k
+    * scoring) — this one distributed aggregate is the ground-truth
+    * check, run it periodically or before promoting an index.
+    */
+  def auditIds(spark: SparkSession, dir: String, component: String = "assignments",
+      idCol: String = "vid"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    readPart(spark, dir, component, Seq(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") > 1)
+  }
+
   // ---- IVF-flat ----
 
   /** `sidecars`: small underscore-named metadata files (e.g. a

@@ -295,6 +295,39 @@ object SubstringIngest extends Logging {
     (mergeRows(readLive(spark, st)), st.applied)
   }
 
+  /** Operational snapshot of a store — what a monitor scrapes per
+    * trigger or an operator checks before a manual [[compact]]:
+    * applied watermark, live part counts, data bytes per level, id
+    * count behind the guard blooms, and whether guard coverage is
+    * complete (false once a legacy bootstrap or bloom saturation was
+    * observed — pair with [[auditIngestedIds]] then).
+    */
+  case class StoreStats(
+      applied: Long,
+      liveSegments: Int,
+      liveMsegRuns: Int,
+      baseDataBytes: Long,
+      msegDataBytes: Long,
+      segDataBytes: Long,
+      guardedIds: Long,
+      guardComplete: Boolean)
+
+  def storeStats(spark: SparkSession, indexDir: String): StoreStats = {
+    val st = readStore(spark, indexDir)
+    val segBytes = st.liveSegs.map { case (_, p) => dataBytes(st.fs, p) }.sum
+    val guarded = st.liveParts.flatMap(_.bloomAt)
+      .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
+    StoreStats(
+      applied = st.applied,
+      liveSegments = st.liveSegs.size,
+      liveMsegRuns = st.liveMsegs.size,
+      baseDataBytes = st.baseDataBytes,
+      msegDataBytes = st.msegDataBytes,
+      segDataBytes = segBytes,
+      guardedIds = guarded,
+      guardComplete = !st.bloomIncomplete && st.liveParts.forall(_.bloomAt.nonEmpty))
+  }
+
   /** Batch bootstrap of a segmented store: the full corpus-so-far gram
     * index lands in `base/` (staged swap) with a complete doc-id bloom
     * — the recommended seed for a store whose id guard should have

@@ -216,6 +216,15 @@ class AnnIngestSpec extends SparkTestBase {
       Ivf.probe(streamed._1, streamed._2, queries, "vec_id", "embedding", k = 10, nProbe = 4),
       Ivf.probe(batchExtended._1, batchExtended._2, queries, "vec_id", "embedding", k = 10, nProbe = 4))
     Ivf.release(streamed); Ivf.release(batchExtended)
+    // exact id audit: clean through the compactions…
+    assert(IndexStore.auditIds(spark, indexDir, "assignments").isEmpty)
+    // …and a source re-emitting an already-ingested id (a NEW batch id,
+    // so the watermark cannot catch it) is pinned by the audit
+    AnnIngest.applyIvfBatch(batches.head.limit(1), 9L, indexDir, "vec_id", "embedding",
+      maxStreamedFraction = 1.0, maxSegments = 2)
+    val dups = IndexStore.auditIds(spark, indexDir, "assignments").collect()
+    assert(dups.length == 1 && dups(0).getLong(1) == 2L,
+      s"audit missed the re-emitted id: ${dups.toSeq}")
   }
 
   test("missing bootstrap index is refused loudly") {

@@ -228,6 +228,13 @@ class SubstringIngestSinkSpec extends SparkTestBase {
       }
       assert(e.getMessage.contains("doc_ids"), e.getMessage)
     }
+    // the ops snapshot reflects the two-level layout and guard state
+    val stats = SubstringIngest.storeStats(spark, indexDir)
+    assert(stats.applied == 5L && stats.liveSegments == 0 && stats.liveMsegRuns == 2,
+      stats.toString)
+    assert(stats.guardComplete && stats.guardedIds == baseDocs.size + batches.flatten.size,
+      stats.toString)
+    assert(stats.baseDataBytes > 0 && stats.msegDataBytes > 0, stats.toString)
     // manual MAJOR folds the runs into base and preserves everything
     SubstringIngest.compact(spark, indexDir)
     assert(!new java.io.File(indexDir).listFiles().exists(_.getName.startsWith("mseg_")),
