@@ -350,13 +350,17 @@ object SubstringDedup {
       else {
         val spark = batch.sparkSession
         // size the filter from a CHEAP scan of the batch rows, not a
-        // full gram explosion: tokens are '\S+', so text chars / 2 is
-        // a hard upper bound on tokens and hence grams — the bloom
-        // build below is then the prefilter's ONLY extra pass over the
-        // exploded grams (an occB.count() here would add a second)
+        // full gram explosion (an occB.count() here would add a second
+        // explosion per trigger). chars/6 ≈ the word count of natural
+        // text (~5-char words + separator) ≈ an upper-ish bound on
+        // grams; a corpus of pathologically short tokens overfills by
+        // ~3x, which only raises the filter's fp rate (less pruning,
+        // never wrong) — while sizing by the hard chars/2 bound was
+        // measured to cost real seconds per trigger in partial-filter
+        // merging (each partition builds a filter of the full width)
         val chars = batch.agg(sum(length(col(textCol)).cast("long"))).head()
-        val estGrams = math.max(1L, math.min(
-          if (chars.isNullAt(0)) 1L else chars.getLong(0) / 2, MaxPrefilterItems))
+        val estGrams = math.max(4096L, math.min(
+          if (chars.isNullAt(0)) 1L else chars.getLong(0) / 6, MaxPrefilterItems))
         val bloom = occB.stat.bloomFilter("g", estGrams, IndexPrefilterFpp)
         val bc = spark.sparkContext.broadcast(bloom)
         val mightHave = udf((g: String) => bc.value.mightContainString(g))

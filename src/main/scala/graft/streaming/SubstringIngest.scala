@@ -643,7 +643,10 @@ object SubstringIngest extends Logging {
             s"${hits.mkString(", ")} (bloom hit, fpp ~$DefaultBloomFpp) — ids must be " +
             "globally unique across the stream; replays of the same batch are " +
             "skipped by the watermark, so this is a source re-emitting ids")
-      } finally bc.destroy()
+        // async executor-side release; the driver ref is the
+        // ContextCleaner's job (a blocking destroy() here was a
+        // per-trigger executor sync barrier)
+      } finally bc.unpersist(blocking = false)
     }
   }
 
