@@ -355,9 +355,11 @@ object SubstringDedup {
         // text (~5-char words + separator) ≈ an upper-ish bound on
         // grams; a corpus of pathologically short tokens overfills by
         // ~3x, which only raises the filter's fp rate (less pruning,
-        // never wrong) — while sizing by the hard chars/2 bound was
-        // measured to cost real seconds per trigger in partial-filter
-        // merging (each partition builds a filter of the full width)
+        // never wrong). The hard chars/2 bound would oversize the
+        // filter several-fold — width is wall time in the build's
+        // partial-filter merge (each partition allocates and ORs a
+        // filter of the full width), which matters at real batch sizes
+        // even though it rounds to nothing on the fixtures
         val chars = batch.agg(sum(length(col(textCol)).cast("long"))).head()
         val estGrams = math.max(4096L, math.min(
           if (chars.isNullAt(0)) 1L else chars.getLong(0) / 6, MaxPrefilterItems))
