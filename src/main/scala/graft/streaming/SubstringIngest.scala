@@ -362,21 +362,25 @@ object SubstringIngest extends Logging {
       bloomFpp: Double = DefaultBloomFpp): Unit = {
     val bloom = docIdBloom(docs, bloomExpectedItems, bloomFpp)
     val nIds = docs.count()
-    val pre = readStore(spark, indexDir)
-    val through = math.max(appliedBatch, if (pre.exists) pre.applied else -1L)
-    Load.replaceTable(spark, SubstringDedup.gramIndex(docs, k), s"$indexDir/base",
-      decorateStaging = { staging =>
-        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        writeLongFile(fs, new Path(staging, CompactedThroughFile), through)
-        writeBloom(fs, new Path(staging, IdsBloomFile), bloom)
-        writeLongFile(fs, new Path(staging, IdsNFile), nIds)
-        writeLongFile(fs, new Path(staging, IdsCapFile), bloomExpectedItems)
-      }).get
-    val post = readStore(spark, indexDir)
-    ((post.liveMsegs ++ post.liveSegs).map(_._2) ++ post.deadSegs ++
-      post.legacyRootFiles).foreach(post.fs.delete(_, true))
-    post.fs.delete(new Path(post.dir, BloomIncompleteFile), false)
-    post.fs.delete(new Path(post.dir, AppliedBatchFile), false)
+    // same lock as the sink: a concurrent trigger must not append a
+    // segment between the watermark read and the swap
+    Load.withLock(spark, indexDir, "substringIngest bootstrap") {
+      val pre = readStore(spark, indexDir)
+      val through = math.max(appliedBatch, if (pre.exists) pre.applied else -1L)
+      Load.replaceTable(spark, SubstringDedup.gramIndex(docs, k), s"$indexDir/base",
+        decorateStaging = { staging =>
+          val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          writeLongFile(fs, new Path(staging, CompactedThroughFile), through)
+          writeBloom(fs, new Path(staging, IdsBloomFile), bloom)
+          writeLongFile(fs, new Path(staging, IdsNFile), nIds)
+          writeLongFile(fs, new Path(staging, IdsCapFile), bloomExpectedItems)
+        }).get
+      val post = readStore(spark, indexDir)
+      ((post.liveMsegs ++ post.liveSegs).map(_._2) ++ post.deadSegs ++
+        post.legacyRootFiles).foreach(post.fs.delete(_, true))
+      post.fs.delete(new Path(post.dir, BloomIncompleteFile), false)
+      post.fs.delete(new Path(post.dir, AppliedBatchFile), false)
+    }.get
     ()
   }
 

@@ -242,6 +242,41 @@ class SubstringIngestSinkSpec extends SparkTestBase {
     assertSameRows(idx2, SubstringDedup.gramIndex(all, k))
   }
 
+  test("re-bootstrap onto a non-empty store supersedes every live part — no gram double-count, watermark kept, guard coverage restored") {
+    val (_, indexDir, reportDir, _) = dirs()
+    SubstringIngest.applyBatch(b1.toDF("doc_id", "text"), 0L, indexDir, reportDir, k,
+      bloomExpectedItems = 3)
+    SubstringIngest.applyBatch(b2.toDF("doc_id", "text"), 1L, indexDir, reportDir, k,
+      bloomExpectedItems = 3)
+    // saturate so the store carries the incomplete marker (capacity 3 < 4 ids)
+    SubstringIngest.applyBatch(b3.toDF("doc_id", "text"), 2L, indexDir, reportDir, k,
+      bloomExpectedItems = 3)
+    assert(new java.io.File(s"$indexDir/${SubstringIngest.BloomIncompleteFile}").exists)
+    // the saturation warning's prescribed path: re-bootstrap with the
+    // FULL corpus and a roomier bloom — live segments must become dead
+    // (their grams are already inside the bootstrap corpus), not merge
+    // on top of it
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    SubstringIngest.bootstrap(spark, all, indexDir, k, bloomExpectedItems = 1000)
+    val (idx, applied) = SubstringIngest.readState(spark, indexDir)
+    assert(applied == 2L, s"watermark regressed/advanced wrongly: $applied")
+    assertSameRows(idx, SubstringDedup.gramIndex(all, k))
+    // guard coverage is complete again (marker cleared, fresh bloom),
+    // so an old id is refused…
+    assert(SubstringIngest.storeStats(spark, indexDir).guardComplete)
+    val e = intercept[IllegalArgumentException] {
+      SubstringIngest.applyBatch(
+        Seq((1L, "reused id after the re-bootstrap")).toDF("doc_id", "text"),
+        3L, indexDir, reportDir, k)
+    }
+    assert(e.getMessage.contains("doc_ids"), e.getMessage)
+    // …and a fresh batch lands on top
+    SubstringIngest.applyBatch(
+      Seq((11L, "entirely new doc after rebootstrap")).toDF("doc_id", "text"),
+      3L, indexDir, reportDir, k)
+    assert(SubstringIngest.readState(spark, indexDir)._2 == 3L)
+  }
+
   test("bloom saturation degrades the guard (no false refusals) and auditIngestedIds stays exact") {
     val (_, indexDir, reportDir, _) = dirs()
     // capacity 3 ids: batch 0 (2 ids) leaves the guard active; after
