@@ -128,12 +128,13 @@ object AnnIngest extends Logging {
       idCol: String = "vec_id", vecCol: String = "embedding",
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
       maxStreamedFraction: Double = DefaultMaxStreamedFraction,
-      maxSegments: Int = DefaultMaxSegments): StreamingQuery =
+      maxSegments: Int = DefaultMaxSegments,
+      sweepGraceMs: Long = IndexStore.DefaultSweepGraceMs): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfBatch(batch, batchId, indexDir, idCol, vecCol,
-          warnStreamedFraction, maxStreamedFraction, maxSegments)
+          warnStreamedFraction, maxStreamedFraction, maxSegments, sweepGraceMs)
       }
       .start()
 
@@ -146,7 +147,8 @@ object AnnIngest extends Logging {
       idCol: String, vecCol: String,
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
       maxStreamedFraction: Double = DefaultMaxStreamedFraction,
-      maxSegments: Int = DefaultMaxSegments): Unit = {
+      maxSegments: Int = DefaultMaxSegments,
+      sweepGraceMs: Long = IndexStore.DefaultSweepGraceMs): Unit = {
     batch.persist()
     try {
       if (!batch.isEmpty) {
@@ -154,7 +156,7 @@ object AnnIngest extends Logging {
         Load.withLock(spark, indexDir, s"ivfIngestSink batch=$batchId") {
           if (batchId > appliedBatch(spark, indexDir, "assignments")) {
             IndexStore.cleanStaleStaging(spark, indexDir)
-            IndexStore.sweepDead(spark, indexDir, "assignments")
+            IndexStore.sweepDead(spark, indexDir, "assignments", sweepGraceMs)
             val centroids = IndexStore.loadIvfCentroids(spark, indexDir)
             enforceDrift(spark, indexDir, "assignments", batch.count(),
               warnStreamedFraction, maxStreamedFraction, batchId)
@@ -177,12 +179,13 @@ object AnnIngest extends Logging {
       idCol: String = "vec_id", vecCol: String = "embedding",
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
       maxStreamedFraction: Double = DefaultMaxStreamedFraction,
-      maxSegments: Int = DefaultMaxSegments): StreamingQuery =
+      maxSegments: Int = DefaultMaxSegments,
+      sweepGraceMs: Long = IndexStore.DefaultSweepGraceMs): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfPqBatch(batch, batchId, indexDir, idCol, vecCol,
-          warnStreamedFraction, maxStreamedFraction, maxSegments)
+          warnStreamedFraction, maxStreamedFraction, maxSegments, sweepGraceMs)
       }
       .start()
 
@@ -192,7 +195,8 @@ object AnnIngest extends Logging {
       idCol: String, vecCol: String,
       warnStreamedFraction: Double = DefaultWarnStreamedFraction,
       maxStreamedFraction: Double = DefaultMaxStreamedFraction,
-      maxSegments: Int = DefaultMaxSegments): Unit = {
+      maxSegments: Int = DefaultMaxSegments,
+      sweepGraceMs: Long = IndexStore.DefaultSweepGraceMs): Unit = {
     batch.persist()
     try {
       if (!batch.isEmpty) {
@@ -200,7 +204,7 @@ object AnnIngest extends Logging {
         Load.withLock(spark, indexDir, s"ivfPqIngestSink batch=$batchId") {
           if (batchId > appliedBatch(spark, indexDir, "coded")) {
             IndexStore.cleanStaleStaging(spark, indexDir)
-            IndexStore.sweepDead(spark, indexDir, "coded")
+            IndexStore.sweepDead(spark, indexDir, "coded", sweepGraceMs)
             val (centroids, cb) = IndexStore.loadIvfPqCodec(spark, indexDir)
             enforceDrift(spark, indexDir, "coded", batch.count(),
               warnStreamedFraction, maxStreamedFraction, batchId)
