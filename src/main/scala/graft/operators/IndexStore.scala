@@ -67,8 +67,7 @@ object IndexStore {
     // (committed by rename INTO it), so a crashed append is invisible;
     // dead parts (folded into a newer cseg) are excluded by rule.
     val v = componentView(spark, dir, part)
-    val paths = (v.baseFiles ++ v.liveCseg.map(_._2) ++ v.liveSegs.map(_._2))
-      .map(_.toString)
+    val paths = (v.baseFiles ++ v.liveStreamed).map(_.toString)
     require(paths.nonEmpty, s"$dir/$part has no data files — not a saved index")
     val df = spark.read.parquet(paths: _*)
     require(expectCols.forall(df.columns.contains),
@@ -81,6 +80,7 @@ object IndexStore {
 
   private val SegPrefix = "seg_"
   private val CsegPrefix = "cseg_"
+  private val FsegPrefix = "fseg_"
   private val StagingSuffix = "__staging"
 
   /** Per-segment row-count sidecar (drift accounting without a
@@ -88,21 +88,33 @@ object IndexStore {
     */
   val SegCountFile = "_count"
 
-  /** Liveness view of a component: batch-built parquet files at the
-    * root, the NEWEST compacted segment (if any), and streaming
-    * segments newer than it. Older csegs and segments with id <= the
-    * live cseg's fold-through are DEAD by rule the instant the cseg
-    * commit-rename lands — a crash between that rename and the dead
-    * deletes double-counts nothing, because every reader goes through
-    * this view.
+  /** Liveness view of a component — three streamed levels above the
+    * batch-built base files:
+    *
+    *  - `seg_<id>`: one per applied micro-batch (L0);
+    *  - `cseg_<T>`: a MINOR run — the fold of segments with ids in
+    *    (previous run's T, T]; several may be live at once;
+    *  - `fseg_<T>`: a FULL fold of every streamed run at its time —
+    *    at most the newest is live.
+    *
+    * Rules: let F = the max fseg T (or -inf). The fseg with T = F is
+    * live; a cseg is live iff its T > F; a seg is live iff its id >
+    * max(F, live cseg Ts). Everything else is DEAD the instant the
+    * newer fold's commit rename lands — a crash between that rename
+    * and the dead deletes double-counts nothing, because every reader
+    * goes through this view.
     */
   private case class ComponentView(
       fs: FileSystem,
       comp: Path,
       baseFiles: Seq[Path],
-      liveCseg: Option[(Long, Path)],
-      liveSegs: Seq[(Long, Path)], // ascending id, all > cseg through
-      dead: Seq[Path])
+      liveFseg: Option[(Long, Path)],
+      liveCsegs: Seq[(Long, Path)], // ascending T, all > fseg T
+      liveSegs: Seq[(Long, Path)], // ascending id, all > every run T
+      dead: Seq[Path]) {
+    def liveRuns: Seq[(Long, Path)] = liveFseg.toSeq ++ liveCsegs
+    def liveStreamed: Seq[Path] = liveRuns.map(_._2) ++ liveSegs.map(_._2)
+  }
 
   private def componentView(
       spark: SparkSession, dir: String, component: String): ComponentView = {
@@ -118,15 +130,27 @@ object IndexStore {
       case s if s.isDirectory && s.getPath.getName.startsWith(prefix) =>
         s.getPath.getName.stripPrefix(prefix).toLongOption.map(_ -> s.getPath)
     }.flatten.sortBy(_._1)
+    // none of the prefixes is a prefix of another's names: "cseg_…" /
+    // "fseg_…" do not start with "seg_"
+    val fsegs = ids(FsegPrefix)
     val csegs = ids(CsegPrefix)
-    val segs = ids(SegPrefix) // "cseg_…" does not start with "seg_"
-    val through = csegs.lastOption.map(_._1).getOrElse(Long.MinValue)
-    val (live, deadSegs) = segs.partition(_._1 > through)
+    val segs = ids(SegPrefix)
+    val fThrough = fsegs.lastOption.map(_._1).getOrElse(Long.MinValue)
+    val (liveC, deadC) = csegs.partition(_._1 > fThrough)
+    val segCover = (fThrough +: liveC.map(_._1)).max
+    val (live, deadSegs) = segs.partition(_._1 > segCover)
     ComponentView(fs, comp, baseFiles,
-      liveCseg = csegs.lastOption,
+      liveFseg = fsegs.lastOption,
+      liveCsegs = liveC,
       liveSegs = live,
-      dead = deadSegs.map(_._2) ++ csegs.dropRight(1).map(_._2))
+      dead = deadSegs.map(_._2) ++ deadC.map(_._2) ++ fsegs.dropRight(1).map(_._2))
   }
+
+  private def runDataBytes(fs: FileSystem, dir: Path): Long =
+    fs.listStatus(dir).collect {
+      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => s.getLen
+    }.sum
 
   /** Append one micro-batch's rows to a component as an immutable
     * segment, committed by a single atomic rename — the O(batch)
@@ -166,10 +190,10 @@ object IndexStore {
   }
 
   /** Committed streaming batch ids visible in a component (empty for a
-    * pure batch save): live segment ids plus the live compacted
-    * segment's fold-through id — the max is a stable applied-batch
-    * watermark across compactions (the cseg's id IS the highest id it
-    * folded, so compaction never regresses the watermark).
+    * pure batch save): live segment ids plus every live run's
+    * fold-through id — the max is a stable applied-batch watermark
+    * across compactions (a run's id IS the highest id it folded, so no
+    * fold ever regresses the watermark).
     */
   def segmentIds(spark: SparkSession, dir: String, component: String): Seq[Long] = {
     val p = new Path(s"$dir/$component")
@@ -177,7 +201,7 @@ object IndexStore {
     if (!fs.exists(p)) Nil
     else {
       val v = componentView(spark, dir, component)
-      (v.liveCseg.map(_._1).toSeq ++ v.liveSegs.map(_._1)).sorted
+      (v.liveRuns.map(_._1) ++ v.liveSegs.map(_._1)).sorted
     }
   }
 
@@ -199,11 +223,11 @@ object IndexStore {
   def componentCounts(spark: SparkSession, dir: String, component: String): (Long, Long) = {
     val root = new Path(dir)
     val v = componentView(spark, dir, component)
-    // streamed = live segments + the live compacted segment, whose
-    // _count sidecar carries the SUM of everything it folded — rows
-    // assigned with frozen centroids stay streamed through compaction,
+    // streamed = live segments + live runs, whose _count sidecars
+    // carry the SUM of everything they folded — rows assigned with
+    // frozen centroids stay streamed through every compaction level,
     // so the drift clock never resets without a rebuild
-    val streamed = (v.liveCseg.map(_._2).toSeq ++ v.liveSegs.map(_._2)).map { p =>
+    val streamed = v.liveStreamed.map { p =>
       readSidecar(spark, p.toString, SegCountFile).map(_.trim.toLong).getOrElse(0L)
     }.sum
     val cacheName = s"_base_count_$component"
@@ -216,18 +240,33 @@ object IndexStore {
     (base, streamed)
   }
 
-  /** Fold the live compacted segment (if any) and ALL live streaming
-    * segments of a component into ONE `cseg_<T>` (T = highest folded
-    * batch id), committed by a single atomic rename — the bound on
-    * segment-count growth that the drift gate alone does not give
-    * (many small triggers keep the streamed FRACTION low while the
-    * segment COUNT grows without limit: every probe lists each
-    * segment, every trigger reads each `_count` sidecar).
+  /** Default size-ratio for the FULL fold: consolidate every streamed
+    * run into one `fseg_<T>` when the minor runs' data bytes reach
+    * this fraction of the consolidated data (base files + the live
+    * fseg). Each full fold then at least doubles the consolidated
+    * size, so full folds are geometrically spaced and the total
+    * rewrite work per ingested row is O(log) — folding the previous
+    * run into EVERY minor (the naive single-level shape) is quadratic
+    * over a long rebuild horizon (e.g. 5-minute triggers for months).
+    */
+  val DefaultFullFoldRatio = 1.0
+
+  /** Compact a component's streamed data, picking the level from the
+    * pre-fold sizes:
     *
-    * Unlike a batch rebuild, compaction does NOT reset drift
-    * accounting: the folded rows were assigned/encoded with frozen
-    * centroids and remain STREAMED rows — the cseg's `_count` sidecar
-    * carries the sum of everything folded.
+    *  - '''minor''' (the normal case): fold the live SEGMENTS — and
+    *    only them — into one standalone `cseg_<T>` run (T = highest
+    *    folded batch id); earlier runs are untouched. Cost O(data
+    *    since the last fold).
+    *  - '''full''': when live runs exceed `maxRuns` or their data
+    *    bytes reach `fullFoldRatio` x the consolidated bytes, fold
+    *    EVERY live run + segment into one `fseg_<T>`. T is the newest
+    *    segment id, so the name never collides with an existing run
+    *    and one atomic rename is the commit.
+    *
+    * Neither level resets drift accounting: folded rows were
+    * assigned/encoded with frozen centroids and remain STREAMED rows —
+    * every run's `_count` sidecar carries the sum of what it folded.
     *
     * Crash-safe by the [[componentView]] liveness rule: a crash inside
     * the staged write leaves only an invisible staging dir (swept by
@@ -238,23 +277,32 @@ object IndexStore {
     * them once the reader grace window has passed. Callers serialize
     * through the index lock (the sink's discipline).
     */
-  def compactSegments(spark: SparkSession, dir: String, component: String): Unit = {
+  def compactSegments(spark: SparkSession, dir: String, component: String,
+      maxRuns: Int = 16, fullFoldRatio: Double = DefaultFullFoldRatio): Unit = {
     val v = componentView(spark, dir, component)
     if (v.liveSegs.isEmpty) return
-    val through = v.liveSegs.map(_._1).max // > any prior cseg id by liveness
-    val folded = v.liveCseg.map(_._2).toSeq ++ v.liveSegs.map(_._2)
+    val csegBytes = v.liveCsegs.map { case (_, p) => runDataBytes(v.fs, p) }.sum
+    val segBytes = v.liveSegs.map { case (_, p) => runDataBytes(v.fs, p) }.sum
+    val consolidated = v.baseFiles.map(p => v.fs.getFileStatus(p).getLen).sum +
+      v.liveFseg.map { case (_, p) => runDataBytes(v.fs, p) }.getOrElse(0L)
+    val full = v.liveCsegs.size >= maxRuns ||
+      csegBytes + segBytes >= fullFoldRatio * math.max(1L, consolidated)
+    val (folded, prefix) =
+      if (full) (v.liveStreamed, FsegPrefix)
+      else (v.liveSegs.map(_._2), CsegPrefix)
+    val through = v.liveSegs.map(_._1).max // > every live run T by liveness
     val streamed = folded.map { p =>
       readSidecar(spark, p.toString, SegCountFile).map(_.trim.toLong).getOrElse(0L)
     }.sum
-    val staging = new Path(dir, s"$component$CsegPrefix$through$StagingSuffix")
+    val staging = new Path(dir, s"$component$prefix$through$StagingSuffix")
     if (v.fs.exists(staging)) v.fs.delete(staging, true)
     spark.read.parquet(folded.map(_.toString): _*)
       .write.mode("overwrite").parquet(staging.toString)
     writeSidecars(spark, staging.toString, Map(SegCountFile -> streamed.toString))
-    val dest = new Path(v.comp, s"$CsegPrefix$through")
+    val dest = new Path(v.comp, s"$prefix$through")
     if (v.fs.exists(dest)) v.fs.delete(dest, true)
     if (!v.fs.rename(staging, dest))
-      throw new java.io.IOException(s"cseg commit rename $staging -> $dest failed")
+      throw new java.io.IOException(s"run commit rename $staging -> $dest failed")
   }
 
   /** Reader grace window before a dead part is physically deleted: a

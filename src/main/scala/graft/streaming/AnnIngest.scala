@@ -29,14 +29,19 @@ import graft.operators.{IndexStore, Ivf, IvfPq}
   * Segment COUNT is bounded separately from drift: many small triggers
   * keep the streamed fraction low while segments pile up (every probe
   * lists each one, every trigger reads each `_count` sidecar), so past
-  * `maxSegments` live segments the sink folds them into one compacted
-  * segment ([[IndexStore.compactSegments]] — single atomic rename,
-  * dead-by-rule cleanup). There is no per-key merge (segments are
-  * disjoint row sets), so compaction is a plain concatenating rewrite
-  * of STREAMED rows only — O(streamed), never O(base) — and it does
-  * NOT reset drift accounting: folded rows were encoded with frozen
-  * centroids and stay counted as streamed. A batch REBUILD (mandated
-  * by recall drift below) remains the only reset.
+  * `maxSegments` live segments the sink compacts
+  * ([[IndexStore.compactSegments]] — single atomic rename, dead
+  * parts excluded by rule and swept after the reader grace window).
+  * Compaction is TWO-LEVEL so write amplification stays O(log) per
+  * row over a long rebuild horizon: minors fold the segments — and
+  * only them — into standalone cseg runs; a size-ratio full fold
+  * consolidates every run into one fseg when the runs rival the
+  * consolidated bytes (geometrically spaced, like the gram store's
+  * majors). There is no per-key merge (segments are disjoint row
+  * sets) and no level resets drift accounting: folded rows were
+  * encoded with frozen centroids and stay counted as streamed. A
+  * batch REBUILD (mandated by recall drift below) remains the only
+  * reset.
   *
   * Exactly-once across crashes: the applied-batch watermark is the max
   * committed segment id (the rename IS the commit — no separate
@@ -163,7 +168,8 @@ object AnnIngest extends Logging {
             IndexStore.appendSegment(spark, indexDir, "assignments",
               Ivf.assignNew(centroids, batch, idCol, vecCol), batchId)
             if (IndexStore.liveStreamSegments(spark, indexDir, "assignments") > maxSegments)
-              IndexStore.compactSegments(spark, indexDir, "assignments")
+              IndexStore.compactSegments(spark, indexDir, "assignments",
+                maxRuns = maxSegments)
           }
         }.get
       }
@@ -211,7 +217,8 @@ object AnnIngest extends Logging {
             IndexStore.appendSegment(spark, indexDir, "coded",
               IvfPq.encodeNew(centroids, cb, batch, idCol, vecCol), batchId)
             if (IndexStore.liveStreamSegments(spark, indexDir, "coded") > maxSegments)
-              IndexStore.compactSegments(spark, indexDir, "coded")
+              IndexStore.compactSegments(spark, indexDir, "coded",
+                maxRuns = maxSegments)
           }
         }.get
       }

@@ -229,6 +229,55 @@ class AnnIngestSpec extends SparkTestBase {
       s"audit missed the re-emitted id: ${dups.toSeq}")
   }
 
+  test("two-level ANN compaction: minors leave base files and earlier runs untouched; the run-count bound forces a full fold") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annfull").toString
+    val indexDir = s"$root/index"
+    val base = emb.where($"vec_id" % 10 =!= 0) // large base → size-ratio never trips
+    val boot = Ivf.build(base, "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvf(spark, boot, indexDir)
+    Ivf.release(boot)
+    val baseSig = fileSig(s"$indexDir/assignments")
+      .filter(!_.contains("seg")) // the batch-built files only
+    val batches = (0 until 9).map(i =>
+      emb.where($"vec_id" % 10 === 0 && ($"vec_id" / 10) % 9 === i))
+    for ((b, i) <- batches.zipWithIndex) {
+      AnnIngest.applyIvfBatch(b, i.toLong, indexDir, "vec_id", "embedding",
+        maxStreamedFraction = 1.0, maxSegments = 2)
+      if (i == 5) {
+        // after the second minor: two standalone cseg runs live at once
+        val ids = IndexStore.segmentIds(spark, indexDir, "assignments")
+        assert(ids.contains(2L) && ids.contains(5L), s"expected two minor runs, got $ids")
+        assert(new java.io.File(s"$indexDir/assignments/cseg_2").isDirectory)
+        assert(new java.io.File(s"$indexDir/assignments/cseg_5").isDirectory)
+      }
+    }
+    // batch 8's fold hit the run-count bound (2 live csegs >= maxRuns)
+    // → everything consolidated into one full run
+    assert(new java.io.File(s"$indexDir/assignments/fseg_8").isDirectory,
+      "expected a full fold at the run-count bound")
+    val ids = IndexStore.segmentIds(spark, indexDir, "assignments")
+    assert(ids == Seq(8L), s"full fold should leave one live run: $ids")
+    // NO fold ever rewrote the batch-built base files
+    assert(fileSig(s"$indexDir/assignments").filter(!_.contains("seg")) == baseSig,
+      "a streamed-data fold rewrote the batch-built base files")
+    // drift accounting exact through minors + the full fold
+    val (bn, sn) = IndexStore.componentCounts(spark, indexDir, "assignments")
+    assert(bn == base.count() && sn == batches.map(_.count()).sum,
+      s"drift accounting drifted: base=$bn streamed=$sn")
+    // probe identity vs the batch-extended index
+    val streamed = IndexStore.loadIvf(spark, indexDir)
+    assert(streamed._2.count() == emb.count())
+    val batchExtended = batches.foldLeft(
+      Ivf.build(base, "vec_id", "embedding", nCentroids = 8)) { (ix, d) =>
+      Ivf.extend(ix, d, "vec_id", "embedding")
+    }
+    val queries = emb.where($"vec_id" < 5)
+    assertSameRows(
+      Ivf.probe(streamed._1, streamed._2, queries, "vec_id", "embedding", k = 10, nProbe = 4),
+      Ivf.probe(batchExtended._1, batchExtended._2, queries, "vec_id", "embedding", k = 10, nProbe = 4))
+    Ivf.release(streamed); Ivf.release(batchExtended)
+  }
+
   test("missing bootstrap index is refused loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_annmiss").toString
     val e = intercept[IllegalArgumentException] {
