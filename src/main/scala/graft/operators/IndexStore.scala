@@ -303,6 +303,10 @@ object IndexStore {
     if (v.fs.exists(dest)) v.fs.delete(dest, true)
     if (!v.fs.rename(staging, dest))
       throw new java.io.IOException(s"run commit rename $staging -> $dest failed")
+    // the rename made the folded parts dead by rule — record death
+    // time NOW so sweepDead's grace window runs from this commit, not
+    // from each part's original (much older) mtime (advice r12)
+    stampDead(v.fs, folded, System.currentTimeMillis())
   }
 
   /** Reader grace window before a dead part is physically deleted: a
@@ -313,13 +317,53 @@ object IndexStore {
     */
   val DefaultSweepGraceMs: Long = 10L * 60 * 1000
 
-  /** Delete parts a compaction made dead, once older than `graceMs`. */
+  /** Death-time tombstone written into a part the moment a fold's
+    * commit makes it dead. A part's own mtime is its ORIGINAL commit —
+    * segments accumulate for maxSegments triggers before folding, so
+    * in steady state they are already older than any grace window at
+    * death, and sweeping against mtime would delete them on the very
+    * next trigger, violating the retention contract (advice r12). The
+    * grace window is measured from this stamp instead; a dead part
+    * missing one (crash between the fold rename and the stamps) is
+    * stamped by the first [[sweepDead]] that sees it, so every dead
+    * part survives at least `graceMs` AFTER its death was recorded.
+    */
+  val DeadAtFile = "_dead_at"
+
+  private def stampDead(fs: FileSystem, parts: Seq[Path], atMillis: Long): Unit =
+    parts.foreach { p =>
+      val t = new Path(p, DeadAtFile)
+      if (fs.exists(p) && !fs.exists(t)) writeSmallFile(fs, t, atMillis.toString)
+    }
+
+  private def writeSmallFile(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+
+  /** Delete parts a compaction made dead, once their DEATH stamp (see
+    * [[DeadAtFile]]) is older than `graceMs`; unstamped dead parts are
+    * stamped now and collected by a later sweep. `graceMs` <= 0
+    * deletes immediately (documented: no concurrent readers).
+    */
   def sweepDead(spark: SparkSession, dir: String, component: String,
       graceMs: Long = DefaultSweepGraceMs): Unit = {
     val v = componentView(spark, dir, component)
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
     v.dead.foreach { p =>
-      if (v.fs.getFileStatus(p).getModificationTime < cutoff) v.fs.delete(p, true)
+      if (graceMs <= 0L) { v.fs.delete(p, true); () }
+      else readSmallFile(v.fs, new Path(p, DeadAtFile)).map(_.trim.toLong) match {
+        case Some(at) if now - at >= graceMs => v.fs.delete(p, true); ()
+        case Some(_) => ()
+        case None => writeSmallFile(v.fs, new Path(p, DeadAtFile), now.toString)
+      }
     }
   }
 

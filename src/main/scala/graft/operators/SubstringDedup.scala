@@ -46,7 +46,7 @@ import graft.functions.TextFunctions.{tokens, textShinglesAll}
   * n-gram flagging vs an EXTERNAL eval set — here the corpus is matched
   * against itself, which is why its broadcast strategy doesn't apply).
   */
-object SubstringDedup {
+object SubstringDedup extends org.apache.spark.internal.Logging {
 
   /** Positional k-gram occurrences: (doc_id, pos, g) with pos the
     * 0-based token index of the gram start. Docs shorter than k tokens
@@ -347,6 +347,11 @@ object SubstringDedup {
     val indexSide = {
       val plain = index.select(col("g"), col("fp"), col("cnt"))
       if (!indexGramPrefilter) plain
+      else if (occB.isEmpty)
+        // a batch whose docs are all shorter than k tokens has NO
+        // grams: nothing can match any index row (and stat.bloomFilter
+        // NPEs on an empty frame — null aggregation buffer)
+        plain.where(lit(false))
       else {
         val spark = batch.sparkSession
         // size the filter from a CHEAP scan of the batch rows, not a
@@ -364,6 +369,22 @@ object SubstringDedup {
         val estGrams = math.max(4096L, math.min(
           if (chars.isNullAt(0)) 1L else chars.getLong(0) / 6, MaxPrefilterItems))
         val bloom = occB.stat.bloomFilter("g", estGrams, IndexPrefilterFpp)
+        // the chars/6 gram estimate underestimates badly for corpora
+        // of long or unsegmented tokens (URLs, CJK without whitespace
+        // tokenization) — the overfilled filter stays CORRECT (fp rate
+        // rises, pruning fades) but would silently degrade to a no-op.
+        // expectedFpp() is computed from the built filter's actual bit
+        // saturation, so the degradation is observable for free
+        // (advice r12); 10x the configured rate ≈ half the index rows
+        // sail through the prefilter
+        val actualFpp = bloom.expectedFpp()
+        if (actualFpp > 10 * IndexPrefilterFpp)
+          logWarning(
+            f"substring-dedup index prefilter overfilled: built for ~$estGrams%d grams " +
+              f"(chars/6 estimate) but its post-build fp rate is $actualFpp%.4f vs the " +
+              f"$IndexPrefilterFpp%.4f configured — the estimate undercounted this " +
+              "batch's grams (long/unsegmented tokens?); the probe stays correct but " +
+              "prunes less of the index side. Consider a corpus-specific gram estimate")
         val bc = spark.sparkContext.broadcast(bloom)
         val mightHave = udf((g: String) => bc.value.mightContainString(g))
         plain.where(mightHave(col("g")))

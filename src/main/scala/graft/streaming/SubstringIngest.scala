@@ -139,21 +139,27 @@ object SubstringIngest extends Logging {
   /** Sidecar beside each `_ids_bloom`: how many ids went into it
     * (summed through compaction) — the saturation accounting that lets
     * the guard degrade loudly instead of false-refusing past capacity.
+    * One line PER FILTER in the bloom file, same order (a bloom file
+    * may hold several filters — see [[readBlooms]]); a single-line
+    * file over one filter (every store before this) reads unchanged.
     * A bloom with no count (pre-upgrade store) counts as 0: such a
     * store undercounts toward the capacity check, so pair it with
     * [[auditIngestedIds]] if its true id count is near capacity.
     */
   val IdsNFile = "_ids_n"
 
-  /** Sidecar beside each `_ids_bloom`: the `bloomExpectedItems` the
-    * filter was BUILT with. Saturation must compare against the
-    * on-disk filters' capacity, not the current call's parameter — a
-    * sink restarted with a smaller default than the store was
-    * bootstrapped with would otherwise declare a roomy guard
-    * "saturated" and silently skip it forever. Folds keep the MIN of
-    * the folded capacities (conservative: degrade early rather than
-    * false-refuse); a missing sidecar (pre-upgrade part) falls back to
-    * the call's parameter.
+  /** Sidecar beside each `_ids_bloom`: the `bloomExpectedItems` each
+    * filter was BUILT with, one line per filter (same order as the
+    * bloom file; -1 = unknown, falls back to the call's parameter).
+    * Saturation must compare against the on-disk filters' capacity,
+    * not the current call's parameter — a sink restarted with a
+    * smaller default than the store was bootstrapped with would
+    * otherwise declare a roomy guard "saturated" and silently skip it
+    * forever. Saturation is judged PER merge-compatibility class
+    * (advice r12): a store mixing a roomy bootstrap bloom with small
+    * per-segment blooms is saturated only when some class's summed
+    * count exceeds ITS OWN capacity, not when the total crosses the
+    * minimum single-filter capacity.
     */
   val IdsCapFile = "_ids_capacity"
 
@@ -167,6 +173,25 @@ object SubstringIngest extends Logging {
     * bootstrap) — id coverage is best-effort, not complete.
     */
   val BloomIncompleteFile = "_ids_bloom_incomplete"
+
+  /** Death-time tombstone. Liveness makes a part dead the instant a
+    * newer fold's commit rename lands, but the part's own mtime is its
+    * ORIGINAL commit — segments accumulate for maxSegments triggers
+    * before folding, so in steady state they are already older than
+    * any grace window at death, and sweeping against mtime deletes
+    * them on the very next trigger (advice r12: a probe that resolved
+    * its file list just before the fold could hit FileNotFound).
+    * Death is therefore stamped explicitly: the fold commit writes
+    * this file (millis) into each part it made dead; a dead part
+    * missing one (crash between the fold rename and the stamps, or a
+    * legacy layout) is stamped by the first sweep that sees it. A dead
+    * part is deleted only once its stamp is `graceMs` old, so it
+    * always survives at least the full grace window of wall time
+    * AFTER its death was recorded. For dead parts that are plain
+    * FILES (legacy root layout) the tombstone sits beside them as
+    * `_dead_at_<name>` (underscore-prefixed — invisible to readers).
+    */
+  val DeadAtFile = "_dead_at"
 
   private val SegPrefix = "seg_"
   private val MsegPrefix = "mseg_"
@@ -328,7 +353,7 @@ object SubstringIngest extends Logging {
     val st = readStore(spark, indexDir)
     val segBytes = st.liveSegs.map { case (_, p) => dataBytes(st.fs, p) }.sum
     val guarded = st.liveParts.flatMap(_.bloomAt)
-      .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
+      .map(p => readLongsFile(st.fs, new Path(p.getParent, IdsNFile)).sum).sum
     StoreStats(
       applied = st.applied,
       liveSegments = st.liveSegs.size,
@@ -352,14 +377,24 @@ object SubstringIngest extends Logging {
     * be the FULL corpus including everything those parts held, or the
     * dropped grams are simply gone. Re-bootstrapping also clears the
     * incomplete-coverage marker: the fresh bloom covers every id in
-    * `docs`. Offline operation (stopped stream / between triggers):
-    * dead parts are deleted immediately, with no reader grace.
+    * `docs`.
+    *
+    * Superseded parts (old segments/runs/legacy root files) become
+    * dead BY RULE the instant the swap lands — the liveness view
+    * excludes them — and by default are left on disk, death-stamped at
+    * the swap, for the grace-window sweep to collect: the bootstrap
+    * takes the same index lock as the sink, but lock-free concurrent
+    * PROBES that resolved their file list just before the swap must
+    * not hit FileNotFound mid-read (advice r12). Pass `offline = true`
+    * only when no concurrent reader can exist (stopped stream, no
+    * probes) to delete them immediately instead.
     */
   def bootstrap(
       spark: SparkSession, docs: DataFrame, indexDir: String, k: Int = 8,
       appliedBatch: Long = -1L,
       bloomExpectedItems: Long = DefaultBloomItems,
-      bloomFpp: Double = DefaultBloomFpp): Unit = {
+      bloomFpp: Double = DefaultBloomFpp,
+      offline: Boolean = false): Unit = {
     val bloom = docIdBloom(docs, bloomExpectedItems, bloomFpp)
     val nIds = docs.count()
     // same lock as the sink: a concurrent trigger must not append a
@@ -376,8 +411,10 @@ object SubstringIngest extends Logging {
           writeLongFile(fs, new Path(staging, IdsCapFile), bloomExpectedItems)
         }).get
       val post = readStore(spark, indexDir)
-      ((post.liveMsegs ++ post.liveSegs).map(_._2) ++ post.deadSegs ++
-        post.legacyRootFiles).foreach(post.fs.delete(_, true))
+      // every pre-existing part is dead by rule now (compactedThrough
+      // covers all their ids; legacy root files die once base exists)
+      if (offline) post.deadSegs.foreach(post.fs.delete(_, true))
+      else stampDead(post.fs, post.deadSegs, System.currentTimeMillis())
       post.fs.delete(new Path(post.dir, BloomIncompleteFile), false)
       post.fs.delete(new Path(post.dir, AppliedBatchFile), false)
     }.get
@@ -429,23 +466,82 @@ object SubstringIngest extends Logging {
     try blooms.foreach(_.writeTo(out)) finally out.close()
   }
 
-  /** Merge filters into as few as merge-compatibility allows: try each
-    * into an existing accumulator, append on
+  /** One guard filter with its saturation accounting: ids folded into
+    * it and the capacity it was built for (-1 = unknown → the call's
+    * `bloomExpectedItems` at check time).
+    */
+  private case class GuardEntry(bloom: BloomFilter, n: Long, cap: Long)
+
+  private def readLongsFile(fs: FileSystem, p: Path): Seq[Long] =
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      s.split("\\s+").toSeq.filter(_.nonEmpty).map(_.toLong)
+    }
+
+  /** Read a part's guard state: its filters with aligned per-filter
+    * (n, cap) lines. A legacy part whose count/cap files don't align
+    * with its filter list (single-line files over a mixed-size bloom
+    * list) assigns the TOTAL n and the single cap to EVERY filter —
+    * overcounting, so saturation degrades EARLY on such parts (the
+    * pre-advice behavior) rather than admitting unguarded ids late.
+    */
+  private def readGuard(fs: FileSystem, partDir: Path): Seq[GuardEntry] = {
+    val bloomAt = new Path(partDir, IdsBloomFile)
+    if (!fs.exists(bloomAt)) Nil
+    else {
+      val blooms = readBlooms(fs, bloomAt)
+      val ns = readLongsFile(fs, new Path(partDir, IdsNFile))
+      val caps = readLongsFile(fs, new Path(partDir, IdsCapFile))
+      val nOf: Int => Long =
+        if (ns.size == blooms.size) ns.apply
+        else _ => ns.sum // legacy/misaligned: conservative overcount
+      val capOf: Int => Long =
+        if (caps.size == blooms.size) caps.apply
+        else _ => caps.headOption.getOrElse(-1L)
+      blooms.indices.map(i => GuardEntry(blooms(i), nOf(i), capOf(i)))
+    }
+  }
+
+  private def writeGuard(fs: FileSystem, dir: Path, entries: Seq[GuardEntry]): Unit = {
+    writeBlooms(fs, new Path(dir, IdsBloomFile), entries.map(_.bloom))
+    writeLinesFile(fs, new Path(dir, IdsNFile), entries.map(_.n))
+    writeLinesFile(fs, new Path(dir, IdsCapFile), entries.map(_.cap))
+  }
+
+  private def writeLinesFile(fs: FileSystem, p: Path, vs: Seq[Long]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(vs.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Merge guard entries into as few classes as merge-compatibility
+    * allows: try each filter into an existing accumulator, append on
     * [[org.apache.spark.util.sketch.IncompatibleMergeException]].
     * Grouping by bitSize alone is NOT enough — the sketch also
     * requires equal hash counts, and two (expectedItems, fpp) configs
     * can share a word-rounded bitSize with different hash counts. One
-    * filter in a consistently-configured store; mixed sizing degrades
-    * to a few probes per id instead of crashing.
+    * class in a consistently-configured store; mixed sizing degrades
+    * to a few probes per id instead of crashing. Counts SUM within a
+    * class; capacity keeps the class MIN (compatible configs can
+    * still differ in nominal capacity — degrade early).
     */
-  private def mergeCompatible(blooms: Seq[BloomFilter]): Seq[BloomFilter] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[BloomFilter]
-    for (b <- blooms) {
+  private def mergeGuard(entries: Seq[GuardEntry]): Seq[GuardEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GuardEntry]
+    for (e <- entries) {
       val idx = out.indexWhere { acc =>
-        try { acc.mergeInPlace(b); true }
+        try { acc.bloom.mergeInPlace(e.bloom); true }
         catch { case _: org.apache.spark.util.sketch.IncompatibleMergeException => false }
       }
-      if (idx < 0) out += b
+      if (idx < 0) out += e
+      else {
+        val acc = out(idx)
+        val cap =
+          if (acc.cap < 0) e.cap
+          else if (e.cap < 0) acc.cap
+          else math.min(acc.cap, e.cap)
+        out(idx) = GuardEntry(acc.bloom, acc.n + e.n, cap)
+      }
     }
     out.toSeq
   }
@@ -469,14 +565,41 @@ object SubstringIngest extends Logging {
     */
   val DefaultSweepGraceMs: Long = 10L * 60 * 1000
 
+  private def tombstonePath(fs: FileSystem, p: Path): Path =
+    if (fs.getFileStatus(p).isDirectory) new Path(p, DeadAtFile)
+    else new Path(p.getParent, s"${DeadAtFile}_${p.getName}")
+
+  /** Record death time on parts a fold just made dead (see
+    * [[DeadAtFile]]). Idempotent; a replayed fold never re-stamps.
+    */
+  private def stampDead(fs: FileSystem, parts: Seq[Path], atMillis: Long): Unit =
+    parts.foreach { p =>
+      if (fs.exists(p)) {
+        val t = tombstonePath(fs, p)
+        if (!fs.exists(t)) writeLongFile(fs, t, atMillis)
+      }
+    }
+
   private def sweepDead(st: Store, graceMs: Long): Unit = {
     // staging debris is invisible to readers — always safe to drop;
-    // dead DATA parts wait out the reader grace window
+    // dead DATA parts wait out the reader grace window measured from
+    // their DEATH stamp (self-healing: an unstamped dead part — crash
+    // window or legacy — is stamped now and deleted graceMs later)
     st.staleStaging.foreach(st.fs.delete(_, true))
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
     st.deadSegs.foreach { p =>
-      if (st.fs.getFileStatus(p).getModificationTime < cutoff)
-        st.fs.delete(p, true)
+      if (graceMs <= 0L) { st.fs.delete(p, true); () } // documented: no readers
+      else {
+        val t = tombstonePath(st.fs, p)
+        readLongFile(st.fs, t) match {
+          case Some(at) if now - at >= graceMs =>
+            st.fs.delete(p, true)
+            st.fs.delete(t, false) // file-part tombstones live beside the part
+            ()
+          case Some(_) => ()
+          case None => writeLongFile(st.fs, t, now)
+        }
+      }
     }
   }
 
@@ -611,29 +734,31 @@ object SubstringIngest extends Logging {
       spark: SparkSession, st: Store, batch: DataFrame, batchId: Long,
       bloomExpectedItems: Long): Unit = {
     val bloomPaths = st.liveParts.flatMap(_.bloomAt)
-    val mergedN = bloomPaths
-      .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
-    // capacity of the ON-DISK filters (min across parts — conservative
-    // for mixed configs), not this call's parameter: a sink restarted
-    // with a smaller default than the store was built with must not
-    // declare a roomy guard saturated and skip it forever
-    val capacity = bloomPaths
-      .flatMap(p => readLongFile(st.fs, new Path(p.getParent, IdsCapFile)))
-      .minOption.getOrElse(bloomExpectedItems)
-    val saturated = mergedN > capacity
-    if (saturated)
+    // capacities come from the ON-DISK sidecars, not this call's
+    // parameter: a sink restarted with a smaller default than the
+    // store was built with must not declare a roomy guard saturated
+    // and skip it forever. Saturation is PER merge-compatibility
+    // class (advice r12): a roomy bootstrap bloom beside small
+    // per-segment blooms saturates only when some class's own summed
+    // count exceeds its own capacity.
+    val classes = mergeGuard(bloomPaths.flatMap(p => readGuard(st.fs, p.getParent)))
+    val overCap = classes.find(c =>
+      c.n > (if (c.cap >= 0) c.cap else bloomExpectedItems))
+    val saturated = overCap.isDefined
+    overCap.foreach { c =>
       logWarning(
-        s"substringIngest ${st.dir}: merged id blooms hold ~$mergedN ids, past their " +
-          s"$capacity capacity — the id guard is DEGRADED (would mostly " +
-          "false-refuse); marking the store _ids_bloom_incomplete. Run " +
-          "auditIngestedIds over the report directory for an exact check, or " +
-          "re-bootstrap with a larger bloomExpectedItems")
+        s"substringIngest ${st.dir}: a merged id-bloom class holds ~${c.n} ids, past " +
+          s"its ${if (c.cap >= 0) c.cap else bloomExpectedItems} capacity — the id " +
+          "guard is DEGRADED (would mostly false-refuse); marking the store " +
+          "_ids_bloom_incomplete. Run auditIngestedIds over the report directory " +
+          "for an exact check, or re-bootstrap with a larger bloomExpectedItems")
+    }
     val unguarded =
       st.liveParts.exists(_.bloomAt.isEmpty) || st.bloomIncomplete || saturated
     if (unguarded && !st.fs.exists(new Path(st.dir, BloomIncompleteFile)) && st.exists)
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
     if (bloomPaths.nonEmpty && !saturated) {
-      val merged = mergeCompatible(bloomPaths.flatMap(readBlooms(st.fs, _)))
+      val merged = classes.map(_.bloom)
       import org.apache.spark.sql.functions.{col, udf}
       // broadcast, not closure-capture: the filters are MBs and the
       // closure would re-serialize them into every task of every trigger
@@ -682,30 +807,24 @@ object SubstringIngest extends Logging {
     if (st.liveSegs.isEmpty) return
     val through = st.liveSegs.map(_._1).max // > any mseg/base cover by liveness
     val segPaths = st.liveSegs.map(_._2)
-    val bloomPaths = segPaths.map(p => new Path(p, IdsBloomFile)).filter(st.fs.exists)
-    val mergedBlooms = mergeCompatible(bloomPaths.flatMap(readBlooms(st.fs, _)))
-    val nIds = segPaths
-      .map(p => readLongFile(st.fs, new Path(p, IdsNFile)).getOrElse(0L)).sum
-    val cap = segPaths
-      .flatMap(p => readLongFile(st.fs, new Path(p, IdsCapFile))).minOption
+    val nWithBloom = segPaths.count(p => st.fs.exists(new Path(p, IdsBloomFile)))
+    val guard = mergeGuard(segPaths.flatMap(p => readGuard(st.fs, p)))
     val staging = new Path(st.dir, s"$MsegPrefix$through$StagingSuffix")
     if (st.fs.exists(staging)) st.fs.delete(staging, true)
     mergeRows(spark.read.schema(IndexSchema).parquet(segPaths.map(_.toString): _*))
       .write.mode("overwrite").parquet(staging.toString)
-    if (mergedBlooms.nonEmpty) {
-      writeBlooms(st.fs, new Path(staging, IdsBloomFile), mergedBlooms)
-      writeLongFile(st.fs, new Path(staging, IdsNFile), nIds)
-      cap.foreach(writeLongFile(st.fs, new Path(staging, IdsCapFile), _))
-    }
-    if (bloomPaths.size < segPaths.size) // should not happen for sink-written segs
+    if (guard.nonEmpty) writeGuard(st.fs, staging, guard)
+    if (nWithBloom < segPaths.size) // should not happen for sink-written segs
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
     val dest = new Path(st.dir, s"$MsegPrefix$through")
     if (st.fs.exists(dest)) st.fs.delete(dest, true)
     if (!st.fs.rename(staging, dest))
       throw new java.io.IOException(s"mseg commit rename $staging -> $dest failed")
     // dead by rule now; immediate deletion only in offline contexts —
-    // the sink defers to the grace-window sweep for concurrent readers
+    // the sink stamps death time at THIS commit and defers deletion to
+    // the grace-window sweep (concurrent readers; see DeadAtFile)
     if (deleteFolded) segPaths.foreach(st.fs.delete(_, true))
+    else stampDead(st.fs, segPaths, System.currentTimeMillis())
   }
 
   private def compactLocked(
@@ -715,30 +834,25 @@ object SubstringIngest extends Logging {
     val through = st.applied
     val parts = st.liveParts
     val bloomPaths = parts.flatMap(_.bloomAt)
-    val mergedBlooms = mergeCompatible(bloomPaths.flatMap(readBlooms(st.fs, _)))
-    val mergedN = bloomPaths
-      .map(p => readLongFile(st.fs, new Path(p.getParent, IdsNFile)).getOrElse(0L)).sum
-    val cap = bloomPaths
-      .flatMap(p => readLongFile(st.fs, new Path(p.getParent, IdsCapFile))).minOption
+    val guard = mergeGuard(bloomPaths.flatMap(p => readGuard(st.fs, p.getParent)))
     val incomplete = st.bloomIncomplete || parts.exists(_.bloomAt.isEmpty)
     Load.replaceTable(spark, mergeRows(readLive(spark, st)), s"$indexDir/base",
       decorateStaging = { staging =>
         val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         writeLongFile(fs, new Path(staging, CompactedThroughFile), through)
-        if (mergedBlooms.nonEmpty) {
-          writeBlooms(fs, new Path(staging, IdsBloomFile), mergedBlooms)
-          writeLongFile(fs, new Path(staging, IdsNFile), mergedN)
-          cap.foreach(writeLongFile(fs, new Path(staging, IdsCapFile), _))
-        }
+        if (guard.nonEmpty) writeGuard(fs, staging, guard)
       }).get
     if (incomplete)
       writeLongFile(st.fs, new Path(st.dir, BloomIncompleteFile), 1L)
     // the swap made these dead by rule; immediate deletion only in
-    // offline contexts — the sink defers to the grace-window sweep
+    // offline contexts — the sink stamps death time at THIS commit and
+    // defers deletion to the grace-window sweep (see DeadAtFile)
     if (deleteFolded) {
       (st.liveMsegs ++ st.liveSegs).foreach { case (_, p) => st.fs.delete(p, true) }
       st.legacyRootFiles.foreach(st.fs.delete(_, false))
-    }
+    } else stampDead(st.fs,
+      (st.liveMsegs ++ st.liveSegs).map(_._2) ++ st.legacyRootFiles,
+      System.currentTimeMillis())
     st.fs.delete(new Path(st.dir, AppliedBatchFile), false)
     ()
   }

@@ -285,4 +285,49 @@ class AnnIngestSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("not a saved index"), e.getMessage)
   }
+
+  test("retention: compaction death-stamps folded segments — sweepDead's grace runs from the fold commit, not part mtime (advice r12)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annsweep").toString
+    val indexDir = s"$root/index"
+    val base = emb.where($"vec_id" % 4 === 0)
+    val boot = Ivf.build(base, "vec_id", "embedding", nCentroids = 8)
+    IndexStore.saveIvf(spark, boot, indexDir)
+    Ivf.release(boot)
+    // maxSegments=2: batch 2's append makes 3 live segments -> cseg_2
+    (1 to 3).foreach { i =>
+      AnnIngest.applyIvfBatch(emb.where($"vec_id" % 4 === i), (i - 1).toLong,
+        indexDir, "vec_id", "embedding", maxStreamedFraction = 1.0, maxSegments = 2)
+    }
+    val dead = (0 to 2).map(i => new java.io.File(s"$indexDir/assignments/seg_$i"))
+    assert(dead.forall(_.isDirectory), "folded segments should linger")
+    val stamps = dead.map(d => new java.io.File(d, IndexStore.DeadAtFile))
+    assert(stamps.forall(_.isFile), "compaction did not death-stamp its inputs")
+    // parts far older than the grace window, stamps fresh: kept — in
+    // steady state a segment is maxSegments triggers old at death, so
+    // an mtime-gated sweep would delete it on the very next trigger
+    dead.foreach(_.setLastModified(System.currentTimeMillis() - 24L * 3600 * 1000))
+    IndexStore.sweepDead(spark, indexDir, "assignments")
+    assert(dead.forall(_.isDirectory),
+      "sweep deleted a dead part inside the grace window measured from its death stamp")
+    // stamps aged past the grace window: collected (drop the .crc
+    // sidecar — the stamp was written through Hadoop's checksummed
+    // LocalFileSystem and is rewritten here raw)
+    stamps.foreach { s =>
+      new java.io.File(s.getParentFile, s".${s.getName}.crc").delete()
+      java.nio.file.Files.write(s.toPath,
+        (System.currentTimeMillis() - 2 * IndexStore.DefaultSweepGraceMs)
+          .toString.getBytes("UTF-8"))
+    }
+    IndexStore.sweepDead(spark, indexDir, "assignments")
+    assert(dead.forall(!_.exists()), "sweep left dead parts whose death stamp aged out")
+    // an UNSTAMPED dead part (crash between fold rename and stamps) is
+    // stamped by the first sweep and collected only after the grace
+    val orphan = new java.io.File(s"$indexDir/assignments/seg_0")
+    orphan.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 24L * 3600 * 1000)
+    IndexStore.sweepDead(spark, indexDir, "assignments")
+    assert(orphan.isDirectory, "first sweep deleted an unstamped dead part immediately")
+    assert(new java.io.File(orphan, IndexStore.DeadAtFile).isFile,
+      "first sweep did not stamp the unstamped dead part")
+  }
 }

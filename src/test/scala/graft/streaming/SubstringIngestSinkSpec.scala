@@ -348,4 +348,97 @@ class SubstringIngestSinkSpec extends SparkTestBase {
     assert(!new java.io.File(indexDir).listFiles().exists(f =>
       f.isFile && f.getName.endsWith(".parquet")), "legacy root files survived compaction")
   }
+
+  test("retention: a fold death-stamps its inputs — the sweep's grace window runs from the fold commit, not the part's own mtime (advice r12)") {
+    val (_, indexDir, reportDir, _) = dirs()
+    // maxSegments=2: batch 2's append makes 3 live segments -> minor fold
+    Seq(b1, b2, b3).map(_.toDF("doc_id", "text")).zipWithIndex.foreach { case (b, i) =>
+      SubstringIngest.applyBatch(b, i.toLong, indexDir, reportDir, k, maxSegments = 2)
+    }
+    val dead = (0 to 2).map(i => new java.io.File(s"$indexDir/seg_$i"))
+    assert(dead.forall(_.isDirectory), "folded segments should linger inside the grace window")
+    val stamps = dead.map(d => new java.io.File(d, SubstringIngest.DeadAtFile))
+    assert(stamps.forall(_.isFile), "fold did not death-stamp its inputs")
+    // age the PARTS far past any grace window but keep the stamps
+    // fresh: in steady state a segment is maxSegments triggers old at
+    // death, so an mtime-based sweep would delete it on the very next
+    // trigger — the death stamp is what must gate the deletion
+    dead.foreach(_.setLastModified(System.currentTimeMillis() - 24L * 3600 * 1000))
+    SubstringIngest.applyBatch(Seq((50L, "aa bb cc dd ee ff")).toDF("doc_id", "text"),
+      3L, indexDir, reportDir, k, maxSegments = 2)
+    assert(dead.forall(_.isDirectory),
+      "sweep deleted a dead part inside the grace window measured from its death stamp")
+    // age the STAMPS past the grace window: now the sweep collects
+    // them (drop the .crc sidecar — the stamp was written through
+    // Hadoop's checksummed LocalFileSystem and is rewritten here raw)
+    stamps.foreach { s =>
+      new java.io.File(s.getParentFile, s".${s.getName}.crc").delete()
+      java.nio.file.Files.write(s.toPath,
+        (System.currentTimeMillis() - 2 * SubstringIngest.DefaultSweepGraceMs)
+          .toString.getBytes("UTF-8"))
+    }
+    SubstringIngest.applyBatch(Seq((51L, "gg hh ii jj kk ll")).toDF("doc_id", "text"),
+      4L, indexDir, reportDir, k, maxSegments = 2)
+    assert(dead.forall(!_.exists()), "sweep left dead parts whose death stamp aged out")
+  }
+
+  test("saturation is judged per bloom size class: a roomy bootstrap beside small segment blooms keeps the guard active (advice r12)") {
+    val (_, indexDir, reportDir, _) = dirs()
+    // roomy bootstrap bloom: capacity 1000, 4 ids
+    SubstringIngest.bootstrap(spark, (b1 ++ b2).toDF("doc_id", "text"), indexDir, k,
+      bloomExpectedItems = 1000)
+    // three 1-id batches with tiny blooms (capacity 3): the small class
+    // holds 3 ids <= its OWN capacity; the TOTAL (7) is past the MIN
+    // single-part capacity — the pre-advice check declared saturation here
+    Seq(10L, 11L, 12L).zipWithIndex.foreach { case (id, i) =>
+      SubstringIngest.applyBatch(
+        Seq((id, s"fresh words number $id here")).toDF("doc_id", "text"),
+        i.toLong, indexDir, reportDir, k, bloomExpectedItems = 3)
+    }
+    assert(!new java.io.File(s"$indexDir/${SubstringIngest.BloomIncompleteFile}").exists,
+      "per-class accounting still declared a non-saturated store saturated")
+    assert(SubstringIngest.storeStats(spark, indexDir).guardComplete)
+    // the guard is ACTIVE: a bootstrap id and a segment id are both refused
+    for (reused <- Seq(1L, 11L)) {
+      val e = intercept[IllegalArgumentException] {
+        SubstringIngest.applyBatch(
+          Seq((reused, "reuse attempt text")).toDF("doc_id", "text"),
+          3L, indexDir, reportDir, k, bloomExpectedItems = 3)
+      }
+      assert(e.getMessage.contains("doc_ids"), e.getMessage)
+    }
+    // a 4th/5th small batch push the SMALL class past ITS capacity
+    // (4 > 3): now the guard genuinely saturates and degrades loudly
+    SubstringIngest.applyBatch(Seq((13L, "more fresh words")).toDF("doc_id", "text"),
+      3L, indexDir, reportDir, k, bloomExpectedItems = 3)
+    SubstringIngest.applyBatch(Seq((14L, "and yet more words")).toDF("doc_id", "text"),
+      4L, indexDir, reportDir, k, bloomExpectedItems = 3)
+    assert(new java.io.File(s"$indexDir/${SubstringIngest.BloomIncompleteFile}").exists,
+      "a genuinely over-capacity class did not degrade the guard")
+  }
+
+  test("bootstrap default keeps superseded parts dead-by-rule with death stamps; offline=true deletes immediately (advice r12)") {
+    val (_, indexDir, reportDir, _) = dirs()
+    SubstringIngest.applyBatch(b1.toDF("doc_id", "text"), 0L, indexDir, reportDir, k)
+    SubstringIngest.applyBatch(b2.toDF("doc_id", "text"), 1L, indexDir, reportDir, k)
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    SubstringIngest.bootstrap(spark, all, indexDir, k)
+    // superseded segments linger (a lock-free concurrent probe may
+    // still hold their file list), dead by rule, stamped at the swap
+    for (i <- 0 to 1) {
+      val seg = new java.io.File(s"$indexDir/seg_$i")
+      assert(seg.isDirectory,
+        "default bootstrap deleted a superseded part with no reader grace")
+      assert(new java.io.File(seg, SubstringIngest.DeadAtFile).isFile,
+        "superseded part not death-stamped at the bootstrap swap")
+    }
+    // …and are excluded from every new read
+    assertSameRows(SubstringIngest.readState(spark, indexDir)._1,
+      SubstringDedup.gramIndex(all, k))
+    // offline=true is the explicit no-concurrent-readers escape hatch
+    SubstringIngest.bootstrap(spark, all, indexDir, k, offline = true)
+    for (i <- 0 to 1)
+      assert(!new java.io.File(s"$indexDir/seg_$i").exists(),
+        "offline bootstrap left superseded parts")
+  }
 }
