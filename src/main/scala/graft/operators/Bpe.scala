@@ -100,6 +100,14 @@ object Bpe {
     */
   val MaxDriverVocab: Long = 2L * 1000 * 1000
 
+  /** How many top pairs each distributed round collects as batch
+    * candidates — also the max merges one round can apply. 16 keeps
+    * the per-round applyOneMerge fold chain (16 nested `aggregate`
+    * expressions) well inside analyzer/codegen comfort (the q211
+    * oracle unrolls 8 the same way).
+    */
+  val DefaultBatchTopK: Int = 16
+
   /** Train `nMerges` BPE merges over the corpus (greedy, classic):
     * per round, the most frequent adjacent symbol pair — occurrence
     * counts weighted by word frequency — is merged everywhere. Returns
@@ -114,57 +122,170 @@ object Bpe {
     * instead of one Spark job per merge round, which at a production
     * 32 k-merge vocabulary is the difference between seconds and hours
     * of job-launch overhead (round-11 verdict #3). Above the gate, the
-    * round-per-merge distributed fold runs (localCheckpoint-ed per
-    * round with superseded-block release). Both paths are exactly
-    * equivalent — same greedy pick order (count desc, then l, r in
-    * UTF-8 byte order, matching Spark/DuckDB binary string collation),
-    * same leftmost-rescan merge semantics (BpeSpec pins it).
+    * BATCHED distributed fold runs (round-12 verdict #2: up to
+    * `batchTopK` provably-independent merges per round — see
+    * [[trainDistributed]]), localCheckpoint-ed per round with
+    * superseded-block release. All paths are exactly equivalent —
+    * same greedy pick order (count desc, then l, r in UTF-8 byte
+    * order, matching Spark/DuckDB binary string collation), same
+    * leftmost-rescan merge semantics (BpeSpec pins it).
+    *
+    * `freqFloor` (round-12 verdict #2, the other above-gate lever):
+    * drop words with corpus frequency below it BEFORE the gate check.
+    * Web-scale vocabularies are dominated by a once-seen tail (typos,
+    * random strings, binary spill) whose total pair mass is a sliver
+    * of the corpus; floor=2 routinely shrinks tens-of-millions-of-word
+    * vocabularies back under the driver gate. NOT semantics-free: the
+    * dropped tail's pair counts no longer vote, so merges CAN diverge
+    * from floor=1 wherever tail mass was decisive (BpeSpec pins both a
+    * divergent and a stable fixture) — it is a documented corpus-prep
+    * choice (the GPT-2/SentencePiece lineage does the same), default
+    * OFF.
     */
   def trainMerges(
       docs: DataFrame, nMerges: Int, textCol: String = "text",
-      maxDriverVocab: Long = MaxDriverVocab): Seq[(String, String)] = {
+      maxDriverVocab: Long = MaxDriverVocab,
+      freqFloor: Long = 1L,
+      batchTopK: Int = DefaultBatchTopK): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(freqFloor >= 1L, s"freqFloor must be >= 1, got $freqFloor")
     // ONE corpus pass: everything after this is vocabulary-sized
-    val wordFreq = docs
+    val allWords = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val wordFreq = (if (freqFloor > 1L) allWords.where(col("freq") >= freqFloor)
+                    else allWords)
       .localCheckpoint()
     try {
       if (wordFreq.count() <= maxDriverVocab)
         trainInMemory(
           wordFreq.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
-      else trainDistributed(wordFreq, nMerges)
+      else trainDistributed(wordFreq, nMerges, batchTopK)
     } finally Lineage.release(wordFreq)
   }
 
-  private def trainDistributed(
-      wordFreq: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  /** Batched distributed trainer (round-12 verdict #2): instead of one
+    * Spark round per merge, each round applies a BATCH of merges that
+    * is provably order-equivalent to applying them one greedy round at
+    * a time. The batch is the maximal PREFIX of the rank-sorted pair
+    * list satisfying, for each extension i (candidates 1-based,
+    * c_1 >= c_2 >= …):
+    *
+    *  1. '''support disjointness''': pair_i's symbols are disjoint
+    *     from every earlier batch pair's — two such merges cannot
+    *     share an occurrence position, so neither changes the other's
+    *     count, and no old pair off the batch gains count (merges only
+    *     destroy occurrences of pairs that share a symbol);
+    *  2. '''created-pair dominance''': max_{j<i} U_j < c_i, where
+    *     U_j = max pre-batch count over pairs adjacent to merge j's
+    *     symbols — (x, l_j) and (r_j, x). Every pair a merge CREATES
+    *     is (x, l_j·r_j) or (l_j·r_j, x), and its occurrences each
+    *     consume one (x, l_j) / (r_j, x) occurrence, so its count at
+    *     creation is <= U_j; the strict bound means no created pair
+    *     can outrank pair_i when sequential greedy reaches step i.
+    *
+    * With both, sequential greedy at step i sees: batch pairs i..k
+    * with UNCHANGED counts (1), every non-batch old pair ranked below
+    * them (prefix of the sort; counts only decrease), and every
+    * created pair strictly below c_i (2) — so it picks exactly
+    * pair_i. Ties on c_i block extension (a created pair could tie
+    * and win the lexicographic tiebreak unseen), trading batch size
+    * for exactness.
+    *
+    * Per round: one pair aggregate (+checkpoint), one top-K collect,
+    * one adjacency-max collect over the K candidate symbols, one
+    * batched apply (+checkpoint) — ~4 jobs for up to `batchTopK`
+    * merges vs 2 jobs PER merge before, with the win concentrated
+    * exactly where counts are well-separated. The worst case (heavy
+    * count ties, batches of 1) degrades to the round-per-merge shape,
+    * never below it.
+    */
+  private[operators] def trainDistributed(
+      wordFreq: DataFrame, nMerges: Int,
+      batchTopK: Int = DefaultBatchTopK): Seq[(String, String)] = {
+    require(batchTopK >= 1, s"batchTopK must be >= 1, got $batchTopK")
     var vocab = wordFreq
       .select(col("w"), col("freq"), initialSymstr(col("w")).as("symstr"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
+    var done = 0
     try {
-      for (i <- 1 to nMerges) {
-        val top = vocab
+      while (done < nMerges) {
+        val pairs = vocab
           .select(col("freq"), explode(pairCol(col("symstr"))).as("pr"))
           .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
           .agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("l"), col("r"))
-          .limit(1).collect()
-        require(top.nonEmpty,
-          s"BPE training exhausted adjacent pairs after ${i - 1} merges (requested $nMerges)")
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((l, r))
-        if (i < nMerges) {
-          val next = vocab
-            .select(col("w"), col("freq"), applyOneMerge(col("symstr"), l, r).as("symstr"))
-            .localCheckpoint()
-          Lineage.release(vocab) // superseded the moment `next` materialized
-          vocab = next
-        }
+          .localCheckpoint()
+        try {
+          val top = pairs
+            .orderBy(col("n").desc, col("l"), col("r"))
+            .limit(math.min(batchTopK, nMerges - done)).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          require(top.nonEmpty,
+            s"BPE training exhausted adjacent pairs after $done merges (requested $nMerges)")
+          // U_j inputs: per candidate symbol s, the max count of pairs
+          // (x, s) and (s, x) — one filtered aggregate over the pair
+          // table, collected small (<= 2*topK rows)
+          val candLs = top.map(_._1).distinct.toSeq
+          val candRs = top.map(_._2).distinct.toSeq
+          // keyed SEPARATELY by direction: U_j needs pairs (x, l_j) —
+          // the r-keyed max of symbol l_j — and (r_j, x) — the l-keyed
+          // max of r_j. Folding both directions per symbol would pull
+          // in pair_j itself (its own l == l_j), inflating U_j to
+          // >= c_j and blocking every extension
+          val maxIncoming = pairs.where(col("r").isin(candLs: _*))
+            .groupBy(col("r").as("s")).agg(max(col("n")).as("m"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val maxOutgoing = pairs.where(col("l").isin(candRs: _*))
+            .groupBy(col("l").as("s")).agg(max(col("n")).as("m"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val picked = planBatch(top, maxIncoming, maxOutgoing)
+          merges ++= picked
+          done += picked.size
+          if (done < nMerges) {
+            val next = vocab
+              .select(col("w"), col("freq"),
+                picked.foldLeft(col("symstr")) { case (s, (l, r)) =>
+                  applyOneMerge(s, l, r)
+                }.as("symstr"))
+              .localCheckpoint()
+            Lineage.release(vocab) // superseded the moment `next` materialized
+            vocab = next
+          }
+        } finally Lineage.release(pairs)
       }
       merges.result()
     } finally Lineage.release(vocab)
+  }
+
+  /** Batch selection (see [[trainDistributed]]'s conditions): the
+    * maximal prefix of the rank-sorted candidates with pairwise-
+    * disjoint supports and `max U_j < c_i` at every extension, where
+    * U_j = max(maxIncoming(l_j), maxOutgoing(r_j)) bounds the count of
+    * any pair merge j creates. `private[operators]` so the spec can
+    * drive the decision table directly.
+    */
+  private[operators] def planBatch(
+      top: Array[(String, String, Long)],
+      maxIncoming: Map[String, Long],
+      maxOutgoing: Map[String, Long]): Seq[(String, String)] = {
+    val batch = Seq.newBuilder[(String, String)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    var maxU = Long.MinValue
+    var i = 0
+    var stop = false
+    while (i < top.length && !stop) {
+      val (l, r, c) = top(i)
+      if (i > 0 && (used(l) || used(r) || maxU >= c)) stop = true
+      else {
+        batch += ((l, r))
+        used += l; used += r
+        maxU = math.max(maxU,
+          math.max(maxIncoming.getOrElse(l, 0L), maxOutgoing.getOrElse(r, 0L)))
+        i += 1
+      }
+    }
+    batch.result()
   }
 
   /** UTF-8 byte order — Spark's (and DuckDB's) binary string

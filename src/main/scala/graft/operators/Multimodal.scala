@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Decode dispatches on the record's `format`: hand-rolled pure-JVM
   * parsers decode 24-bit BMP, binary PPM "P6", and 16-bit PCM WAV;
-  * JPEG / PNG / GIF decode through the JDK's `javax.imageio` (no
-  * external jars). Only genuinely unknown formats fall to a
-  * clearly-marked DETERMINISTIC STUB. Everything around the dispatch —
+  * JPEG / PNG / GIF / TIFF decode through the JDK's `javax.imageio`
+  * (no external jars). Only genuinely unknown formats fall to a
+  * clearly-marked DETERMINISTIC STUB — the PERMANENT undecodable lane
+  * with a stub-vs-drop policy flag (see [[extractFeatures]]), not a
+  * todo. Everything around the dispatch —
   * the schema, the `mapPartitions` batching shape (the Scala analogue
   * of a Pandas `mapInPandas` batch UDF: decode cost amortized over
   * `BatchSize` records, never one-row-at-a-time), and the binary
@@ -37,10 +39,16 @@ object Multimodal {
     * arrow batch). */
   val BatchSize = 64
 
-  /** STUB decoder — ??? in spirit: a real implementation would call an
-    * image/audio library here. This fake derives deterministic pseudo
-    * metadata + an 8-dim feature vector from the bytes so the plumbing
-    * is testable end-to-end.
+  /** STUB decoder — the PERMANENT undecodable lane (round-12 verdict
+    * #6), not a placeholder: real formats decode for real (hand-rolled
+    * BMP/PPM/WAV, ImageIO JPEG/PNG/GIF/TIFF), and this lane catches
+    * what remains — formats with no decoder on this classpath (WEBP
+    * until a codec jar appears in ImageIO's registry) and
+    * truncated/hostile payloads. It derives deterministic pseudo
+    * metadata + an 8-dim feature vector from the bytes so the pipeline
+    * stays total and reproducible; callers that must not ship fake
+    * features drop instead via `extractFeatures(dropUndecodable =
+    * true)`.
     */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     var h = 1125899906842597L // rolling byte hash
@@ -235,13 +243,15 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** REAL decoder: JPEG / PNG / GIF via the JDK's `javax.imageio`
-    * (module `java.desktop` — no external jars, headless-safe). Pixels
-    * are read as packed sRGB ints, so the statistics contract is
-    * identical to the hand-rolled BMP/PPM parsers. PNG/GIF round-trip
-    * losslessly (closed-form oracles hold exactly — q117); JPEG decode
-    * is codec-deterministic but lossy, so its coverage is spec-level.
-    * None when ImageIO recognizes no format (the caller's stub lane).
+  /** REAL decoder: JPEG / PNG / GIF / TIFF via the JDK's
+    * `javax.imageio` (module `java.desktop` — no external jars,
+    * headless-safe; the TIFF plugin ships with the JDK since 9).
+    * Pixels are read as packed sRGB ints, so the statistics contract
+    * is identical to the hand-rolled BMP/PPM parsers. PNG/GIF/TIFF
+    * round-trip losslessly (closed-form oracles hold exactly — q117);
+    * JPEG decode is codec-deterministic but lossy, so its coverage is
+    * spec-level. None when ImageIO recognizes no format (the caller's
+    * stub lane).
     */
   private[operators] def decodeImageIo(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
     boundedImageRead(p).map { img =>
@@ -535,19 +545,49 @@ object Multimodal {
       case "bmp" => decodeBmp(payload)
       case "ppm" => decodePpm(payload)
       case "wav" => decodeWav(payload)
-      case "jpg" | "jpeg" | "png" | "gif" => decodeImageIo(payload)
+      // TIFF rides the same bounded ImageIO path (the JDK ships a TIFF
+      // plugin since 9; lossless — MultimodalSpec round-trips it).
+      // WEBP has NO JDK decoder: it stays on the undecodable lane
+      // until a codec jar is on the classpath, at which point ImageIO
+      // service discovery picks it up with zero code change here —
+      // boundedImageRead asks the registry, not a format list
+      case "jpg" | "jpeg" | "png" | "gif" | "tif" | "tiff" => decodeImageIo(payload)
       case _ => None
     }).toOption.flatten
 
-  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** Decode a batch of records to features.
+    *
+    * `dropUndecodable` is the undecodable-record POLICY (round-12
+    * verdict #6 — the stub lane is PERMANENT surface, not a todo:
+    * there will always be formats with no decoder on the classpath
+    * plus truncated/hostile payloads, and a 100 TB job must decide
+    * what happens to them, not die):
+    *  - `false` (default): deterministic STUB features — the pipeline
+    *    stays total, every record keeps flowing with pseudo metadata
+    *    derived from its bytes (clearly non-real, reproducible, so
+    *    downstream joins/counts are stable and the records remain
+    *    addressable for a later re-decode);
+    *  - `true`: undecodable records are DROPPED from the output — the
+    *    training-data posture where fake features must never reach a
+    *    model. Count the difference against the input for loss
+    *    accounting.
+    */
+  def extractFeatures(
+      ds: Dataset[MediaRecord],
+      dropUndecodable: Boolean = false): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // batch-level setup would init the codec once per batch here
-        batch.iterator.map { r =>
-          val (w, h, f) = decodeReal(r.format, r.payload)
-            .getOrElse(decodeStub(r.payload))
-          MediaFeatures(r.media_id, w, h, r.payload.length, f)
+        batch.iterator.flatMap { r =>
+          decodeReal(r.format, r.payload) match {
+            case Some((w, h, f)) =>
+              Some(MediaFeatures(r.media_id, w, h, r.payload.length, f))
+            case None if dropUndecodable => None
+            case None =>
+              val (w, h, f) = decodeStub(r.payload)
+              Some(MediaFeatures(r.media_id, w, h, r.payload.length, f))
+          }
         }
       }
     }
@@ -647,7 +687,8 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val resized = scala.util.Try(r.format match {
-            case "jpg" | "jpeg" | "png" | "gif" => resizePixels(r.payload, maxSide)
+            case "jpg" | "jpeg" | "png" | "gif" | "tif" | "tiff" =>
+              resizePixels(r.payload, maxSide)
             case _ => None
           }).toOption.flatten
           val (w, h, f) = resized.getOrElse {

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** TRAINED quality classifier — the companion q158 was missing
+  * (round-12 verdict #5): q158 scores documents with synthetic
+  * md5-derived weights (the plan shape of fastText-style quality
+  * gating); this trains the weight vector too, so the full
+  * label → train → score → gate loop runs inside the engine.
+  *
+  * Model: logistic regression over the SAME hashing-trick features as
+  * q158 — tokens feature-hashed into `nBuckets` buckets (no
+  * vocabulary, nothing global built: the property that makes the
+  * featurization 100 TB-safe), bag counts per bucket, plus one
+  * intercept bucket. Training is full-batch gradient descent with a
+  * FIXED iteration count and learning rate.
+  *
+  * == Determinism (what makes it oracle-checkable) ==
+  *
+  * Distributed float sums are order-dependent, so a naive double
+  * accumulation would train different weights per run/partitioning.
+  * Both per-doc margins and per-bucket gradients therefore round each
+  * ROW's double contribution to `decimal(38,18)` and sum in DECIMAL —
+  * Spark's decimal sum is exact and order-independent, and the
+  * row-level rounding is a pure function of the row — so the trained
+  * weight vector is BIT-IDENTICAL across runs, partitionings and
+  * cluster sizes (QualityClassifierSpec pins it). The sigmoid runs in
+  * double on the exact decimal margin: deterministic given a
+  * deterministic margin.
+  *
+  * == Scale shape ==
+  *
+  * The feature table is built ONCE (one explode + one groupBy over the
+  * corpus, localCheckpoint-ed); each of the `iters` rounds is ONE job
+  * over it — a per-doc margin fold and a per-bucket gradient fold,
+  * both partial-aggregated map-side — with the 1 KB weight vector
+  * riding the plan as a literal array (`element_at`, codegen'd, no
+  * UDF). Cost: O(iters · corpus bucket entries), weights never leave
+  * the driver, nothing quadratic anywhere. Scoring is one pass.
+  */
+object QualityClassifier {
+
+  val DefaultBuckets = 1024
+  val DefaultIters = 20
+  val DefaultLearningRate = 0.5
+
+  /** Row-contribution rounding type: 20 integer digits of headroom —
+    * |err·x| <= nBuckets·maxCount per row, summed over any corpus that
+    * fits in long-count territory.
+    */
+  private val Dec = DecimalType(38, 18)
+
+  private def bucketOf(tok: Column, nBuckets: Int): Column =
+    pmod(graft.functions.TextFunctions.hash60(tok), lit(nBuckets.toLong))
+
+  /** Hashed bag-of-tokens features: (doc_id, b, x) plus an intercept
+    * row (b = nBuckets, x = 1) per document. `presence = true` (the
+    * default) binarizes x to {0, 1} — the fastText-style text-LR
+    * choice: raw counts let long documents' shared-vocabulary buckets
+    * dominate every margin and slow batch GD to a crawl, while
+    * presence bounds each feature's contribution and converges in a
+    * handful of rounds (A/B'd on the planted fixture, spec). Built
+    * once per train/score call; O(corpus tokens) map + one groupBy.
+    */
+  def features(
+      docs: DataFrame, nBuckets: Int = DefaultBuckets,
+      idCol: String = "doc_id", textCol: String = "text",
+      presence: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    toks
+      .select(col("doc_id"), bucketOf(col("tok"), nBuckets).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .select(col("doc_id"), col("b"),
+        (if (presence) lit(1.0) else col("cnt")).as("x"))
+      .unionAll(docs.select(col(idCol).cast("long").as("doc_id"),
+        lit(nBuckets.toLong).as("b"), lit(1.0).as("x")))
+  }
+
+  /** Trained model: `weights(b)` for b in [0, nBuckets]; the last slot
+    * is the intercept.
+    */
+  final case class Model(nBuckets: Int, weights: Array[Double]) {
+    require(weights.length == nBuckets + 1,
+      s"weight vector must have nBuckets+1=${nBuckets + 1} slots, got ${weights.length}")
+  }
+
+  /** The weight vector as a plan literal — `element_at` is 1-based. */
+  private def weightCol(w: Array[Double]): Column =
+    element_at(typedlit(w.toSeq), (col("b") + 1).cast("int"))
+
+  /** Per-doc decimal-exact margin Σ w_b·x_b of a feature table. */
+  private def margins(feat: DataFrame, w: Array[Double]): DataFrame =
+    feat.select(col("doc_id"),
+        (col("x") * weightCol(w)).cast(Dec).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("m"))
+
+  /** Train logistic-regression weights on labeled documents
+    * (`labelCol` ∈ {0, 1}). Fixed `iters` full-batch rounds at
+    * `lr / nDocs` effective step — deterministic by construction (see
+    * object doc). Fails loudly on an empty corpus or a label outside
+    * {0, 1} (a silently coerced label poisons every weight).
+    */
+  def train(
+      docs: DataFrame, labelCol: String, nBuckets: Int = DefaultBuckets,
+      iters: Int = DefaultIters, lr: Double = DefaultLearningRate,
+      idCol: String = "doc_id", textCol: String = "text"): Model = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val labels = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("double").as("y"))
+    val badLabel = labels.where(col("y") =!= 0.0 && col("y") =!= 1.0 ||
+      col("y").isNull).limit(1).collect()
+    require(badLabel.isEmpty,
+      s"labels must be 0 or 1; doc ${badLabel.headOption.map(_.get(0))} is not")
+    val feat = features(docs, nBuckets, idCol, textCol)
+      .join(labels, "doc_id")
+      .localCheckpoint()
+    try {
+      val nDocs = labels.count()
+      require(nDocs > 0, "cannot train on an empty corpus")
+      val w = new Array[Double](nBuckets + 1)
+      for (_ <- 1 to iters) {
+        // one job: margin fold (per doc) feeding the gradient fold
+        // (per bucket), both decimal-exact
+        val errs = margins(feat, w)
+          .select(col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("m"))) - lit(1.0)).as("errNeg"),
+            (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("errPos"))
+        // err = sigmoid(m) - y, written without a second label join:
+        // y rides the feature table
+        val grad = feat
+          .join(errs, "doc_id")
+          .select(col("b"),
+            ((when(col("y") === 1.0, col("errNeg")).otherwise(col("errPos"))) *
+              col("x")).cast(Dec).as("g"))
+          .groupBy(col("b"))
+          .agg(sum(col("g")).cast("double").as("g"))
+          .collect()
+        grad.foreach { r =>
+          val b = r.getLong(0).toInt
+          w(b) -= lr * r.getDouble(1) / nDocs
+        }
+      }
+      Model(nBuckets, w)
+    } finally Lineage.release(feat)
+  }
+
+  /** Score documents with a trained model: decimal-exact margin,
+    * probability, and the accept verdict (margin > 0). One pass.
+    */
+  def score(
+      docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    margins(features(docs, model.nBuckets, idCol, textCol), model.weights)
+      .select(col("doc_id"), col("m").as("margin"),
+        (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p_good"),
+        (col("m") > 0).cast("long").as("accepted"))
+}

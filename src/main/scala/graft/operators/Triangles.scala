@@ -83,6 +83,57 @@ object Triangles {
     */
   private val BroadcastMaxAdjEntries = 8L * 1000 * 1000
 
+  /** Decision threshold for [[autoDegreeOriented]]: orient by degree
+    * once the max degree exceeds `factor`·√m. Degree orientation's
+    * whole point is capping per-vertex out-degree at ~√m (the O(m^1.5)
+    * bound); under canonical orientation a hub of degree D does Θ(D)
+    * intersection work on each of its ~D incident edges — Θ(D²) total
+    * — so D vs √m IS the cost ratio of the two lanes. Near √m the
+    * quadratic hub term matches the oriented bound and the
+    * orientation's extra degree-count shuffle + join dominate (the
+    * co-order fixture: max degree 222 vs √m ≈ 1095, canonical measured
+    * faster); far above it the hub term grows unboundedly (the Zipf
+    * fixture: max degree ~39 k vs √m ≈ 884, degree orientation
+    * measured 36× faster, BASELINE.md round-12). 2.0 sits in the wide
+    * indifferent band between those regimes.
+    */
+  val DefaultOrientSkewFactor = 2.0
+
+  /** One-pass degree-skew probe (round-12 verdict #4): should
+    * [[triangles]] use degree orientation for this graph? One degree
+    * aggregate over the edge list — the same narrow shuffle the
+    * oriented build itself starts with, so a TRUE answer pre-pays
+    * nothing wasted and a FALSE answer costs one cheap pass. Degrees
+    * are counted over the RAW stream (duplicates inflate them —
+    * callers with heavily duplicated pair streams should
+    * [[canonicalEdges]] first; inflation can only push toward the
+    * orientation that tolerates skew, never away from it on a graph
+    * that needs it).
+    */
+  def autoDegreeOriented(
+      edges: DataFrame, skewFactor: Double = DefaultOrientSkewFactor): Boolean = {
+    val r = edges
+      .select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L)), coalesce(sum(col("d")), lit(0L)))
+      .head()
+    val maxd = r.getLong(0)
+    val m = r.getLong(1) / 2
+    maxd > skewFactor * math.sqrt(m.toDouble)
+  }
+
+  /** [[triangles]] with the orientation picked by the degree-skew
+    * probe: power-law graphs auto-take the degree-oriented lane, near-
+    * uniform graphs keep the (measured-faster) canonical lane. The
+    * explicit `degreeOriented` override on [[triangles]] remains for
+    * callers that know their graph.
+    */
+  def trianglesAuto(
+      edges: DataFrame,
+      skewFactor: Double = DefaultOrientSkewFactor,
+      broadcastMaxAdjEntries: Long = BroadcastMaxAdjEntries): DataFrame =
+    triangles(edges, autoDegreeOriented(edges, skewFactor), broadcastMaxAdjEntries)
+
   /** One row per triangle (a, b, c), each triangle exactly once.
     * Input: undirected edges as (u, v) with u < v; duplicates fine
     * (deduped in the adjacency build), self-loops are not.

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.core.Tables
+import graft.operators.Html
+
+/** Text/corpus round 9 (round 13): HTML/markup main-content
+  * extraction — the first stage of a web-corpus pipeline (round-12
+  * verdict #1). The fixture corpus is plain text, so q214 plants a
+  * deterministic doc_id-derived HTML document around each row's real
+  * text on BOTH sides (the q149 planting discipline): the markup then
+  * exercises every pattern (script/style spans with tag-looking
+  * attribute values, comments, CDATA, block vs inline tags, the whole
+  * entity set including double-encoding), while the tail of real
+  * fixture text guards against over-matching. The extraction chain is
+  * RE2-safe and shared VERBATIM with the oracle
+  * ([[graft.operators.Html]] patterns) — bit-exact hash match, no
+  * reduced assertions.
+  */
+object TextQueries9 {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ---- q214: HTML main-content extraction — strip script/style/
+    //      comment/CDATA spans, break blocks to lines, drop inline
+    //      tags, decode entities (amp last), normalize whitespace.
+    //      Pure map chain: no shuffle, scale-trivial, pushdown-clean;
+    //      output feeds the quality/dedup/boilerplate operators that
+    //      all assume extracted text. ----
+    GraftQuery(
+      "q214_html_extract",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m3 = pmod(col("doc_id"), lit(3L))
+        val variant =
+          when(m3 === 0, lit("<ul><li>alpha</li><li>beta &lt;i&gt;</li></ul>"))
+            .when(m3 === 1,
+              lit("<div><p>nested &quot;quote&quot;&#39;s &amp;amp; more</p></div>"))
+            .otherwise(lit("<![CDATA[raw <fake> markup]]><pre>code&nbsp;block</pre>"))
+        // coalesce: null text must not null the whole planted document
+        // (Spark concat null-propagates; DuckDB's ignores NULL args)
+        val html = concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+          lit(" &amp; co</title><style type=\"text/css\">.c"),
+          pmod(col("doc_id"), lit(7L)), lit(" {font-size:"),
+          pmod(col("doc_id"), lit(19L)),
+          lit("px}</style></head><body><script type=\"text/javascript\">var id="),
+          col("doc_id"),
+          lit("; if (id<99 && id>0) { track(\"<p>fake</p>\"); }</script><!-- gen "),
+          pmod(col("doc_id"), lit(13L)), lit(" --><h1>Head &lt;"),
+          pmod(col("doc_id"), lit(5L)), lit("&gt;</h1><p class=\"lead\">"),
+          coalesce(col("text"), lit("")), lit("</p>"), variant,
+          lit("<table><tr><td>cell "), pmod(col("doc_id"), lit(11L)),
+          lit("</td><td>&quot;x&quot;&#39;y&nbsp;z</td></tr></table></body></html>"))
+        docs.select(col("doc_id"), html.as("_h"))
+          .select(col("doc_id"),
+            Html.extractTitle(col("_h")).as("title"),
+            Html.extractText(col("_h")).as("body"),
+            Html.tagCount(col("_h")).as("n_tags"),
+            Html.entityCount(col("_h")).as("n_entities"))
+      },
+      Some {
+        // DuckDB '…' literals have no backslash escapes (q56/q149
+        // precedent) — patterns go in RAW, only quotes doubled
+        def esc(p: String) = p.replace("'", "''")
+        val strip = Seq(
+          Html.ScriptPattern -> "' '",
+          Html.StylePattern -> "' '",
+          Html.CommentPattern -> "' '",
+          Html.CdataPattern -> "' '",
+          Html.BlockTagPattern -> "chr(10)",
+          Html.TagPattern -> "''")
+        val stripped = strip.foldLeft("h") { case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '${esc(pat)}', $repl, 'g')"
+        }
+        val decoded = Html.Entities.foldLeft(stripped) { case (acc, (ent, ch)) =>
+          s"replace($acc, '${esc(ent)}', '${ch.replace("'", "''")}')"
+        }
+        val normalized = Seq(
+          Html.HorizontalWsPattern -> "' '",
+          Html.NewlineRunPattern -> "chr(10)",
+          Html.EdgeWsPattern -> "''").foldLeft(decoded) {
+          case (acc, (pat, repl)) =>
+            s"regexp_replace($acc, '${esc(pat)}', $repl, 'g')"
+        }
+        s"""
+        WITH planted AS (
+          SELECT doc_id,
+            concat('<!DOCTYPE html><html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+              ' &amp; co</title><style type="text/css">.c', CAST(doc_id % 7 AS VARCHAR),
+              ' {font-size:', CAST(doc_id % 19 AS VARCHAR),
+              'px}</style></head><body><script type="text/javascript">var id=',
+              CAST(doc_id AS VARCHAR),
+              '; if (id<99 && id>0) { track("<p>fake</p>"); }</script><!-- gen ',
+              CAST(doc_id % 13 AS VARCHAR), ' --><h1>Head &lt;',
+              CAST(doc_id % 5 AS VARCHAR), '&gt;</h1><p class="lead">',
+              coalesce(text, ''), '</p>',
+              CASE doc_id % 3
+                WHEN 0 THEN '<ul><li>alpha</li><li>beta &lt;i&gt;</li></ul>'
+                WHEN 1 THEN '<div><p>nested &quot;quote&quot;&#39;s &amp;amp; more</p></div>'
+                ELSE '<![CDATA[raw <fake> markup]]><pre>code&nbsp;block</pre>' END,
+              '<table><tr><td>cell ', CAST(doc_id % 11 AS VARCHAR),
+              '</td><td>&quot;x&quot;&#39;y&nbsp;z</td></tr></table></body></html>') AS h
+          FROM documents)
+        SELECT doc_id,
+          regexp_extract(h, '${esc(Html.TitlePattern)}', 1) AS title,
+          $normalized AS body,
+          CAST(len(regexp_extract_all(h, '${esc(Html.TagPattern)}')) AS BIGINT) AS n_tags,
+          CAST(len(regexp_extract_all(h, '${esc(Html.EntityPattern)}')) AS BIGINT) AS n_entities
+        FROM planted
+        """
+      },
+      doc = "HTML main-content extraction: RE2-safe strip/decode/normalize chain shared verbatim with the oracle"),
+
+    // ---- q215: TRAINED quality classifier — the companion q158 was
+    //      missing (round-12 verdict #5): label → train → score → gate
+    //      as one pipeline op. Labels are planted (doc_id % 2) with
+    //      3 marker tokens per doc appended to the REAL fixture text
+    //      (the noise floor); training is the decimal-exact
+    //      fixed-iteration logistic regression on hashed presence
+    //      features (operators.QualityClassifier — deterministic
+    //      weights by construction, spec-pinned). The float weight
+    //      vector cannot be replicated in static SQL, so the oracle is
+    //      the q48 reduced assertion: every replicable column exact
+    //      (doc_id, label, n_tokens) plus `acc_ok` pinned to 1 — the
+    //      training accuracy over the planted labels clearing 0.95
+    //      (measured 1.00 at sf0.001-0.01; an optimizer/accumulation
+    //      regression flips 500 rows). ----
+    GraftQuery(
+      "q215_trained_quality_classifier",
+      (s, d) => {
+        import graft.operators.QualityClassifier
+        val m = pmod(col("doc_id"), lit(4L)).cast("string")
+        val label = pmod(col("doc_id"), lit(2L))
+        val planted = Tables.documents(s, d).select(
+          col("doc_id"), label.as("label"),
+          concat(coalesce(col("text"), lit("")),
+            when(label === 1,
+              concat(lit(" qga"), m, lit(" qgb"), m, lit(" qgc"), m))
+              .otherwise(concat(lit(" qba"), m, lit(" qbb"), m, lit(" qbc"), m)))
+            .as("text"))
+        val model = QualityClassifier.train(planted, "label")
+        val scored = QualityClassifier.score(planted, model)
+          .join(planted.select(col("doc_id"), col("label"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+            "doc_id")
+        val flag = scored
+          .agg(avg((col("accepted") === col("label")).cast("double")).as("_acc"))
+          .select((col("_acc") >= 0.95).cast("long").as("acc_ok"))
+        scored.select(col("doc_id"), col("label"), col("n_tokens"))
+          .crossJoin(broadcast(flag))
+      },
+      Some("""
+        SELECT doc_id, doc_id % 2 AS label,
+          CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS BIGINT)
+            + 3 AS n_tokens,
+          CAST(1 AS BIGINT) AS acc_ok
+        FROM documents
+      """),
+      doc = "Trained quality classifier: deterministic LR on hashed presence features, accuracy-floor reduced assertion")
+  )
+}

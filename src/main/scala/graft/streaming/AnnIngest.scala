@@ -43,6 +43,12 @@ import graft.operators.{IndexStore, Ivf, IvfPq}
   * batch REBUILD (mandated by recall drift below) remains the only
   * reset.
   *
+  * Standing soak gate: `sbt "Test/runMain graft.dev.StoreSoaks"`
+  * soaks this store (and the gram store) through 50 real micro-batches
+  * at sf1 — diff its per-trigger columns against the recorded table in
+  * BASELINE.md ("Standing store-soak gate") after any
+  * store/compaction change.
+  *
   * Exactly-once across crashes: the applied-batch watermark is the max
   * committed segment id (the rename IS the commit — no separate
   * watermark write to tear), seeded by the `_applied_batch` sidecar a

@@ -130,6 +130,14 @@ import graft.operators.SubstringDedup
   * [[auditIngestedIds]]: the retention reports carry every ingested
   * doc_id, so one distributed aggregate over them is an EXACT id-reuse
   * audit with no capacity bound.
+  *
+  * == Standing soak gate ==
+  *
+  * `sbt "Test/runMain graft.dev.StoreSoaks"` soaks this store (and the
+  * ANN store) through 50 real micro-batches at sf1; diff its
+  * per-trigger wall/publish-bytes columns against the recorded table
+  * in BASELINE.md ("Standing store-soak gate") after any
+  * store/compaction change.
   */
 object SubstringIngest extends Logging {
 

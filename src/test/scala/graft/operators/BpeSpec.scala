@@ -101,4 +101,79 @@ class BpeSpec extends SparkTestBase {
       assert(n4 >= nw, "a word never drops below one symbol")
     }
   }
+
+  test("planBatch: disjoint well-separated candidates batch whole; overlap and created-pair ties stop the prefix") {
+    def t(l: String, r: String, c: Long) = (l, r, c)
+    // well-separated disjoint supports, no adjacent mass: full batch
+    assert(Bpe.planBatch(
+      Array(t("a", "b", 100), t("c", "d", 90), t("e", "f", 80)),
+      Map.empty, Map.empty) == Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // support overlap at position 2 stops the PREFIX (later disjoint
+    // candidates must not leapfrog the blocked one)
+    assert(Bpe.planBatch(
+      Array(t("a", "b", 100), t("b", "c", 90), t("e", "f", 80)),
+      Map.empty, Map.empty) == Seq(("a", "b")))
+    // created-pair dominance: merge 1 can create a pair of count up to
+    // U_1 = max(incoming(a)=95, outgoing(b)=0) — 95 >= 90 means the
+    // created pair could outrank candidate 2; stop
+    assert(Bpe.planBatch(
+      Array(t("a", "b", 100), t("c", "d", 90)),
+      Map("a" -> 95L), Map.empty) == Seq(("a", "b")))
+    // …a TIE also blocks (the created pair could win the lexicographic
+    // tiebreak unseen)
+    assert(Bpe.planBatch(
+      Array(t("a", "b", 100), t("c", "d", 90)),
+      Map.empty, Map("b" -> 90L)) == Seq(("a", "b")))
+    // strictly-below adjacent mass extends
+    assert(Bpe.planBatch(
+      Array(t("a", "b", 100), t("c", "d", 90)),
+      Map("a" -> 89L), Map("b" -> 89L)) == Seq(("a", "b"), ("c", "d")))
+    // the first candidate is always taken, whatever its adjacency
+    assert(Bpe.planBatch(Array(t("a", "b", 5)),
+      Map("a" -> 1000L), Map("b" -> 1000L)) == Seq(("a", "b")))
+  }
+
+  test("batched distributed trainer ≡ in-memory greedy on well-separated counts (multi-merge batches)") {
+    // disjoint letter alphabets with well-separated frequencies: the
+    // batch conditions hold for several candidates per round, so this
+    // actually exercises multi-merge rounds (the tie-heavy fixture in
+    // the other equivalence test degrades to batches of 1)
+    val words = Seq(
+      ("abab", 100L), ("cdcd", 60L), ("efef", 35L), ("ghgh", 20L),
+      ("ijij", 11L), ("klkl", 6L), ("mnmn", 3L), ("opop", 2L))
+    val docs = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val n = 10
+    val mem = Bpe.trainMerges(docs, n) // driver path
+    val dist = Bpe.trainMerges(docs, n, maxDriverVocab = 0L) // batched distributed
+    assert(mem == dist, s"in-memory $mem != batched distributed $dist")
+    // and with batching disabled (round per merge), identical again
+    val single = Bpe.trainMerges(docs, n, maxDriverVocab = 0L, batchTopK = 1)
+    assert(single == dist, s"batchTopK=1 $single != batched $dist")
+  }
+
+  test("freqFloor: pruning the singleton tail is a documented semantic choice — divergent where tail mass was decisive, stable where it wasn't") {
+    // 11 singleton words carry pair (x,y); one frequent word carries
+    // (a,b) 10 times. floor=1: (x,y)=11 wins round 1; floor=2: the
+    // tail is gone and (a,b) wins
+    val tailDocs = (
+      (1 to 10).map(i => (i.toLong, "ab")) ++
+        (1 to 11).map(i => (100L + i, s"xy${('a' + i).toChar}"))
+    ).toDF("doc_id", "text")
+    val full = Bpe.trainMerges(tailDocs, 1)
+    val floored = Bpe.trainMerges(tailDocs, 1, freqFloor = 2L)
+    assert(full == Seq(("x", "y")), s"floor=1 top merge: $full")
+    assert(floored == Seq(("a", "b")), s"floor=2 top merge: $floored")
+    // where the tail never tips a pick, the merges are unchanged
+    val stable = (
+      (1 to 50).map(i => (i.toLong, "abab abab")) ++
+        Seq((999L, "zq"))
+    ).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(stable, 2) == Bpe.trainMerges(stable, 2, freqFloor = 2L))
+    // floor must drop WORDS below it, not unique-within-doc tokens:
+    // a word seen once in each of 3 docs has corpus freq 3, survives floor=3
+    val crossDoc = Seq((1L, "qq rare"), (2L, "qq rare"), (3L, "qq rare"))
+      .toDF("doc_id", "text")
+    assert(Bpe.trainMerges(crossDoc, 1, freqFloor = 3L).nonEmpty)
+  }
 }

@@ -42,6 +42,41 @@ object BpeTrainAB {
     }
     val m = time(s"driver-mem n=$big vocab=100k")(Bpe.trainInMemory(words, big))
     println(s"[bpe] trained ${m.size} merges; last=${m.last}")
+
+    // ---- above-gate lanes (round-12 verdict #2) ----
+    // synthetic ABOVE-GATE vocabulary as a DataFrame: deterministic
+    // md5-derived letter words, Zipf-ish frequencies with a singleton
+    // tail (freq 1 for the back half) — the web-text vocab shape the
+    // 2M driver gate exists for
+    import org.apache.spark.sql.functions._
+    val nWords = args.drop(3).headOption.map(_.toLong).getOrElse(3200000L)
+    val distMerges = args.drop(4).headOption.map(_.toInt).getOrElse(64)
+    val wf = spark.range(nWords).select(
+      md5(col("id").cast("string"))
+        .substr(lit(1), (pmod(col("id"), lit(9L)) + 4).cast("int")).as("w"),
+      // Zipf head + singleton BACK HALF (what freqFloor exists for)
+      greatest(lit(1L), (lit(nWords / 2) / (col("id") + 1)).cast("long")).as("freq"))
+      .groupBy("w").agg(max(col("freq")).as("freq")) // md5-prefix collisions
+      .localCheckpoint()
+    val distinctWords = wf.count()
+    println(s"[bpe] above-gate vocab: $distinctWords distinct words (gate=${Bpe.MaxDriverVocab})")
+    val batched = time(s"distrib-batched n=$distMerges topK=16")(
+      Bpe.trainDistributed(wf, distMerges))
+    val singleStep = time(s"distrib-single  n=$distMerges topK=1 ")(
+      Bpe.trainDistributed(wf, distMerges, batchTopK = 1))
+    assert(batched == singleStep,
+      s"batched/single divergence: $batched vs $singleStep")
+    println(s"[bpe] batched ≡ single-step over $distMerges merges OK")
+    // freqFloor: the OTHER above-gate lever — dropping the singleton
+    // tail re-enters the driver gate, where 32k merges are minutes
+    val floored = wf.where(col("freq") >= 2L)
+    val nFloored = floored.count()
+    println(s"[bpe] freqFloor=2 keeps $nFloored of $distinctWords words " +
+      s"(under gate: ${nFloored <= Bpe.MaxDriverVocab})")
+    val fm = time(s"driver-mem n=$big floored-vocab=$nFloored")(
+      Bpe.trainInMemory(
+        floored.collect().map(r => (r.getString(0), r.getLong(1))), big))
+    println(s"[bpe] floored trained ${fm.size} merges; last=${fm.last}")
     spark.stop()
   }
 }

@@ -227,6 +227,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).features.length == 8, "stub lane must absorb non-jpeg bytes")
   }
 
+  test("real TIFF decode via ImageIO plugin: lossless round-trip, exact pixel statistics, resize arm") {
+    val tif = encoded(rgbImage(3, 2)(i => (10 * i, 20 * i, 30 * i)), "tiff")
+    assert(Multimodal.decodeImageIo(tif).map { case (w, h, f) => (w, h, f.toSeq) } ==
+      Some((3, 2, Seq(150f, 300f, 450f, 6f, 0f, 300f, 0f, 0f))))
+    // both extension spellings dispatch to the real decoder
+    val out = Multimodal.extractFeatures(Seq(
+        MediaRecord(1L, tif, "tif"), MediaRecord(2L, tif, "tiff")).toDS())
+      .collect().sortBy(_.media_id)
+    out.foreach(o => assert(o.width == 3 && o.height == 2 &&
+      o.features.toSeq == Seq(150f, 300f, 450f, 6f, 0f, 300f, 0f, 0f)))
+    // the real-thumbnail pass covers tiff too (identity box here)
+    val rz = Multimodal.resizeDecoded(Seq(MediaRecord(3L, tif, "tiff")).toDS(), 8)
+      .collect().head
+    assert(rz.width == 3 && rz.height == 2 &&
+      rz.features.toSeq == Seq(150f, 300f, 450f, 6f, 0f, 300f, 0f, 0f))
+  }
+
+  test("dropUndecodable policy: undecodable records are dropped, not stubbed; default keeps them on the stub lane") {
+    val png = encoded(rgbImage(2, 2)(_ => (9, 9, 9)), "png")
+    val recs = Seq(
+      MediaRecord(1L, png, "png"),
+      MediaRecord(2L, Array.fill[Byte](32)(7), "webp"), // no JDK decoder
+      MediaRecord(3L, Array.fill[Byte](32)(7), "png")   // malformed real format
+    ).toDS()
+    val kept = Multimodal.extractFeatures(recs).collect()
+    assert(kept.length == 3, "default policy must keep every record (stub lane)")
+    val dropped = Multimodal.extractFeatures(recs, dropUndecodable = true).collect()
+    assert(dropped.map(_.media_id).toSeq == Seq(1L),
+      "dropUndecodable must emit only really-decoded records")
+  }
+
   test("hostile image header claiming huge dims is rejected BEFORE decode allocates") {
     // hand-crafted PNG: valid signature + IHDR declaring 60000×60000
     // (3.6e9 px ≈ 14 GB raster) with a correct CRC — the reader parses

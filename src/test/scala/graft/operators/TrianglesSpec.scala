@@ -99,6 +99,30 @@ class TrianglesSpec extends SparkTestBase {
     }
   }
 
+  test("auto-orientation probe: power-law graphs take the degree-oriented lane, near-uniform graphs keep canonical; result identical either way") {
+    // near-uniform ring lattice: every vertex degree 6, max degree far
+    // BELOW sqrt(m) — the co-order shape, canonical lane
+    val n = 300L
+    val lattice = (0L until n).flatMap(v => (1L to 3L).map(k => (v, (v + k) % n)))
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toDF("u", "v")
+    assert(!Triangles.autoDegreeOriented(lattice),
+      "near-uniform lattice must keep the canonical lane")
+    // star-plus-ring: hub degree 24 vs sqrt(47) ~ 6.9 — the power-law
+    // shape, degree-oriented lane
+    val hub = (1L to 24L).map(v => (0L, v))
+    val ring = (1L until 24L).map(v => (v, v + 1))
+    val skewed = (hub ++ ring).toDF("u", "v")
+    assert(Triangles.autoDegreeOriented(skewed),
+      "hub-skewed graph must take the degree-oriented lane")
+    // the probe picks a LANE, never changes the triangle set
+    assert(Triangles.trianglesAuto(skewed).count() ==
+      Triangles.triangles(skewed).count())
+    assert(Triangles.trianglesAuto(lattice).count() ==
+      Triangles.triangles(lattice).count())
+    // degenerate inputs: empty and single-edge graphs probe false
+    assert(!Triangles.autoDegreeOriented(Seq.empty[(Long, Long)].toDF("u", "v")))
+  }
+
   test("hub chunking: every payload lane with split probe rows enumerates the identical triangle set") {
     // star-plus-ring: vertex 0 is a hub of degree 24 (its adjacency row
     // splits into many chunks at maxAdjChunk=4); ring edges close
