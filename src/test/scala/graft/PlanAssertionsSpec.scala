@@ -373,4 +373,23 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "no candidate-pair expansion may appear")
     assert(!p.contains("No Partition Defined"), "all windows must be doc-partitioned")
   }
+
+  test("q214: HTML extraction is a pure map chain — no exchange anywhere in the plan") {
+    val p = plan("q214_html_extract")
+    assert(!p.contains("Exchange"),
+      s"extraction must not shuffle, got:\n${p.take(1500)}")
+    // formatted mode marks codegen stages with '*'
+    assert(p.contains("* Project"), "regex chain fell out of codegen")
+  }
+
+  test("q216: the boilerplate removal join broadcasts the (small) frequent-line set at runtime") {
+    // the boiler side is an aggregate output — statically unsized, so
+    // the broadcast decision is AQE's; assert on the EXECUTED plan
+    val df = Registry.byName("q216_boilerplate_lines").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"removal join should broadcast the boilerplate set, got:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "no line-pair expansion may appear")
+  }
 }
