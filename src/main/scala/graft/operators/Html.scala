@@ -138,6 +138,21 @@ object Html {
       EdgeWsPattern -> ""))
   }
 
+  /** [[extractText]] through the fused single-kernel scanner
+    * ([[graft.expressions.HtmlExtractText]]): identical output by
+    * contract — every pass mirrors its regex one-for-one, pinned
+    * property-style by HtmlFastSpec and at corpus scale by q214's
+    * oracle (which replicates the REGEX chain in DuckDB) — at a
+    * fraction of the cost: nine `java.util.regex` engine invocations
+    * per row (the non-greedy span patterns backtrack) become indexOf/
+    * char scans. The regex chain stays the REFERENCE definition (it is
+    * what the oracle shares); this is the hot-path lane.
+    */
+  def extractTextFast(html: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HtmlExtractText(
+        org.apache.spark.sql.graft.ColumnBridge.expression(html)))
+
   /** First `<title>` content, '' when absent. */
   def extractTitle(html: Column): Column =
     regexp_extract(html, TitlePattern, 1)

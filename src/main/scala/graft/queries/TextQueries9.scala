@@ -25,6 +25,9 @@ object TextQueries9 {
     * itself) and q216 (boilerplate-line removal OVER the extraction) —
     * one definition, so the two queries exercise the same corpus.
     */
+  /** Exposed for HtmlExtractSpec's lane-equivalence check. */
+  private[graft] def plantedHtmlForSpec: Column = plantedHtml
+
   private def plantedHtml: Column = {
     val m3 = pmod(col("doc_id"), lit(3L))
     val variant =
@@ -114,10 +117,13 @@ object TextQueries9 {
     GraftQuery(
       "q214_html_extract",
       (s, d) => {
+        // the FAST fused kernel (HtmlExtractText) — proven ≡ the regex
+        // chain the oracle runs (HtmlExtractSpec adversarial property
+        // tests + this very oracle gate)
         Tables.documents(s, d).select(col("doc_id"), plantedHtml.as("_h"))
           .select(col("doc_id"),
             Html.extractTitle(col("_h")).as("title"),
-            Html.extractText(col("_h")).as("body"),
+            Html.extractTextFast(col("_h")).as("body"),
             Html.tagCount(col("_h")).as("n_tags"),
             Html.entityCount(col("_h")).as("n_entities"))
       },
@@ -200,7 +206,7 @@ object TextQueries9 {
       (s, d) => {
         import graft.operators.Boilerplate
         val extracted = Tables.documents(s, d)
-          .select(col("doc_id"), Html.extractText(plantedHtml).as("text"))
+          .select(col("doc_id"), Html.extractTextFast(plantedHtml).as("text"))
         Boilerplate.removeFrequentLines(extracted, minDf = 5)
           .select(col("doc_id"), col("n_lines"), col("n_removed"),
             md5(col("cleaned")).as("cleaned_md5"))
