@@ -30,6 +30,12 @@ object TriOrientAB {
           y => struct(x.as("u"), y.as("v"))))))
         .as("e"))
       .select(col("e.u"), col("e.v"))
+    // the round-13 auto-probe must KEEP canonical on this near-uniform
+    // co-order graph (max degree far under sqrt(m))
+    val canon = graft.operators.Triangles.canonicalEdges(pairs, "u", "v")
+    val auto = time("auto-probe")(
+      graft.operators.Triangles.autoDegreeOriented(canon))
+    println(s"[tab] autoDegreeOriented=$auto (expect false on co-order)")
     for (round <- 1 to 2) {
       time(s"canonical $round")(noop(
         graft.operators.Triangles.triangleCounts(pairs)))

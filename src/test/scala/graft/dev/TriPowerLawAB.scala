@@ -39,7 +39,13 @@ object TriPowerLawAB {
     val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val maxDeg = deg.agg(max(col("d"))).head.getLong(0)
-    println(s"[plaw] n=$n m=$m edges=${edges.count()} maxDegree=$maxDeg")
+    val nEdges = edges.count()
+    // the round-13 auto-probe must pick the degree lane on this graph
+    val t0p = System.nanoTime()
+    val auto = graft.operators.Triangles.autoDegreeOriented(edges)
+    println(f"[plaw] n=$n m=$m edges=$nEdges maxDegree=$maxDeg " +
+      f"sqrt(m)=${math.sqrt(nEdges.toDouble)}%.0f autoDegreeOriented=$auto " +
+      f"(probe ${(System.nanoTime() - t0p) / 1e9}%.2f s)")
 
     def timed(tag: String)(f: => Long): Long = {
       val t0 = System.nanoTime(); val r = f
