@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * two symbols SEPARATELY (a joined `l·r` string key would order
   * prefix-sharing symbols differently).
   */
-object Bpe {
+object Bpe extends org.apache.spark.internal.Logging {
 
   /** Symbol separator. Out-of-band by construction for any corpus that
     * has no U+0001 in its tokens (tokens are `\S+`, so the only way in
@@ -200,17 +200,27 @@ object Bpe {
     * count ties, batches of 1) degrades to the round-per-merge shape,
     * never below it.
     */
+  /** @param onRound progress hook, called once per distributed round
+    *                 with (1-based round index, the merges that round
+    *                 applied) — a 32k-merge production run is hours
+    *                 even batched, and an opaque driver loop is
+    *                 undebuggable; also how the A/B harness observes
+    *                 realized batch width.
+    */
   private[operators] def trainDistributed(
       wordFreq: DataFrame, nMerges: Int,
-      batchTopK: Int = DefaultBatchTopK): Seq[(String, String)] = {
+      batchTopK: Int = DefaultBatchTopK,
+      onRound: (Int, Seq[(String, String)]) => Unit = (_, _) => ()): Seq[(String, String)] = {
     require(batchTopK >= 1, s"batchTopK must be >= 1, got $batchTopK")
     var vocab = wordFreq
       .select(col("w"), col("freq"), initialSymstr(col("w")).as("symstr"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
     var done = 0
+    var rounds = 0
     try {
       while (done < nMerges) {
+        rounds += 1
         val pairs = vocab
           .select(col("freq"), explode(pairCol(col("symstr"))).as("pr"))
           .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
@@ -242,6 +252,7 @@ object Bpe {
           val picked = planBatch(top, maxIncoming, maxOutgoing)
           merges ++= picked
           done += picked.size
+          onRound(rounds, picked)
           if (done < nMerges) {
             val next = vocab
               .select(col("w"), col("freq"),
@@ -254,6 +265,12 @@ object Bpe {
           }
         } finally Lineage.release(pairs)
       }
+      // batch-width visibility: count ties and adjacency mass bound the
+      // achievable batching per corpus — make the realized ratio
+      // observable instead of guessed (round-13 A/B: hex-alphabet
+      // vocabularies batch ~2x, diverse alphabets wider)
+      logInfo(s"BPE distributed training: $done merges in $rounds rounds " +
+        f"(avg batch ${done.toDouble / rounds}%.1f, batchTopK=$batchTopK)")
       merges.result()
     } finally Lineage.release(vocab)
   }

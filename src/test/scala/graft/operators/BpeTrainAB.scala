@@ -60,8 +60,10 @@ object BpeTrainAB {
       .localCheckpoint()
     val distinctWords = wf.count()
     println(s"[bpe] above-gate vocab: $distinctWords distinct words (gate=${Bpe.MaxDriverVocab})")
+    var rounds = 0
     val batched = time(s"distrib-batched n=$distMerges topK=16")(
-      Bpe.trainDistributed(wf, distMerges))
+      Bpe.trainDistributed(wf, distMerges, onRound = (r, _) => rounds = r))
+    println(f"[bpe] batched rounds=$rounds avgBatch=${distMerges.toDouble / rounds}%.1f")
     val singleStep = time(s"distrib-single  n=$distMerges topK=1 ")(
       Bpe.trainDistributed(wf, distMerges, batchTopK = 1))
     assert(batched == singleStep,
@@ -77,6 +79,19 @@ object BpeTrainAB {
       Bpe.trainInMemory(
         floored.collect().map(r => (r.getString(0), r.getLong(1))), big))
     println(s"[bpe] floored trained ${fm.size} merges; last=${fm.last}")
+    // batch width on a 26-letter natural-shaped vocabulary (the
+    // md5-hex one above is the tie-heavy worst case): same A/B on the
+    // LCG Zipf vocab as a DataFrame
+    import spark.implicits._
+    val natWf = words.toSeq.toDF("w", "freq").repartition(32).localCheckpoint()
+    var natRounds = 0
+    val nb = time(s"distrib-batched nat-vocab n=$distMerges")(
+      Bpe.trainDistributed(natWf, distMerges, onRound = (r, _) => natRounds = r))
+    println(f"[bpe] nat-vocab batched rounds=$natRounds avgBatch=${distMerges.toDouble / natRounds}%.1f")
+    val ns = time(s"distrib-single  nat-vocab n=$distMerges")(
+      Bpe.trainDistributed(natWf, distMerges, batchTopK = 1))
+    assert(nb == ns, s"nat-vocab batched/single divergence")
+    println(s"[bpe] nat-vocab batched ≡ single over $distMerges merges OK")
     spark.stop()
   }
 }
