@@ -39,6 +39,15 @@ import org.apache.spark.sql.types.DecimalType
   * riding the plan as a literal array (`element_at`, codegen'd, no
   * UDF). Cost: O(iters · corpus bucket entries), weights never leave
   * the driver, nothing quadratic anywhere. Scoring is one pass.
+  *
+  * At 100 TB the lever is the TRAINING SET, not the trainer: labeled
+  * quality data is sampled/curated by nature (thousands to millions of
+  * docs), so train on `docs.sample(...)`/a labeled subset — the model
+  * is 1 KB and corpus-size-independent — and spend the corpus-sized
+  * pass only on [[score]] (one job). Training directly on a full
+  * planted corpus (q215's shape) is linear but pays `iters` corpus
+  * scans: measured 25 s at sf1 / ~50-92 s weather-band at sf10 for 12
+  * rounds.
   */
 object QualityClassifier {
 
