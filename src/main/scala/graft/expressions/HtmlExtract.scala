@@ -255,17 +255,36 @@ object HtmlExtractText {
   private def isNonWord(s: String, i: Int): Boolean =
     i >= s.length || !isWordChar(s.charAt(i))
 
-  private def regionMatchesIgnoreCase(s: String, at: Int, what: String): Boolean =
-    s.regionMatches(true, at, what, 0, what.length)
+  /** ASCII-only case fold. The reference lane's Java regex uses `(?i)`
+    * WITHOUT `UNICODE_CASE`, which folds only A-Z↔a-z; Java's
+    * `String.regionMatches(true, …)` does full Unicode folding
+    * (ſ U+017F↔s, ı U+0131↔i via toUpperCase), so `<ſcript>` would
+    * have opened a raw-text span in the fast kernel but not in the
+    * regex chain — breaking the two lanes' equivalence contract
+    * (advice r13). DuckDB RE2's `(?i)` folds differently again (ſ yes,
+    * ı no), so ASCII-only — the Java regex semantics both lanes and
+    * the oracle's shared chain are written against — is the one
+    * definition all three agree on for ASCII tag names.
+    */
+  private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  private def regionMatchesIgnoreCase(s: String, at: Int, what: String): Boolean = {
+    if (at < 0 || at > s.length - what.length) return false
+    var k = 0
+    while (k < what.length) {
+      if (asciiLower(s.charAt(at + k)) != asciiLower(what.charAt(k))) return false
+      k += 1
+    }
+    true
+  }
 
   private def indexOfIgnoreCase(s: String, what: String, from: Int): Int = {
-    val first = Character.toLowerCase(what.charAt(0))
-    val firstU = Character.toUpperCase(what.charAt(0))
+    val first = asciiLower(what.charAt(0))
     var i = math.max(0, from)
     val last = s.length - what.length
     while (i <= last) {
-      val c = s.charAt(i)
-      if ((c == first || c == firstU) && s.regionMatches(true, i, what, 0, what.length))
+      if (asciiLower(s.charAt(i)) == first && regionMatchesIgnoreCase(s, i, what))
         return i
       i += 1
     }

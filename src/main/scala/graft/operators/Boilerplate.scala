@@ -43,9 +43,13 @@ object Boilerplate {
       docs: DataFrame, minDf: Long, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2 (1 would remove every line), got $minDf")
+    // empty lines are KEPT in the exploded table (split always yields
+    // >= 1 element, so every document reaches the groupBy — a doc with
+    // no non-empty lines previously vanished, advice r13) and excluded
+    // from the counts and the reassembly instead. They never match the
+    // boilerplate side (lineDocFrequency filters them out).
     val lines = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
-      .where(col("line") =!= "")
     val boiler = lineDocFrequency(docs, idCol, textCol)
       .where(col("df") >= minDf)
       .select(col("line"), lit(1L).as("_boiler"))
@@ -54,11 +58,12 @@ object Boilerplate {
     lines.join(boiler, Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_lines"),
+        sum(when(col("line") =!= "", 1L).otherwise(0L)).as("n_lines"),
         sum(when(col("_boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"),
         concat_ws("\n", transform(
           array_sort(collect_list(
-            when(col("_boiler").isNull, struct(col("pos"), col("line"))))),
+            when(col("_boiler").isNull && col("line") =!= "",
+              struct(col("pos"), col("line"))))),
           s => s.getField("line"))).as("cleaned"))
   }
 }

@@ -192,6 +192,23 @@ object Bpe extends org.apache.spark.internal.Logging {
     * and win the lexicographic tiebreak unseen), trading batch size
     * for exactness.
     *
+    *  3. '''homograph cut-off''' (advice r13): condition 2's bound
+    *     assumes every pair merge j creates is NEW. When the
+    *     concatenated symbol l_j·r_j already exists in the pair table
+    *     (a homograph — the same surface string formed by a different
+    *     earlier split, e.g. `abc` from (a, bc) while (ab, c) is in
+    *     the batch), the created occurrences ADD to the pre-existing
+    *     pair (x, l_j·r_j), whose post-merge count = pre + gained can
+    *     exceed c_i even with maxU < c_i. Same failure when two batch
+    *     members concatenate to the SAME new symbol (their gains
+    *     stack). So: a member whose concat is already a live symbol,
+    *     or duplicates a prior member's concat, is accepted but ENDS
+    *     the batch — its additions land after the last pick, where the
+    *     next round's recount sees them. This also forecloses a
+    *     candidate's l/r equalling a prior member's concat (candidate
+    *     symbols come from the table, so that prior concat was a
+    *     homograph and extension already stopped).
+    *
     * Per round: one pair aggregate (+checkpoint), one top-K collect,
     * one adjacency-max collect over the K candidate symbols, one
     * batched apply (+checkpoint) — ~4 jobs for up to `batchTopK`
@@ -249,7 +266,15 @@ object Bpe extends org.apache.spark.internal.Logging {
           val maxOutgoing = pairs.where(col("l").isin(candRs: _*))
             .groupBy(col("l").as("s")).agg(max(col("n")).as("m"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          val picked = planBatch(top, maxIncoming, maxOutgoing)
+          // homograph probe (condition 3): which candidate concats are
+          // already live symbols? One isin-filtered distinct over the
+          // pair table, collected small (<= topK rows)
+          val candConcats = top.map(t => t._1 + t._2).distinct.toSeq
+          val liveConcats = pairs.select(col("l").as("s"))
+            .union(pairs.select(col("r").as("s")))
+            .where(col("s").isin(candConcats: _*))
+            .distinct().collect().map(_.getString(0)).toSet
+          val picked = planBatch(top, maxIncoming, maxOutgoing, liveConcats)
           merges ++= picked
           done += picked.size
           onRound(rounds, picked)
@@ -279,24 +304,32 @@ object Bpe extends org.apache.spark.internal.Logging {
     * maximal prefix of the rank-sorted candidates with pairwise-
     * disjoint supports and `max U_j < c_i` at every extension, where
     * U_j = max(maxIncoming(l_j), maxOutgoing(r_j)) bounds the count of
-    * any pair merge j creates. `private[operators]` so the spec can
-    * drive the decision table directly.
+    * any pair merge j creates, and a member whose concat is a live
+    * symbol (`liveSyms`) or repeats a prior member's concat ends the
+    * batch (condition 3). `private[operators]` so the spec can drive
+    * the decision table directly.
     */
   private[operators] def planBatch(
       top: Array[(String, String, Long)],
       maxIncoming: Map[String, Long],
-      maxOutgoing: Map[String, Long]): Seq[(String, String)] = {
+      maxOutgoing: Map[String, Long],
+      liveSyms: String => Boolean = _ => false): Seq[(String, String)] = {
     val batch = Seq.newBuilder[(String, String)]
     val used = scala.collection.mutable.HashSet.empty[String]
+    val concats = scala.collection.mutable.HashSet.empty[String]
     var maxU = Long.MinValue
+    var concatUnsafe = false // last-added member's concat collides with a live or batch symbol
     var i = 0
     var stop = false
     while (i < top.length && !stop) {
       val (l, r, c) = top(i)
-      if (i > 0 && (used(l) || used(r) || maxU >= c)) stop = true
+      if (i > 0 && (concatUnsafe || used(l) || used(r) || maxU >= c)) stop = true
       else {
         batch += ((l, r))
         used += l; used += r
+        val cat = l + r
+        if (liveSyms(cat) || concats(cat)) concatUnsafe = true
+        concats += cat
         maxU = math.max(maxU,
           math.max(maxIncoming.getOrElse(l, 0L), maxOutgoing.getOrElse(r, 0L)))
         i += 1

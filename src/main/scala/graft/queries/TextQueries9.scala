@@ -215,19 +215,21 @@ object TextQueries9 {
         WITH $PlantedCte,
         ext AS (SELECT doc_id, $extractSql AS body FROM planted),
         lns AS (
+          -- empty lines KEPT so a doc with no non-empty lines still
+          -- reaches the GROUP BY (loss-accounting contract, advice
+          -- r13); they are excluded from the counts and the rejoin
           SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS line
           FROM (SELECT doc_id, string_split(body, chr(10)) AS l,
                   unnest(generate_series(1, len(string_split(body, chr(10))))) AS i
-                FROM ext)
-          WHERE l[i] <> ''),
+                FROM ext)),
         boiler AS (
-          SELECT line FROM lns GROUP BY line
+          SELECT line FROM lns WHERE line <> '' GROUP BY line
           HAVING count(DISTINCT doc_id) >= 5)
         SELECT doc_id,
-          CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN lns.line <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,
           CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-          md5(coalesce(string_agg(CASE WHEN b.line IS NULL THEN lns.line END, chr(10)
-            ORDER BY pos), '')) AS cleaned_md5
+          md5(coalesce(string_agg(CASE WHEN b.line IS NULL AND lns.line <> ''
+            THEN lns.line END, chr(10) ORDER BY pos), '')) AS cleaned_md5
         FROM lns LEFT JOIN boiler b ON lns.line = b.line
         GROUP BY doc_id
       """),

@@ -63,6 +63,13 @@ class HtmlExtractSpec extends SparkTestBase {
     "&lt;tag&gt; &quot;q&quot; &apos;a&apos; &#39;b&#x27; c&nbsp;d &amp; e",
     "&amp;lt; &amp;amp;", "&bogus; &#9731; &", "&am&amp;p;", "&amp",
     "&&lt;&", "&amp;&amp;",
+    // ASCII-only (?i) — advice r13: Unicode case-fold homoglyphs
+    // (ſ U+017F↔s, ı U+0131↔i, İ U+0130↔i under Java toLower/toUpper)
+    // must NOT open raw-text spans; Java regex (?i) without
+    // UNICODE_CASE treats these as ordinary tags
+    "<ſcript>var x;</ſcript>after", "<scrıpt>a</scrıpt>b",
+    "<SCRİPT>c</SCRİPT>d", "<ſtyle>.x{}</ſtyle>e",
+    "pre<ſcript>leak<script>drop</script>keep",
     // whitespace torture
     " \t a \r\n\n b \f ", "\n\n\n", " \n \n ", "a  \n  b", "\t\r\f",
     "xy", "", "  unicode-space edge  ")
@@ -73,7 +80,8 @@ class HtmlExtractSpec extends SparkTestBase {
   private def randomMarkup(rnd: scala.util.Random): String = {
     val words = Array("data", "Key", "row", "<", ">", "&", ";", "/", "\"", "'")
     val names = Array("script", "style", "div", "p", "b", "i", "h1", "pre",
-      "SCRIPT", "Style", "DIV", "unknown", "scr", "scripts", "h1h")
+      "SCRIPT", "Style", "DIV", "unknown", "scr", "scripts", "h1h",
+      "ſcript", "scrıpt", "ſtyle") // Unicode-fold homoglyphs (advice r13)
     def name() = names(rnd.nextInt(names.length))
     def frag(): String = rnd.nextInt(14) match {
       case 0 => s"<${name()}${if (rnd.nextBoolean()) " a=\"" + words(rnd.nextInt(words.length)) + "\"" else ""}>"

@@ -51,13 +51,20 @@ class BoilerplateSpec extends SparkTestBase {
   }
 
   test("null text and empty lines are ignored, order survives mixed removal") {
-    val d = Seq((1L, "A\n\nmine\n\nA"), (2L, "A\nother"), (3L, null.asInstanceOf[String]))
+    val d = Seq((1L, "A\n\nmine\n\nA"), (2L, "A\nother"), (3L, null.asInstanceOf[String]),
+        (4L, "\n\n"), (5L, "A\nA"))
       .toDF("doc_id", "text")
     val out = Boilerplate.removeFrequentLines(d, minDf = 2)
       .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
     assert(out(0) == ((1L, 3L, 2L, "mine")))
     assert(out(1) == ((2L, 2L, 1L, "other")))
-    // a null-text doc has no non-empty lines: it has nothing to report
-    assert(out.length == 2)
+    // loss-accounting contract (advice r13): docs with NO non-empty
+    // lines (null text, whitespace-only) still get a row — n_lines=0,
+    // nothing removed, empty cleaned text
+    assert(out(2) == ((3L, 0L, 0L, "")))
+    assert(out(3) == ((4L, 0L, 0L, "")))
+    // …and an all-boilerplate doc reports full loss, not absence
+    assert(out(4) == ((5L, 2L, 2L, "")))
+    assert(out.length == 5)
   }
 }

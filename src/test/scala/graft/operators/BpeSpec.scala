@@ -133,6 +133,31 @@ class BpeSpec extends SparkTestBase {
       Map("a" -> 1000L), Map("b" -> 1000L)) == Seq(("a", "b")))
   }
 
+  test("planBatch homograph cut-off: a member whose concat is a live symbol (or repeats a batch concat) ends the batch") {
+    def t(l: String, r: String, c: Long) = (l, r, c)
+    // member 1's concat "ab"+"c" == live symbol "abc" (formed earlier
+    // via (a, bc)): created pairs ADD to pre-existing (x, abc), so the
+    // U-bound no longer covers them — member 1 is kept (its additions
+    // land after the last pick) but extension stops
+    assert(Bpe.planBatch(
+      Array(t("ab", "c", 100), t("e", "f", 90), t("g", "h", 80)),
+      Map.empty, Map.empty, Set("abc")) == Seq(("ab", "c")))
+    // homograph MID-batch: members before it batch normally
+    assert(Bpe.planBatch(
+      Array(t("e", "f", 100), t("ab", "c", 90), t("g", "h", 80)),
+      Map.empty, Map.empty, Set("abc")) == Seq(("e", "f"), ("ab", "c")))
+    // two members concatenating to the SAME new symbol ("a"+"bc" and
+    // "ab"+"c" → "abc", not yet live): their gains stack on the shared
+    // created pairs, so the second ends the batch
+    assert(Bpe.planBatch(
+      Array(t("a", "bc", 100), t("ab", "c", 90), t("g", "h", 80)),
+      Map.empty, Map.empty, Set.empty) == Seq(("a", "bc"), ("ab", "c")))
+    // a live symbol that is NOT any member's concat does not interfere
+    assert(Bpe.planBatch(
+      Array(t("a", "b", 100), t("c", "d", 90)),
+      Map.empty, Map.empty, Set("zz")) == Seq(("a", "b"), ("c", "d")))
+  }
+
   test("batched distributed trainer ≡ in-memory greedy on well-separated counts (multi-merge batches)") {
     // disjoint letter alphabets with well-separated frequencies: the
     // batch conditions hold for several candidates per round, so this
