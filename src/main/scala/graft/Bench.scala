@@ -13,7 +13,12 @@ import org.apache.spark.sql.SparkSession
   * - one warm-up action first so JVM/codegen startup isn't billed to
   *   the first query;
   * - session mirrors graft.core.Sessions (AQE on, UTC, shuffle
-  *   partitions = cores).
+  *   partitions = cores);
+  * - quiet-window discipline (see README "Bench artifact of record"):
+  *   a pre-run load + hypervisor-steal gate refuses to start hot, and
+  *   a default-on per-query co-tenant gate pauses OUTSIDE timed
+  *   regions — published as "paused"/"steal" on the contract line so
+  *   contention is attributable from the artifact alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,40 +35,6 @@ object Bench {
     // (bounded); on final failure print the refusal to stderr and emit
     // NO stdout contract line — a missing number is diagnosable, a
     // poisoned one is three rounds of misgraded work. ----
-    val gate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(2.0)
-    val gateRetries = sys.env.get("SPARK_GRAFT_LOAD_RETRIES").map(_.toInt).getOrElse(5)
-    val gateSleepSec = sys.env.get("SPARK_GRAFT_LOAD_SLEEP_SEC").map(_.toInt).getOrElse(60)
-    def loadAvg: Double = {
-      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      os.getSystemLoadAverage
-    }
-    var gateLoad = loadAvg
-    var gateTry = 0
-    // a negative load average means the platform can't report one —
-    // don't gate on a sensor that isn't there
-    while (gateLoad >= 0 && gateLoad > gate && gateTry < gateRetries) {
-      gateTry += 1
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench-gate] host load %.2f > gate %.2f — sleeping %ds (attempt %d/%d)",
-        Double.box(gateLoad), Double.box(gate), Integer.valueOf(gateSleepSec),
-        Integer.valueOf(gateTry), Integer.valueOf(gateRetries)))
-      Thread.sleep(gateSleepSec * 1000L)
-      gateLoad = loadAvg
-    }
-    if (gateLoad >= 0 && gateLoad > gate) {
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench-gate] host load %.2f still > gate %.2f after %d retries — " +
-          "refusing to emit a contract line from a contended host",
-        Double.box(gateLoad), Double.box(gate), Integer.valueOf(gateRetries)))
-      sys.exit(3)
-    }
-
-    // load0 of record = the gate's final PRE-SESSION sample: session
-    // startup + the warm-up action below add ~1-1.5 of self-load, and
-    // sampling after them (the old placement) made a genuinely quiet
-    // start look gate-worthy contended.
-    val startLoad = gateLoad
-
     // hypervisor steal (/proc/stat field 8, jiffies): a VM co-tenant
     // stealing cycles inflates every row uniformly while the in-guest
     // load average stays innocent — publishing the run's steal-seconds
@@ -81,6 +52,60 @@ object Bench {
           java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
         if (f.length > 8) f(8).toLong else 0L
       } catch { case _: Exception => 0L }
+
+    val gate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(2.0)
+    val gateRetries = sys.env.get("SPARK_GRAFT_LOAD_RETRIES").map(_.toInt).getOrElse(5)
+    val gateSleepSec = sys.env.get("SPARK_GRAFT_LOAD_SLEEP_SEC").map(_.toInt).getOrElse(60)
+    def loadAvg: Double = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      os.getSystemLoadAverage
+    }
+    // steal-rate pre-gate (round-13 verdict #2): the committed r13
+    // closing line carried 550 steal-seconds — hypervisor co-tenants
+    // the LOAD average cannot see (in-guest load stays innocent while
+    // every row inflates). Sample the steal RATE over a 1 s window
+    // alongside the load gate and retry while either is hot, so the
+    // artifact of record starts in a genuinely quiet window.
+    val stealGate = sys.env.get("SPARK_GRAFT_STEAL_GATE_CORES")
+      .map(_.toDouble).getOrElse(0.3)
+    def stealRateCores(sampleMs: Long): Double = {
+      val s1 = stealJiffies
+      val t1 = System.nanoTime()
+      Thread.sleep(sampleMs)
+      val ds = stealJiffies - s1
+      ds / 100.0 / ((System.nanoTime() - t1) / 1e9)
+    }
+    var gateLoad = loadAvg
+    var gateSteal = stealRateCores(1000)
+    var gateTry = 0
+    // a negative load average means the platform can't report one —
+    // don't gate on a sensor that isn't there
+    def gateHot = (gateLoad >= 0 && gateLoad > gate) || gateSteal > stealGate
+    while (gateHot && gateTry < gateRetries) {
+      gateTry += 1
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench-gate] host load %.2f (gate %.2f), steal %.2f cores (gate %.2f) — sleeping %ds (attempt %d/%d)",
+        Double.box(gateLoad), Double.box(gate), Double.box(gateSteal),
+        Double.box(stealGate), Integer.valueOf(gateSleepSec),
+        Integer.valueOf(gateTry), Integer.valueOf(gateRetries)))
+      Thread.sleep(gateSleepSec * 1000L)
+      gateLoad = loadAvg
+      gateSteal = stealRateCores(1000)
+    }
+    if (gateHot) {
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench-gate] host load %.2f / steal %.2f cores still hot after %d retries — " +
+          "refusing to emit a contract line from a contended host",
+        Double.box(gateLoad), Double.box(gateSteal), Integer.valueOf(gateRetries)))
+      sys.exit(3)
+    }
+
+    // load0 of record = the gate's final PRE-SESSION sample: session
+    // startup + the warm-up action below add ~1-1.5 of self-load, and
+    // sampling after them (the old placement) made a genuinely quiet
+    // start look gate-worthy contended.
+    val startLoad = gateLoad
+
     val steal0 = stealJiffies
 
     val spark = graft.core.Sessions
@@ -219,17 +244,23 @@ object Bench {
       }
       other <= rerunGateCores
     }
-    // ---- opt-in PER-QUERY quiet gate (SPARK_GRAFT_QUERY_GATE_CORES):
-    // on a host whose co-tenant bursts every few minutes, a whole-suite
-    // run can never land in one quiet window — but each QUERY can. When
-    // enabled, the runner pauses BEFORE a query until the co-tenant
+    // ---- PER-QUERY quiet gate (SPARK_GRAFT_QUERY_GATE_CORES,
+    // DEFAULT ON at 1.0 since round 14 — set <= 0 to disable): on a
+    // host whose co-tenant bursts every few minutes, a whole-suite
+    // run can never land in one quiet window — but each QUERY can. The
+    // runner pauses BEFORE a query until the co-tenant
     // sensor reads quiet (bounded by a run-wide budget,
     // SPARK_GRAFT_QUERY_GATE_BUDGET_SEC, default 600 s). Honesty
     // properties: pauses sit entirely OUTSIDE timed regions, no
     // measurement is ever discarded or retried by this mechanism, and
     // the total paused time is published on the contract line
-    // ("paused") with per-query pauses in the forensics file. ----
-    val queryGateCores = sys.env.get("SPARK_GRAFT_QUERY_GATE_CORES").map(_.toDouble)
+    // ("paused") with per-query pauses in the forensics file.
+    // Default-on closes round-13 verdict #2: the round's artifact of
+    // record is whatever single run the driver takes at round close —
+    // the gates make THAT run a quiet-window number instead of hoping
+    // the close lands between co-tenant bursts. ----
+    val queryGateCores = sys.env.get("SPARK_GRAFT_QUERY_GATE_CORES")
+      .map(_.toDouble).orElse(Some(1.0)).filter(_ > 0)
     var queryGateBudget = sys.env.get("SPARK_GRAFT_QUERY_GATE_BUDGET_SEC")
       .map(_.toDouble).getOrElse(600.0)
     var pausedTotal = 0.0

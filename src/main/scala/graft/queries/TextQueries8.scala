@@ -119,6 +119,36 @@ object TextQueries8 {
     root
   }
 
+  /** Stage the 4-file drop AND run the full streaming fold (the REAL
+    * `SubstringIngest.substringIngestSink` — per-trigger probe, report
+    * publish, atomic index fold / LSM compaction). Returns the root
+    * whose `index/` holds the published state.
+    *
+    * Split rationale (round-13 verdict #3): the fold is the BUILD of a
+    * persistent index — the analogue of q48/q112/q113's staged ANN
+    * builds — while the DuckDB oracle computes only the final gram
+    * index. Timing the 4-micro-batch fold in `sec` made q210/q213
+    * 31× asymmetric rows that distorted aggregate comparisons. Bench
+    * stages this via `prepare`, so the fold lands in the contract
+    * line's `builds` map (still counted in the total — the split can't
+    * flatter the sum) and `sec` times the PROBE: merge-on-read of the
+    * published state, the operation a steady-state consumer actually
+    * pays. Verify and unprepared runs do everything inline — same
+    * result, same oracle.
+    */
+  private def q210Fold(s: org.apache.spark.sql.SparkSession, d: String,
+      maxSegments: Int): String = {
+    val root = q210Stage(s, d)
+    val docs = Tables.documents(s, d)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = graft.streaming.SubstringIngest.substringIngestSink(
+      stream, s"$root/index", s"$root/reports", s"$root/ckpt", k = 8,
+      maxSegments = maxSegments)
+    try q.processAllAvailable() finally q.stop()
+    root
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- q207: duplicated-span report — for every document, the
@@ -243,18 +273,14 @@ object TextQueries8 {
     GraftQuery(
       "q210_substring_index_streamed",
       (s, d) => {
-        // the 4-file input drop is setup plumbing (a real ingest's
-        // files already exist on arrival) — staged via prepare so the
-        // bench's build/probe split reports it as a build; Verify and
-        // unprepared runs stage inline
+        // staging + the 4-micro-batch streaming fold are the index
+        // BUILD (see q210Fold's split rationale) — prepared, so Bench
+        // reports them in `builds`; the timed body is the PROBE:
+        // merge-on-read of the published state. Verify and unprepared
+        // runs fold inline — identical result.
         val root = graft.core.Prepared.take[String]("q210_substring_index_streamed")
-          .getOrElse(q210Stage(s, d))
-        val docs = Tables.documents(s, d)
-        val stream = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val q = graft.streaming.SubstringIngest.substringIngestSink(
-          stream, s"$root/index", s"$root/reports", s"$root/ckpt", k = 8)
-        try q.processAllAvailable() finally q.stop()
+          .getOrElse(q210Fold(s, d, maxSegments =
+            graft.streaming.SubstringIngest.DefaultMaxSegments))
         graft.streaming.SubstringIngest.readState(s, s"$root/index")._1
       },
       Some(GramCte + """
@@ -264,7 +290,8 @@ object TextQueries8 {
       """),
       doc = "Streaming substring-dedup ingest: published index equals batch gram index",
       prepare = Some((s, d) => graft.core.Prepared.put(
-        "q210_substring_index_streamed", q210Stage(s, d)))),
+        "q210_substring_index_streamed", q210Fold(s, d, maxSegments =
+          graft.streaming.SubstringIngest.DefaultMaxSegments)))),
 
     // ---- q213: LSM-compacted gram store ≡ batch gram index — the
     //      SAME wiring as q210 but with maxSegments=2, so the 4-batch
@@ -277,15 +304,10 @@ object TextQueries8 {
     GraftQuery(
       "q213_substring_index_compacted",
       (s, d) => {
+        // build/probe split as q210; maxSegments=2 forces the
+        // mid-stream LSM compaction inside the staged fold
         val root = graft.core.Prepared.take[String]("q213_substring_index_compacted")
-          .getOrElse(q210Stage(s, d))
-        val docs = Tables.documents(s, d)
-        val stream = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val q = graft.streaming.SubstringIngest.substringIngestSink(
-          stream, s"$root/index", s"$root/reports", s"$root/ckpt", k = 8,
-          maxSegments = 2)
-        try q.processAllAvailable() finally q.stop()
+          .getOrElse(q210Fold(s, d, maxSegments = 2))
         graft.streaming.SubstringIngest.readState(s, s"$root/index")._1
       },
       Some(GramCte + """
@@ -295,7 +317,7 @@ object TextQueries8 {
       """),
       doc = "LSM-compacted streaming gram store: base+segments merge equals batch gram index",
       prepare = Some((s, d) => graft.core.Prepared.put(
-        "q213_substring_index_compacted", q210Stage(s, d)))),
+        "q213_substring_index_compacted", q210Fold(s, d, maxSegments = 2)))),
 
     // ---- q211: BPE train→apply end-to-end — 8 greedy merges trained
     //      on the corpus word-frequency table, then applied to tokenize

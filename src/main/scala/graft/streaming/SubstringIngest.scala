@@ -560,7 +560,7 @@ object SubstringIngest extends Logging {
   val DefaultBloomItems: Long = 1L * 1000 * 1000
   val DefaultBloomFpp: Double = 1e-4
 
-  private val DefaultMaxSegments = 16
+  val DefaultMaxSegments = 16
 
   /** How long a dead part (folded into a newer run/base) survives on
     * disk before the per-trigger sweep deletes it. Liveness excludes
