@@ -108,16 +108,34 @@ object QualityClassifier {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("double").as("m"))
 
+  /** Feature-row gate for the in-memory trainer — the
+    * [[LangId.MaxDriverFeatureRows]] / [[Bpe.MaxDriverVocab]] sizing
+    * discipline: labeled quality data is curated and corpus-size-
+    * independent, so production training slices collect; the
+    * distributed loop remains for oversized label dumps.
+    */
+  val MaxDriverFeatureRows: Long = 8L * 1000 * 1000
+
   /** Train logistic-regression weights on labeled documents
     * (`labelCol` ∈ {0, 1}). Fixed `iters` full-batch rounds at
     * `lr / nDocs` effective step — deterministic by construction (see
     * object doc). Fails loudly on an empty corpus or a label outside
     * {0, 1} (a silently coerced label poisons every weight).
+    *
+    * Under `maxDriverRows` (the normal case) the gradient loop runs
+    * IN MEMORY on the driver — one collect of the feature table, zero
+    * per-iteration job launches — bit-identical to the distributed
+    * loop: row contributions are rounded to decimal(38,18) exactly as
+    * `cast(Dec)` does (`BigDecimal.valueOf` + HALF_UP), sums are exact
+    * decimal adds, sigmoid/update double arithmetic replays the same
+    * operation order (QualityClassifierSpec pins the lane
+    * equivalence).
     */
   def train(
       docs: DataFrame, labelCol: String, nBuckets: Int = DefaultBuckets,
       iters: Int = DefaultIters, lr: Double = DefaultLearningRate,
-      idCol: String = "doc_id", textCol: String = "text"): Model = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDriverRows: Long = MaxDriverFeatureRows): Model = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val labels = docs.select(col(idCol).cast("long").as("doc_id"),
       col(labelCol).cast("double").as("y"))
@@ -138,31 +156,99 @@ object QualityClassifier {
     try {
       val nDocs = labels.count()
       require(nDocs > 0, "cannot train on an empty corpus")
-      val w = new Array[Double](nBuckets + 1)
-      for (_ <- 1 to iters) {
-        // one job: margin fold (per doc) feeding the gradient fold
-        // (per bucket), both decimal-exact
-        val errs = margins(feat, w)
-          .select(col("doc_id"),
-            (lit(1.0) / (lit(1.0) + exp(-col("m"))) - lit(1.0)).as("errNeg"),
-            (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("errPos"))
-        // err = sigmoid(m) - y, written without a second label join:
-        // y rides the feature table
-        val grad = feat
-          .join(errs, "doc_id")
-          .select(col("b"),
-            ((when(col("y") === 1.0, col("errNeg")).otherwise(col("errPos"))) *
-              col("x")).cast(Dec).as("g"))
-          .groupBy(col("b"))
-          .agg(sum(col("g")).cast("double").as("g"))
-          .collect()
-        grad.foreach { r =>
-          val b = r.getLong(0).toInt
-          w(b) -= lr * r.getDouble(1) / nDocs
-        }
-      }
+      val w =
+        if (feat.count() <= maxDriverRows)
+          trainRowsInMemory(
+            feat.select(col("doc_id"), col("b"), col("x"), col("y")).collect()
+              .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2),
+                r.getDouble(3))),
+            nBuckets, iters, lr, nDocs)
+        else trainDistributed(feat, nBuckets, iters, lr, nDocs)
       Model(nBuckets, w)
     } finally Lineage.release(feat)
+  }
+
+  private def trainDistributed(
+      feat: DataFrame, nBuckets: Int, iters: Int, lr: Double,
+      nDocs: Long): Array[Double] = {
+    val w = new Array[Double](nBuckets + 1)
+    for (_ <- 1 to iters) {
+      // one job: margin fold (per doc) feeding the gradient fold
+      // (per bucket), both decimal-exact
+      val errs = margins(feat, w)
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - lit(1.0)).as("errNeg"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("errPos"))
+      // err = sigmoid(m) - y, written without a second label join:
+      // y rides the feature table
+      val grad = feat
+        .join(errs, "doc_id")
+        .select(col("b"),
+          ((when(col("y") === 1.0, col("errNeg")).otherwise(col("errPos"))) *
+            col("x")).cast(Dec).as("g"))
+        .groupBy(col("b"))
+        .agg(sum(col("g")).cast("double").as("g"))
+        .collect()
+      grad.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) -= lr * r.getDouble(1) / nDocs
+      }
+    }
+    w
+  }
+
+  /** The distributed double→decimal(38,18) row rounding, exactly. */
+  private def dec18(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(18, java.math.RoundingMode.HALF_UP)
+
+  /** In-memory mirror of [[trainDistributed]] — same row rounding,
+    * exact decimal sums, same double operation order.
+    */
+  private[operators] def trainRowsInMemory(
+      rows: Array[(Long, Int, Double, Double)],
+      nBuckets: Int, iters: Int, lr: Double, nDocs: Long): Array[Double] = {
+    val byDoc = rows.groupBy(_._1).values.toArray
+    val w = new Array[Double](nBuckets + 1)
+    val zero = java.math.BigDecimal.ZERO.setScale(18)
+    for (_ <- 1 to iters) {
+      // dec18(x * w) with x = 1.0 (presence features + intercept) is
+      // dec18(w): precompute once per iteration — BigDecimal.valueOf
+      // goes through Double.toString and dominated the loop otherwise
+      val decW = Array.tabulate(nBuckets + 1)(b => dec18(w(b)))
+      val grad = Array.fill(nBuckets + 1)(zero)
+      for (docRows <- byDoc) {
+        val y = docRows(0)._4
+        var acc = zero
+        var i = 0
+        while (i < docRows.length) {
+          val r = docRows(i)
+          acc = acc.add(if (r._3 == 1.0) decW(r._2) else dec18(r._3 * w(r._2)))
+          i += 1
+        }
+        val m = acc.doubleValue
+        // errNeg/errPos exactly as the distributed columns compute
+        // them. StrictMath.exp, NOT Math.exp: Spark's exp() codegen
+        // calls StrictMath (measured: 10% of values differ from
+        // Math.exp by one ulp — enough to diverge the lanes at
+        // iteration 2, QcLaneDebug3)
+        val sig = 1.0 / (1.0 + java.lang.StrictMath.exp(-m))
+        val err = if (y == 1.0) sig - 1.0 else sig
+        val errD = dec18(err) // err * 1.0 == err, rounded once per doc
+        i = 0
+        while (i < docRows.length) {
+          val b = docRows(i)._2
+          val x = docRows(i)._3
+          grad(b) = grad(b).add(if (x == 1.0) errD else dec18(err * x))
+          i += 1
+        }
+      }
+      var b = 0
+      while (b <= nBuckets) {
+        w(b) -= lr * grad(b).doubleValue / nDocs
+        b += 1
+      }
+    }
+    w
   }
 
   /** Score documents with a trained model: decimal-exact margin,

@@ -150,8 +150,11 @@ object TextQueries9 {
     //      the q48 reduced assertion: every replicable column exact
     //      (doc_id, label, n_tokens) plus `acc_ok` pinned to 1 — the
     //      training accuracy over the planted labels clearing 0.95
-    //      (measured 1.00 at sf0.001-0.01; an optimizer/accumulation
-    //      regression flips 500 rows). ----
+    //      (measured EXACTLY 1.00 at sf0.001, sf0.01, sf0.1 AND sf1 —
+    //      Q215AccProbe, advice r13; the presence features separate
+    //      the planted markers perfectly at every bench scale, so the
+    //      gate has full margin; an optimizer/accumulation regression
+    //      flips 500 rows). ----
     GraftQuery(
       "q215_trained_quality_classifier",
       (s, d) => {

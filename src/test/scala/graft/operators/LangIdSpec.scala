@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Trained language-ID: planted multilingual fixture (per-class
+  * alphabet bijections over real fixture text — the q217 planting),
+  * holdout accuracy, bit-deterministic training, fail-loud guards,
+  * and the 26-letter alphabet invariants the translate() planting
+  * depends on.
+  */
+class LangIdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val latin = "abcdefghijklmnopqrstuvwxyz"
+
+  test("planting alphabets are 26 single-code-point letters (translate bijection invariant)") {
+    for (a <- Seq(graft.queries.TextQueries10.Greek,
+        graft.queries.TextQueries10.Cyrillic,
+        graft.queries.TextQueries10.Hiragana)) {
+      assert(a.codePointCount(0, a.length) == 26, s"alphabet <<$a>> must have 26 code points")
+      assert(a.length == a.codePointCount(0, a.length), "BMP only — translate() maps chars")
+      assert(a.toSeq.distinct.size == 26, "bijection needs distinct targets")
+      assert(a.forall(c => !latin.contains(c)), "targets must not overlap Latin")
+    }
+  }
+
+  /** Planted 3-class corpus from the real fixture text. */
+  private def planted(n: Int) = {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(n)
+    docs.select($"doc_id",
+      concat(lit("L"), pmod($"doc_id", lit(3L)).cast("string")).as("lang_true"),
+      when(pmod($"doc_id", lit(3L)) === 1,
+        translate(lower($"text"), latin, graft.queries.TextQueries10.Greek))
+        .when(pmod($"doc_id", lit(3L)) === 2,
+          translate(lower($"text"), latin, graft.queries.TextQueries10.Cyrillic))
+        .otherwise(lower($"text")).as("text"))
+  }
+
+  test("holdout accuracy 1.0 on the planted multilingual fixture (train 1/3, score all)") {
+    val corpus = planted(120).localCheckpoint(true)
+    val model = LangId.train(corpus.where($"doc_id" % 5 === 0), "lang_true")
+    assert(model.labels == Seq("L0", "L1", "L2"))
+    val scored = LangId.score(corpus, model)
+      .join(corpus.select($"doc_id", $"lang_true"), "doc_id")
+    val acc = scored.agg(avg(($"predicted" === $"lang_true").cast("double")))
+      .head().getDouble(0)
+    assert(acc == 1.0, s"holdout accuracy $acc < 1.0 on structurally separable alphabets")
+    // p_predicted is a probability and the argmax class's own
+    val bad = scored.where($"p_predicted" < 0 || $"p_predicted" > 1).count()
+    assert(bad == 0)
+  }
+
+  test("deterministic training: bit-identical weights across partitionings") {
+    val corpus = planted(60).localCheckpoint(true)
+    val w1 = LangId.train(corpus, "lang_true", iters = 4).weights
+    val w2 = LangId.train(corpus.repartition(17), "lang_true", iters = 4).weights
+    val w3 = LangId.train(corpus.coalesce(1), "lang_true", iters = 4).weights
+    assert(w1.flatten.toSeq == w2.flatten.toSeq, "repartition changed the weights")
+    assert(w1.flatten.toSeq == w3.flatten.toSeq, "coalesce changed the weights")
+  }
+
+  test("driver-gated in-memory trainer ≡ distributed trainer, bit-identical weights") {
+    val corpus = planted(60).localCheckpoint(true)
+    val mem = LangId.train(corpus, "lang_true", iters = 4) // under the gate → driver
+    val dist = LangId.train(corpus, "lang_true", iters = 4,
+      maxDriverRows = 0L) // forced distributed
+    assert(mem.labels == dist.labels)
+    assert(mem.weights.flatten.toSeq == dist.weights.flatten.toSeq,
+      "in-memory and distributed lanes must train bit-identical weights")
+  }
+
+  test("guards: null label, single class, empty corpus fail loudly") {
+    val nullLab = Seq((1L, null.asInstanceOf[String], "x")).toDF("doc_id", "lang_true", "text")
+    val e1 = intercept[IllegalArgumentException] { LangId.train(nullLab, "lang_true") }
+    assert(e1.getMessage.contains("non-null"), e1.getMessage)
+    val oneClass = Seq((1L, "en", "abc"), (2L, "en", "def")).toDF("doc_id", "lang_true", "text")
+    val e2 = intercept[IllegalArgumentException] { LangId.train(oneClass, "lang_true") }
+    assert(e2.getMessage.contains("distinct labels"), e2.getMessage)
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang_true", "text")
+    val e3 = intercept[IllegalArgumentException] { LangId.train(empty, "lang_true") }
+    assert(e3.getMessage.contains("2 distinct labels"), e3.getMessage)
+  }
+
+  test("score on unseen text with no trained grams falls back to the intercept class deterministically") {
+    val corpus = planted(60).localCheckpoint(true)
+    val model = LangId.train(corpus, "lang_true", iters = 4)
+    // digits-only text: every bigram is unseen (fixture text has no
+    // digits), so only the intercept row fires — prediction is a pure
+    // function of the model, identical across runs
+    val odd = Seq((1000L, "12345 67890")).toDF("doc_id", "text")
+    val p1 = LangId.score(odd, model).select($"predicted").head().getString(0)
+    val p2 = LangId.score(odd, model).select($"predicted").head().getString(0)
+    assert(p1 == p2)
+    assert(model.labels.contains(p1))
+  }
+}

@@ -50,6 +50,15 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(w1.exists(_ != 0.0), "training produced all-zero weights")
   }
 
+  test("driver-gated in-memory trainer ≡ distributed trainer, bit-identical weights") {
+    val docs = planted(120)
+    val mem = QualityClassifier.train(docs, "label", iters = 6) // under the gate → driver
+    val dist = QualityClassifier.train(docs, "label", iters = 6,
+      maxDriverRows = 0L) // forced distributed
+    assert(mem.weights.toSeq == dist.weights.toSeq,
+      "in-memory and distributed lanes must train bit-identical weights")
+  }
+
   test("labels outside {0,1} and empty corpora fail loudly") {
     val bad = Seq((1L, 2L, "some text here")).toDF("doc_id", "label", "text")
     val e = intercept[IllegalArgumentException] {
