@@ -130,9 +130,13 @@ object VectorQueries2 {
     //      reduced-assertion oracle as q48/q112/q113 (the graph walk
     //      is data-dependent; the query returns the exact brute-force
     //      top-k, hash-matched bit-for-bit, plus a recall flag the
-    //      oracle pins to 1). Floor 0.25 vs measured recalls 0.90
-    //      (sf0.01) / 0.58 (sf0.1) at deg=8/beam=32/rounds=4 —
-    //      ≥2.3× margin, ~125× above the ~0.002 chance level. ----
+    //      oracle pins to 1). Search params AUTO-SIZE with corpus
+    //      count (round-13 verdict #7: the fixed beam=32/rounds=4/
+    //      entries=4 config decayed 0.90 → 0.46-0.58 as N grew).
+    //      Floor 0.5 vs measured recalls 0.88 (sf0.01, N=500) /
+    //      0.80 (sf0.1, N=2k) / 0.86 (sf1, N=20k) under auto-sizing
+    //      (GraphAnnProbe, BASELINE r14) — ≥1.6× margin, ~400× above
+    //      the ~0.002 chance level. ----
     GraftQuery(
       "q206_graph_ann",
       (s, d) => {
@@ -147,7 +151,7 @@ object VectorQueries2 {
         val queries = emb.where(col("vec_id") < 5)
         val ann = graft.operators.Similarity.graphSearch(
           graph, emb, queries, "vec_id", "embedding", k = 10,
-          beam = 32, rounds = 4)
+          beam = 0, rounds = 0) // 0 = auto-size by corpus count
         // graphSearch staged its own eager copies, so the source graph
         // (a persisted load OR an inline plan with internal bucket
         // checkpoints) releases here — both cleanups are no-ops on the
@@ -156,7 +160,7 @@ object VectorQueries2 {
         graph.unpersist()
         val exact = graft.core.Prepared
           .take[org.apache.spark.sql.DataFrame]("q206_graph_ann.exact")
-        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.25, staged = exact)
+        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.5, staged = exact)
       },
       Some(VectorQueries.bruteTopKRecallOracle(10)),
       prepare = Some((s, d) => {
