@@ -53,24 +53,23 @@ import org.apache.spark.sql.types.DecimalType
 object LangId {
 
   val DefaultBuckets = 2048
-  val DefaultIters = 12
+  val DefaultIters = 8 // acc exactly 1.00 at sf0.01-sf1 from round 6 up (LangIdProbe) — 1.33x the needed depth
   val DefaultLearningRate = 2.0
   val DefaultGram = 2
 
   private val Dec = DecimalType(38, 18)
 
-  /** Distinct character n-grams of the lowercased text, hashed into
-    * `nBuckets` (presence features). substr() walks CODE POINTS in
-    * Spark (and DuckDB), so multibyte alphabets — the whole point of
-    * LID — produce whole-character grams, not split UTF-8 bytes.
+  /** Distinct code-point n-grams of the lowercased text — the fused
+    * [[graft.expressions.CharGrams]] kernel (one pass; the substr
+    * lambda formulation it replaces was O(len²) per doc — see the
+    * kernel doc; CharGramsSpec pins the exact equivalence). Multibyte
+    * alphabets — the whole point of LID — produce whole-character
+    * grams, never split UTF-8 bytes.
     */
-  private def charGrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    array_distinct(filter(
-      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
-        i => t.substr(i, lit(n))),
-      g => length(g) === n))
-  }
+  private def charGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CharGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
   /** Hashed presence features: (doc_id, b, x=1) distinct per bucket,
     * plus an intercept row (b = nBuckets). Built once per train/score

@@ -133,10 +133,11 @@ object VectorQueries2 {
     //      oracle pins to 1). Search params AUTO-SIZE with corpus
     //      count (round-13 verdict #7: the fixed beam=32/rounds=4/
     //      entries=4 config decayed 0.90 → 0.46-0.58 as N grew).
-    //      Floor 0.5 vs measured recalls 0.88 (sf0.01, N=500) /
-    //      0.80 (sf0.1, N=2k) / 0.86 (sf1, N=20k) under auto-sizing
-    //      (GraphAnnProbe, BASELINE r14) — ≥1.6× margin, ~400× above
-    //      the ~0.002 chance level. ----
+    //      Floor 0.5 vs measured recalls 0.98 (sf0.01, N=500) /
+    //      0.90 (sf0.1, N=2k) / 0.64 (sf1, N=20k) under auto-sizing
+    //      (GraphAnnProbe, BASELINE r14) — ≥1.28× margin, ~320× above
+    //      the ~0.002 chance level, at equal-or-lower wall than the
+    //      fixed config it replaces. ----
     GraftQuery(
       "q206_graph_ann",
       (s, d) => {

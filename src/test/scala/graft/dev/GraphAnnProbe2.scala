@@ -31,7 +31,8 @@ object GraphAnnProbe2 {
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
 
     for ((gTag, g) <- Seq("lsh" -> lshGraph, "exact" -> exactGraph);
-         (sTag, beam, rounds) <- Seq(("b32r4", 32, 4), ("b32r6", 32, 6), ("b48r5", 48, 5), ("b48r6", 48, 6), ("b64r6", 64, 6))) {
+         (sTag, beam, rounds) <- { val sq = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+             Seq(("2sq-r3", 2*sq, 3), ("2sq-r4", 2*sq, 4), ("3sq-r3", 3*sq, 3), ("4sq-r3", 4*sq, 3), ("auto", 0, 0)) }) {
       val t0 = System.nanoTime()
       val ann = Similarity.graphSearch(g, emb, qs, "vec_id", "embedding",
         k = 10, beam = beam, rounds = rounds)
