@@ -175,14 +175,19 @@ object LangId {
     try {
       val nDocs = labeled.count()
       require(nDocs > 0, "cannot train on an empty corpus")
+      // the gate count stays a separate (cheap — feat is checkpointed)
+      // job: it must run BEFORE any collect, or an oversized feature
+      // table would land on the driver just to learn it shouldn't have.
+      // The collect itself is TYPED — the encoder builds the tuple
+      // array in one pass, no transient Array[Row] copy (advice r14).
       val weights =
-        if (feat.count() <= maxDriverRows)
+        if (feat.count() <= maxDriverRows) {
+          import feat.sparkSession.implicits._
           trainRowsInMemory(
-            feat.select(col("doc_id"), col("b"), col("x"), col("y")).collect()
-              .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2),
-                r.getInt(3))),
+            feat.select(col("doc_id"), col("b"), col("x"), col("y"))
+              .as[(Long, Long, Double, Int)].collect(),
             nBuckets, k, iters, lr, nDocs)
-        else trainDistributed(feat, nBuckets, k, iters, lr, nDocs)
+        } else trainDistributed(feat, nBuckets, k, iters, lr, nDocs)
       Model(nBuckets, gram, classes, weights)
     } finally Lineage.release(feat)
   }
@@ -230,7 +235,7 @@ object LangId {
     * can drive the lane equivalence directly.
     */
   private[operators] def trainRowsInMemory(
-      rows: Array[(Long, Int, Double, Int)],
+      rows: Array[(Long, Long, Double, Int)],
       nBuckets: Int, k: Int, iters: Int, lr: Double,
       nDocs: Long): Array[Array[Double]] = {
     // group rows per doc (insertion order is irrelevant: decimal adds
@@ -257,8 +262,9 @@ object LangId {
           var i = 0
           while (i < docRows.length) {
             val r = docRows(i)
+            val b = r._2.toInt
             acc = acc.add(
-              if (r._3 == 1.0) decW(r._2)(c) else dec18(r._3 * w(r._2)(c)))
+              if (r._3 == 1.0) decW(b)(c) else dec18(r._3 * w(b)(c)))
             i += 1
           }
           m(c) = acc.doubleValue
@@ -285,7 +291,8 @@ object LangId {
         }
         var i = 0
         while (i < docRows.length) {
-          val (_, b, x, _) = docRows(i)
+          val (_, bL, x, _) = docRows(i)
+          val b = bL.toInt
           c = 0
           while (c < k) {
             grad(b)(c) = grad(b)(c).add(

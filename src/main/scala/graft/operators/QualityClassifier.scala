@@ -156,14 +156,18 @@ object QualityClassifier {
     try {
       val nDocs = labels.count()
       require(nDocs > 0, "cannot train on an empty corpus")
+      // gate count first (cheap — feat is checkpointed; collecting to
+      // discover the table is oversized would defeat the gate), then a
+      // TYPED one-pass collect: the encoder builds the tuple array
+      // directly, no transient Array[Row] copy (advice r14).
       val w =
-        if (feat.count() <= maxDriverRows)
+        if (feat.count() <= maxDriverRows) {
+          import feat.sparkSession.implicits._
           trainRowsInMemory(
-            feat.select(col("doc_id"), col("b"), col("x"), col("y")).collect()
-              .map(r => (r.getLong(0), r.getLong(1).toInt, r.getDouble(2),
-                r.getDouble(3))),
+            feat.select(col("doc_id"), col("b"), col("x"), col("y"))
+              .as[(Long, Long, Double, Double)].collect(),
             nBuckets, iters, lr, nDocs)
-        else trainDistributed(feat, nBuckets, iters, lr, nDocs)
+        } else trainDistributed(feat, nBuckets, iters, lr, nDocs)
       Model(nBuckets, w)
     } finally Lineage.release(feat)
   }
@@ -205,7 +209,7 @@ object QualityClassifier {
     * exact decimal sums, same double operation order.
     */
   private[operators] def trainRowsInMemory(
-      rows: Array[(Long, Int, Double, Double)],
+      rows: Array[(Long, Long, Double, Double)],
       nBuckets: Int, iters: Int, lr: Double, nDocs: Long): Array[Double] = {
     val byDoc = rows.groupBy(_._1).values.toArray
     val w = new Array[Double](nBuckets + 1)
@@ -222,7 +226,8 @@ object QualityClassifier {
         var i = 0
         while (i < docRows.length) {
           val r = docRows(i)
-          acc = acc.add(if (r._3 == 1.0) decW(r._2) else dec18(r._3 * w(r._2)))
+          val b = r._2.toInt
+          acc = acc.add(if (r._3 == 1.0) decW(b) else dec18(r._3 * w(b)))
           i += 1
         }
         val m = acc.doubleValue
@@ -236,7 +241,7 @@ object QualityClassifier {
         val errD = dec18(err) // err * 1.0 == err, rounded once per doc
         i = 0
         while (i < docRows.length) {
-          val b = docRows(i)._2
+          val b = docRows(i)._2.toInt
           val x = docRows(i)._3
           grad(b) = grad(b).add(if (x == 1.0) errD else dec18(err * x))
           i += 1

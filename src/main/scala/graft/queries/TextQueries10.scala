@@ -57,17 +57,45 @@ object TextQueries10 {
           ELSE lower(text) END AS text
       FROM documents)"""
 
+  /** The planted corpus projection (cheap — one select over the scan). */
+  private def planted(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), langTrue.as("lang_true"), plantedText.as("text"))
+
+  /** ONE trained model per fixture dir, shared by q217 and q218
+    * (round-14 verdict #2: q218 was retraining the exact model q217
+    * had just trained, and both trained inside the timed region).
+    * Training is the q48/q210 build stage: each query's `prepare` hook
+    * calls this, so Bench times the single training wall in the
+    * `builds` map (q217 pays it, q218's hook is a cache hit) and the
+    * probe `sec` times scoring only. A memo — not a [[graft.core.Prepared]]
+    * slot — because the model must survive BOTH queries: it is plain
+    * driver data (a weight array), not checkpoint-backed frames, so
+    * the consumed-once/stale-blocks rationale behind Prepared does not
+    * apply. Semantically invisible either way: training is
+    * bit-deterministic (LangIdSpec), so Verify's prepare-free path
+    * (train inline on first use, reuse for q218) returns identical
+    * predictions.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LangId.Model]()
+  private[graft] def sharedModel(
+      s: org.apache.spark.sql.SparkSession, d: String): LangId.Model =
+    modelCache.computeIfAbsent(d, _ =>
+      LangId.train(planted(s, d).where(col("doc_id") % 5 === 0), "lang_true"))
+
   /** Train on the 20% labeled slice (doc_id % 5 = 0) — the production
     * shape: labeled LID data is a curated subset, the corpus-sized
     * pass is scoring. Holdout accuracy (over ALL docs, 80% unseen) is
     * what the gates below measure.
     */
   private def trainScore(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val planted = Tables.documents(s, d)
-      .select(col("doc_id"), langTrue.as("lang_true"), plantedText.as("text"))
-    val model = LangId.train(planted.where(col("doc_id") % 5 === 0), "lang_true")
-    (planted, LangId.score(planted, model))
+    val p = planted(s, d)
+    (p, LangId.score(p, sharedModel(s, d)))
   }
+
+  private val prepareLid: Option[(org.apache.spark.sql.SparkSession, String) => Unit] =
+    Some((s, d) => { sharedModel(s, d); () })
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -101,7 +129,8 @@ object TextQueries10 {
           CAST(1 AS BIGINT) AS acc_ok
         FROM planted
       """),
-      doc = "Trained language-ID: multi-class LR on hashed char bigrams, holdout accuracy-floor reduced assertion"),
+      doc = "Trained language-ID: multi-class LR on hashed char bigrams, holdout accuracy-floor reduced assertion",
+      prepare = prepareLid),
 
     // ---- q218: the q85 corpus-prep funnel driven by the TRAINED LID
     //      (round-13 verdict #6 "chained into q85's pipeline"): quality
@@ -182,6 +211,7 @@ object TextQueries10 {
           AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = s.doc_id)
         GROUP BY lang_true
       """),
-      doc = "q85 corpus funnel keyed by the trained LID's predictions over the planted multilingual corpus")
+      doc = "q85 corpus funnel keyed by the trained LID's predictions over the planted multilingual corpus",
+      prepare = prepareLid)
   )
 }
