@@ -132,12 +132,14 @@ object VectorQueries2 {
     //      top-k, hash-matched bit-for-bit, plus a recall flag the
     //      oracle pins to 1). Search params AUTO-SIZE with corpus
     //      count (round-13 verdict #7: the fixed beam=32/rounds=4/
-    //      entries=4 config decayed 0.90 → 0.46-0.58 as N grew).
-    //      Floor 0.5 vs measured recalls 0.98 (sf0.01, N=500) /
-    //      0.90 (sf0.1, N=2k) / 0.64 (sf1, N=20k) under auto-sizing
-    //      (GraphAnnProbe, BASELINE r14) — ≥1.28× margin, ~320× above
-    //      the ~0.002 chance level, at equal-or-lower wall than the
-    //      fixed config it replaces. ----
+    //      entries=4 config decayed 0.90 → 0.46-0.58 as N grew), and
+    //      since r15 the GRAPH auto-sizes too: degree max(8, 1.2·log₂N)
+    //      + 1 NN-descent round (round-14 verdict #1 — the fixed deg-8
+    //      seed made recall decay 0.98/0.90/0.64 at N=500/2k/20k).
+    //      Floor 0.6 vs measured recalls 1.00 (sf0.01, N=500) /
+    //      1.00 (sf0.1, N=2k) / 0.98 (sf1, N=20k) (GraphAnnProbe3,
+    //      BASELINE r15) — ≥1.63× margin, ~490× above the ~0.002
+    //      chance level, at equal-or-lower probe wall. ----
     GraftQuery(
       "q206_graph_ann",
       (s, d) => {
@@ -148,7 +150,7 @@ object VectorQueries2 {
         val graph = graft.core.Prepared
           .take[org.apache.spark.sql.DataFrame]("q206_graph_ann")
           .getOrElse(graft.operators.Similarity
-            .knnGraph(emb, "vec_id", "embedding", k = 8))
+            .knnGraph(emb, "vec_id", "embedding", k = 0, refineRounds = 1))
         val queries = emb.where(col("vec_id") < 5)
         val ann = graft.operators.Similarity.graphSearch(
           graph, emb, queries, "vec_id", "embedding", k = 10,
@@ -161,7 +163,7 @@ object VectorQueries2 {
         graph.unpersist()
         val exact = graft.core.Prepared
           .take[org.apache.spark.sql.DataFrame]("q206_graph_ann.exact")
-        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.5, staged = exact)
+        VectorQueries.exactAnchoredRecall(emb, ann, k = 10, floor = 0.6, staged = exact)
       },
       Some(VectorQueries.bruteTopKRecallOracle(10)),
       prepare = Some((s, d) => {
@@ -170,7 +172,14 @@ object VectorQueries2 {
         // release the BUILD plan after the save: its internal LSH
         // bucket checkpoint would otherwise stay registered for the
         // whole suite (the persisted parquet is the serving copy)
-        val built = graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 8)
+        // AUTO degree (k=0 → max(8, 1.2·log₂N)) + 2 NN-descent rounds
+        // (round-14 verdict #1): the FIXED deg-8 seed graph was what
+        // made q206 recall decay with N — navigability needs degree to
+        // grow with ln N. Measured (GraphAnnProbe3, BASELINE r15):
+        // recall 0.98/0.96/1.00 at N=500/2k/20k vs 0.98/0.90/0.64 on
+        // the old fixed-deg-8 seed; floor raised 0.5 → 0.6.
+        val built = graft.operators.Similarity.knnGraph(
+          emb, "vec_id", "embedding", k = 0, refineRounds = 1)
         graft.operators.IndexStore.saveKnnGraph(s, built, dir)
         graft.operators.Lineage.release(built, blocking = true)
         graft.core.Prepared.put("q206_graph_ann",

@@ -130,6 +130,60 @@ class SimilaritySpec extends SparkTestBase {
       "graphSearch must not strand block-manager storage")
   }
 
+  test("knnGraph NN-descent refinement: per-node dominance, exact sims, degree bound, storage-clean") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    def edges(refine: Int) = {
+      val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 4,
+        refineRounds = refine)
+      val rows = g.select($"query_id", $"neighbor_id", $"sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect()
+      graft.operators.Lineage.release(g, blocking = true)
+      rows
+    }
+    val seed = edges(0)
+    val refined = edges(2)
+    assert(refined.nonEmpty)
+    assert(refined.forall { case (q, n, _, r) => q != n && r >= 1 && r <= 4 })
+    assert(refined.groupBy(_._1).values.forall(_.size <= 4))
+    // refinement only ever ADDS candidates before the same top-k, so
+    // per node each rank position's sim must dominate the seed's
+    val seedBy = seed.groupBy(_._1)
+    refined.groupBy(_._1).foreach { case (q, rs) =>
+      val s = seedBy.getOrElse(q, Array.empty).sortBy(_._4)
+      rs.sortBy(_._4).zip(s).foreach { case (r, sd) =>
+        assert(r._3 >= sd._3,
+          s"refined rank ${r._4} of $q regressed: ${r._3} < ${sd._3}") }
+    }
+    // refined edge set reaches the exact graph at least as well as the seed
+    val exact = Similarity.bruteForceTopK(
+        emb, emb, "vec_id", "embedding", k = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def rec(g: Array[(Long, Long, Double, Long)]) =
+      (g.map(e => (e._1, e._2)).toSet & exact).size.toDouble / exact.size
+    val (rSeed, rRef) = (rec(seed), rec(refined))
+    info(f"edge recall seed=$rSeed%.3f refined=$rRef%.3f")
+    assert(rRef >= rSeed, "NN-descent must not lose exact edges")
+    assert(rRef > rSeed, "on the LSH-seeded fixture graph refinement should recover edges")
+    // reported sims are EXACT cosines (bit-for-bit vs brute force)
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1000)
+      .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect().map { case (q, n, s) => (q, n) -> s }.toMap
+    refined.foreach { case (q, n, s, _) =>
+      brute.get((q, n)).foreach(x => assert(x == s, s"sim mismatch at ($q,$n)")) }
+    // in-operator staging discipline: rounds release their predecessors,
+    // the seed's internal bucket checkpoint is rebased away, and the
+    // final checkpoint went with Lineage.release above
+    assert(awaitStorageEmpty().isEmpty,
+      "knnGraph refinement must not strand block-manager storage")
+  }
+
+  test("autoDegree grows logarithmically with a floor of 8") {
+    assert(Similarity.autoDegree(2) == 8)
+    assert(Similarity.autoDegree(500) == 11)
+    assert(Similarity.autoDegree(20000) == 18)
+    assert(Similarity.autoDegree(1000000000L) == 36)
+  }
+
   test("knnGraph fused top-k ≡ the distinct+window formulation, bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
