@@ -60,27 +60,47 @@ object Components {
       maxIter: Int = 25,
       driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+
+    // Small-graph fast path: exact driver-side union-find, gated by a
+    // LIMIT-probed collect of the RAW pair list — ONE job, no shuffle
+    // (r15: the old gate normalized first — union(reverse) + distinct +
+    // persist + count + collect was three passes and a cache write over
+    // the pair plan, and for the quadratic exact-dedup producers every
+    // pass re-scans O(N²) work or its cache; union-find needs neither
+    // direction-doubling nor dedup, duplicates and self-loops are
+    // absorbed). The limit makes the gate safe: an oversized edge list
+    // collects only driverMaxEdges+1 rows before falling to the
+    // distributed path. `driverMaxEdges` therefore now counts RAW pair
+    // rows, not normalized directed edges — same scale, same budget
+    // rationale (see DriverMaxEdges).
+    if (driverMaxEdges >= 0) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val probeCap = driverMaxEdges + 1
+      require(probeCap <= Int.MaxValue, s"driverMaxEdges too large: $driverMaxEdges")
+      // typed collect: primitive-friendly tuple encoding, no Row boxing
+      val probe = e0.where(col("src").isNotNull && col("dst").isNotNull)
+        .limit(probeCap.toInt).as[(Long, Long)].collect()
+      if (probe.length <= driverMaxEdges) {
+        Lineage.release(pairs) // see @param pairs
+        val labeled = driverUnionFind(probe)
+        return spark.createDataset(labeled).toDF("node", "component")
+      }
+      // over the gate: fall through and pay the normalization the
+      // distributed rounds need (the probe is discarded — its truncated
+      // edge set is not a valid input to anything)
+    }
+
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // Small-graph fast path: exact driver-side union-find. The count is
-    // against the persisted edge set (one cheap job that also warms the
-    // cache the distributed path would need anyway).
-    val nEdges = edges.count()
-    // the persisted edge set is now the only thing any later step reads —
-    // drop the input's checkpoint blocks (see @param pairs)
+    // materialize the persisted edge set (the distributed path reads it
+    // every round), then drop the input's checkpoint blocks (see @param
+    // pairs)
+    edges.count()
     Lineage.release(pairs)
-    if (nEdges <= driverMaxEdges) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      // typed collect: primitive-friendly tuple encoding, no Row boxing
-      val labeled = driverUnionFind(edges.as[(Long, Long)].collect())
-      edges.unpersist(blocking = false)
-      return spark.createDataset(labeled).toDF("node", "component")
-    }
 
     // Iterative dataflow MUST truncate lineage each round: chaining the
     // round-N plan onto round-N-1 doubles the logical tree per

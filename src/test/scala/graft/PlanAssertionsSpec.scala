@@ -55,9 +55,22 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("Union"), "single-pass formulation must not union rescans")
   }
 
-  test("q43: custom dot-product expression present in the executed plan") {
+  test("q43: gated broadcast kernel engaged; crossJoin fallback keeps graft_dot") {
+    // under the element gate the exact all-pairs scoring runs as the
+    // broadcast matrix kernel (r15) — the plan must show the
+    // MapPartitions kernel and NO join node at all
     val p = plan("q43_embedding_neardup")
-    assert(p.contains("graft_dot"), "codegen kernel fell out of the plan")
+    assert(p.contains("MapPartitions"), "broadcast kernel fell out of the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "kernel path must not plan a pair join")
+    // the over-gate fallback is the codegen'd crossJoin — graft_dot
+    // must still be the scoring expression there
+    val fb = graft.operators.Similarity.nearDupPairs(
+        graft.core.Tables.embeddings(spark, sf), "vec_id", "embedding",
+        tau = 0.4, maxKernelElements = 0)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fb.contains("graft_dot"), "codegen kernel fell out of the fallback plan")
   }
 
   test("q60/q72: EXISTS shapes decorrelate to semi joins, not inner+distinct") {
