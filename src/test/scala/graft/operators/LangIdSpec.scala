@@ -51,6 +51,39 @@ class LangIdSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("same-script hard fixture: confusion matrix is diagonal-dominant, accuracy in the honest band") {
+    // the q220 planting at sf0.01 scale (500 docs): two Latin classes
+    // sharing a-m verbatim, n..z rotated by one, truncated to 15 chars —
+    // the fixture is designed to produce GENUINE confusion (measured
+    // holdout 0.9875 here, 0.9214 at sf1), unlike the disjoint-script
+    // planting whose accuracy is structurally 1.0
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.select($"doc_id",
+        concat(lit("S"), pmod($"doc_id", lit(2L)).cast("string")).as("lang_true"),
+        substring(graft.queries.TextQueries10.plantedHardText, 1,
+          graft.queries.TextQueries10.HardTrunc).as("text"))
+      .localCheckpoint(true)
+    val model = LangId.train(corpus.where($"doc_id" % 5 === 0), "lang_true")
+    assert(model.labels == Seq("S0", "S1"))
+    val scored = LangId.score(corpus, model)
+      .join(corpus.select($"doc_id", $"lang_true"), "doc_id")
+    val conf = scored.groupBy($"lang_true", $"predicted").count()
+      .as[(String, String, Long)].collect()
+      .map { case (t, p, n) => (t, p) -> n }.toMap
+    val diag = conf.getOrElse(("S0", "S0"), 0L) + conf.getOrElse(("S1", "S1"), 0L)
+    val off = conf.getOrElse(("S0", "S1"), 0L) + conf.getOrElse(("S1", "S0"), 0L)
+    val total = diag + off
+    assert(total == corpus.count(), "every doc must be classified into the label space")
+    val acc = diag.toDouble / total
+    info(f"hard-fixture accuracy $acc%.4f (off-diagonal $off of $total)")
+    // the q220 oracle floor with margin, and diagonal dominance per class
+    assert(acc >= 0.8, s"accuracy $acc fell through the q220 floor")
+    for (c <- Seq("S0", "S1"))
+      assert(conf.getOrElse((c, c), 0L) >
+        5 * conf.getOrElse((c, if (c == "S0") "S1" else "S0"), 0L),
+        s"class $c lost diagonal dominance")
+  }
+
   test("deterministic training: bit-identical weights across partitionings") {
     val corpus = planted(60).localCheckpoint(true)
     val w1 = LangId.train(corpus, "lang_true", iters = 4).weights
