@@ -14,6 +14,7 @@ object Registry {
       queries.TextQueries5.queries ++ queries.TextQueries6.queries ++
       queries.TextQueries7.queries ++ queries.TextQueries8.queries ++
       queries.TextQueries9.queries ++ queries.TextQueries10.queries ++
+      queries.TextQueries11.queries ++
       queries.GraphQueries.queries ++
       queries.VectorQueries.queries ++ queries.VectorQueries2.queries ++
       queries.EventQueries.queries ++
