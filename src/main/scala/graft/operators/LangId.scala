@@ -318,9 +318,65 @@ object LangId {
 
   /** Score documents: per-class margins, softmax probabilities, the
     * predicted label (argmax, first-max tie-break) and its
-    * probability. One featurize pass + one per-doc aggregate.
+    * probability.
+    *
+    * SHUFFLE-FREE (r15): the old formulation ran the corpus through
+    * [[features]] — an explode + corpus-sized `distinct()` + per-doc
+    * groupBy, i.e. TWO shuffles of ~600 (doc, bucket) rows per doc
+    * (at sf10 that is a 300M-row distinct; q217's probe was ~50-60 s
+    * of pure exchange). But scoring is per-row arithmetic: the
+    * distinct bucket set is `array_distinct` over the hashed grams
+    * IN-ROW, and the margin is an in-row DECIMAL fold over it —
+    * decimal addition is exact and order-free, so the fold equals the
+    * old groupBy sum BIT-FOR-BIT (same dec18-rounded W[b][c] terms,
+    * LangIdSpec pins the formulation equivalence). The whole pass is
+    * now one map over the corpus — embarrassingly parallel, nothing
+    * to shuffle at any scale. Training keeps the feature-table path
+    * (its iterations reuse the materialized layout).
     */
   def score(
+      docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = model.labels.size
+    val wLit = typedlit(model.weights.map(_.toSeq).toSeq)
+    val buckets = concat(
+      array_distinct(transform(
+        charGrams(coalesce(col(textCol), lit("")), model.gram),
+        g => pmod(graft.functions.TextFunctions.hash60(g),
+          lit(model.nBuckets.toLong)))),
+      array(lit(model.nBuckets.toLong))) // the intercept row's bucket
+    // Decimal plumbing for an EXACT fold: a (38,18)+(38,18) add would
+    // promote past 38 and Spark would shave the scale to 17 — a real
+    // rounding. Instead the accumulator runs at (30,18) and each term
+    // at (20,18): their add is (31,18) — no precision cap, scale
+    // intact — and the cast back to (30,18) only shrinks headroom
+    // (lossless for |margin| < 10^12; margins are bounded by
+    // nBuckets·max|W| ≈ 10^5). Every TERM is still dec18(W[b][c]),
+    // identical to the groupBy sum's rounded rows.
+    val accDec = DecimalType(30, 18)
+    val termDec = DecimalType(20, 18)
+    def marginCol(c: Int): Column =
+      aggregate(buckets, lit(java.math.BigDecimal.ZERO).cast(accDec),
+        (acc, b) => (acc + element_at(
+          element_at(wLit, (b + 1).cast("int")), c + 1).cast(Dec).cast(termDec))
+          .cast(accDec))
+        .cast("double").as(s"m$c")
+    val m = docs.select(
+      col(idCol).cast("long").as("doc_id") +: (0 until k).map(marginCol): _*)
+    val marr = array((0 until k).map(c => col(s"m$c")): _*)
+    val best = array_position(marr, array_max(marr)).cast("int")
+    m.select(col("doc_id") +: softmaxCols(k) :+ best.as("_i"): _*)
+      .select(col("doc_id"),
+        element_at(typedlit(model.labels), col("_i")).as("predicted"),
+        element_at(array((0 until k).map(c => col(s"p$c")): _*), col("_i"))
+          .as("p_predicted"))
+  }
+
+  /** The pre-r15 join/aggregate scoring formulation — kept
+    * `private[operators]` solely so LangIdSpec can pin the in-row
+    * fold's bit-equivalence against it.
+    */
+  private[operators] def scoreViaFeatures(
       docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = model.labels.size

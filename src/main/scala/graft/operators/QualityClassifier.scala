@@ -257,9 +257,43 @@ object QualityClassifier {
   }
 
   /** Score documents with a trained model: decimal-exact margin,
-    * probability, and the accept verdict (margin > 0). One pass.
+    * probability, and the accept verdict (margin > 0).
+    *
+    * SHUFFLE-FREE (r15, the [[LangId.score]] move): the presence
+    * margin is an in-row decimal fold over `array_distinct` of the
+    * hashed tokens plus the intercept bucket — decimal adds are exact
+    * and order-free, so the fold equals the old explode + groupBy +
+    * sum formulation BIT-FOR-BIT (QualityClassifierSpec pins it) while
+    * the corpus-sized pass becomes one map with nothing to shuffle.
+    * Same (30,18)/(20,18) plumbing as LangId: a (38,18)+(38,18) add
+    * would shave scale to 17; these widths add losslessly at (31,18).
     */
   def score(
+      docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wLit = typedlit(model.weights.toSeq)
+    val buckets = concat(
+      array_distinct(transform(
+        graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        t => bucketOf(t, model.nBuckets))),
+      array(lit(model.nBuckets.toLong)))
+    val accDec = DecimalType(30, 18)
+    val termDec = DecimalType(20, 18)
+    val margin =
+      aggregate(buckets, lit(java.math.BigDecimal.ZERO).cast(accDec),
+        (acc, b) => (acc + element_at(wLit, (b + 1).cast("int"))
+          .cast(Dec).cast(termDec)).cast(accDec))
+        .cast("double")
+    docs.select(col(idCol).cast("long").as("doc_id"), margin.as("margin"))
+      .select(col("doc_id"), col("margin"),
+        (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p_good"),
+        (col("margin") > 0).cast("long").as("accepted"))
+  }
+
+  /** The pre-r15 join/aggregate scoring formulation — kept
+    * `private[operators]` solely for the spec's bit-equivalence pin.
+    */
+  private[operators] def scoreViaFeatures(
       docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     margins(features(docs, model.nBuckets, idCol, textCol), model.weights)

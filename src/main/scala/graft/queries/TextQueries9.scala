@@ -106,6 +106,38 @@ object TextQueries9 {
     }
   }
 
+  /** q215's planted labeled corpus (cheap projection, rebuilt per call). */
+  private def q215Planted(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val m = pmod(col("doc_id"), lit(4L)).cast("string")
+    val label = pmod(col("doc_id"), lit(2L))
+    Tables.documents(s, d).select(
+      col("doc_id"), label.as("label"),
+      concat(coalesce(col("text"), lit("")),
+        when(label === 1,
+          concat(lit(" qga"), m, lit(" qgb"), m, lit(" qgc"), m))
+          .otherwise(concat(lit(" qba"), m, lit(" qbb"), m, lit(" qbc"), m)))
+        .as("text"))
+  }
+
+  /** ONE trained model per fixture dir (the q217/q219 shared-model
+    * discipline, r15): q215's training is the build stage — its
+    * `prepare` hook routes the wall into Bench's `builds` map, the
+    * probe times scoring only. At sf10 the training slice crosses the
+    * driver-GD gate and the distributed lane costs ~60 s; leaving that
+    * inside the timed region made q215 the least comparable row of the
+    * sf10 gate (the r14 verdict's q217/q218 argument at one scale up).
+    * Bit-deterministic training makes the memo semantically invisible.
+    * 12 rounds: measured 1.00 accuracy from round 8 up at sf0.01/sf0.1
+    * (presence features separate the planted markers fast) — 1.5x the
+    * needed depth at ~60% of the default 20-round cost.
+    */
+  private val q215Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.QualityClassifier.Model]()
+  private def q215SharedModel(
+      s: org.apache.spark.sql.SparkSession, d: String): graft.operators.QualityClassifier.Model =
+    q215Cache.computeIfAbsent(d, _ =>
+      graft.operators.QualityClassifier.train(q215Planted(s, d), "label", iters = 12))
+
   def queries: Seq[GraftQuery] = Seq(
 
     // ---- q214: HTML main-content extraction — strip script/style/
@@ -159,20 +191,8 @@ object TextQueries9 {
       "q215_trained_quality_classifier",
       (s, d) => {
         import graft.operators.QualityClassifier
-        val m = pmod(col("doc_id"), lit(4L)).cast("string")
-        val label = pmod(col("doc_id"), lit(2L))
-        val planted = Tables.documents(s, d).select(
-          col("doc_id"), label.as("label"),
-          concat(coalesce(col("text"), lit("")),
-            when(label === 1,
-              concat(lit(" qga"), m, lit(" qgb"), m, lit(" qgc"), m))
-              .otherwise(concat(lit(" qba"), m, lit(" qbb"), m, lit(" qbc"), m)))
-            .as("text"))
-        // 12 rounds: measured 1.00 accuracy from round 8 up at both
-        // sf0.01 and sf0.1 (presence features separate the planted
-        // markers fast) — 1.5x the needed depth at ~60% of the default
-        // 20-round bench cost
-        val model = QualityClassifier.train(planted, "label", iters = 12)
+        val planted = q215Planted(s, d)
+        val model = q215SharedModel(s, d)
         val scored = QualityClassifier.score(planted, model)
           .join(planted.select(col("doc_id"), col("label"),
             graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
@@ -190,7 +210,8 @@ object TextQueries9 {
           CAST(1 AS BIGINT) AS acc_ok
         FROM documents
       """),
-      doc = "Trained quality classifier: deterministic LR on hashed presence features, accuracy-floor reduced assertion"),
+      doc = "Trained quality classifier: deterministic LR on hashed presence features, accuracy-floor reduced assertion",
+      prepare = Some((s, d) => { q215SharedModel(s, d); () })),
 
     // ---- q216: boilerplate-LINE removal over the EXTRACTED corpus —
     //      the CCNet-family scrub chained onto q214's extraction (the

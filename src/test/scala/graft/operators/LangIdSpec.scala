@@ -84,6 +84,25 @@ class LangIdSpec extends SparkTestBase {
         s"class $c lost diagonal dominance")
   }
 
+  test("in-row shuffle-free scoring ≡ the join/aggregate formulation, bit-for-bit") {
+    val corpus = planted(120).localCheckpoint(true)
+    val model = LangId.train(corpus.where($"doc_id" % 5 === 0), "lang_true")
+    val inRow = LangId.score(corpus, model)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val joined = LangId.scoreViaFeatures(corpus, model)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(inRow == joined,
+      "the in-row decimal fold must reproduce the groupBy sum exactly " +
+        "(decimal adds are order-free)")
+    // empty/null text must still score (intercept-only margin)
+    val edge = Seq((900L, ""), (901L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e1 = LangId.score(edge, model).as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val e2 = LangId.scoreViaFeatures(edge, model)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(e1.size == 2 && e1 == e2)
+  }
+
   test("deterministic training: bit-identical weights across partitionings") {
     val corpus = planted(60).localCheckpoint(true)
     val w1 = LangId.train(corpus, "lang_true", iters = 4).weights
