@@ -318,23 +318,63 @@ object LangId {
 
   /** Score documents: per-class margins, softmax probabilities, the
     * predicted label (argmax, first-max tie-break) and its
-    * probability.
+    * probability. `keep` names extra input columns to carry through —
+    * scoring is a pure per-row map, so consumers that need both the
+    * prediction and source columns (label, length, text) must NOT pay
+    * a join back on doc_id (two exchanges of two derivations of the
+    * same scan — guide §2.4); they list the columns here instead.
     *
-    * SHUFFLE-FREE (r15): the old formulation ran the corpus through
-    * [[features]] — an explode + corpus-sized `distinct()` + per-doc
-    * groupBy, i.e. TWO shuffles of ~600 (doc, bucket) rows per doc
-    * (at sf10 that is a 300M-row distinct; q217's probe was ~50-60 s
-    * of pure exchange). But scoring is per-row arithmetic: the
-    * distinct bucket set is `array_distinct` over the hashed grams
-    * IN-ROW, and the margin is an in-row DECIMAL fold over it —
-    * decimal addition is exact and order-free, so the fold equals the
-    * old groupBy sum BIT-FOR-BIT (same dec18-rounded W[b][c] terms,
-    * LangIdSpec pins the formulation equivalence). The whole pass is
-    * now one map over the corpus — embarrassingly parallel, nothing
-    * to shuffle at any scale. Training keeps the feature-table path
-    * (its iterations reuse the materialized layout).
+    * SHUFFLE-FREE (r15): scoring is per-row arithmetic — one map over
+    * the corpus, embarrassingly parallel, nothing to shuffle at any
+    * scale (the pre-r15 [[features]]-path cost TWO corpus-sized
+    * shuffles; see [[scoreViaFeatures]]). FUSED (r15 optimization
+    * pass): the K margins come from the [[graft.expressions.LangIdMargins]]
+    * codegen kernel — one pass per row — replacing K interpreted
+    * `aggregate()` decimal folds that re-evaluated the gram/hash
+    * subtree per class (measured 3.0 s → ~0.4 s per corpus pass at
+    * sf0.1, LidScoreProfile). The kernel replays the fold's decimal
+    * arithmetic exactly (order-free exact adds of the same
+    * dec18-rounded terms), so margins are BIT-IDENTICAL —
+    * [[scoreViaMarginFold]] keeps the fold formulation and LangIdSpec
+    * pins kernel ≡ fold ≡ features-path on adversarial fixtures.
     */
   def score(
+      docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text",
+      keep: Seq[String] = Nil): DataFrame = {
+    val k = model.labels.size
+    val mArr = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.LangIdMargins(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(col(textCol), lit(""))),
+        model.gram, model.nBuckets, model.weights))
+    val m = docs.select(
+      col(idCol).cast("long").as("doc_id") +:
+        (keep.map(col) :+ mArr.as("_m")): _*)
+      .select(col("doc_id") +: keep.map(col) ++:
+        (0 until k).map(c => element_at(col("_m"), c + 1).as(s"m$c")): _*)
+    finishScore(m, model, k, keep)
+  }
+
+  /** Shared argmax/softmax tail over margin columns m0..m{K-1}. */
+  private def finishScore(
+      m: DataFrame, model: Model, k: Int, keep: Seq[String]): DataFrame = {
+    val marr = array((0 until k).map(c => col(s"m$c")): _*)
+    val best = array_position(marr, array_max(marr)).cast("int")
+    m.select(col("doc_id") +: keep.map(col) ++: softmaxCols(k) :+ best.as("_i"): _*)
+      .select(col("doc_id") +: keep.map(col) ++: Seq(
+        element_at(typedlit(model.labels), col("_i")).as("predicted"),
+        element_at(array((0 until k).map(c => col(s"p$c")): _*), col("_i"))
+          .as("p_predicted")): _*)
+  }
+
+  /** The r15 in-row DECIMAL-FOLD scoring formulation — kept
+    * `private[operators]` solely so LangIdSpec can pin the fused
+    * [[graft.expressions.LangIdMargins]] kernel's bit-equivalence
+    * against it (as [[scoreViaFeatures]] pins the fold against the
+    * original groupBy path).
+    */
+  private[operators] def scoreViaMarginFold(
       docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = model.labels.size
@@ -363,13 +403,7 @@ object LangId {
         .cast("double").as(s"m$c")
     val m = docs.select(
       col(idCol).cast("long").as("doc_id") +: (0 until k).map(marginCol): _*)
-    val marr = array((0 until k).map(c => col(s"m$c")): _*)
-    val best = array_position(marr, array_max(marr)).cast("int")
-    m.select(col("doc_id") +: softmaxCols(k) :+ best.as("_i"): _*)
-      .select(col("doc_id"),
-        element_at(typedlit(model.labels), col("_i")).as("predicted"),
-        element_at(array((0 until k).map(c => col(s"p$c")): _*), col("_i"))
-          .as("p_predicted"))
+    finishScore(m, model, k, Nil)
   }
 
   /** The pre-r15 join/aggregate scoring formulation — kept
@@ -383,12 +417,6 @@ object LangId {
     val m = margins(
       features(docs, model.nBuckets, model.gram, idCol, textCol),
       model.weights, k)
-    val marr = array((0 until k).map(c => col(s"m$c")): _*)
-    val best = array_position(marr, array_max(marr)).cast("int")
-    m.select(col("doc_id") +: softmaxCols(k) :+ best.as("_i"): _*)
-      .select(col("doc_id"),
-        element_at(typedlit(model.labels), col("_i")).as("predicted"),
-        element_at(array((0 until k).map(c => col(s"p$c")): _*), col("_i"))
-          .as("p_predicted"))
+    finishScore(m, model, k, Nil)
   }
 }

@@ -88,11 +88,22 @@ object TextQueries10 {
     * shape: labeled LID data is a curated subset, the corpus-sized
     * pass is scoring. Holdout accuracy (over ALL docs, 80% unseen) is
     * what the gates below measure.
+    *
+    * Scoring is a pure per-row map, so the label/length/text columns a
+    * query needs alongside `predicted` ride THROUGH `score` (its
+    * `keep` parameter) instead of joining back on doc_id — the join
+    * formulation shuffled two derivations of the same scan (guide
+    * §2.4; at sf0.1 the join + double scoring pass was most of
+    * q217/q218's wall). fanOut first: the sub-MB fixture parquet is
+    * ONE scan partition, and the scoring kernel + funnel metrics are
+    * the CPU-bound per-row stages fanOut exists for.
     */
-  private def trainScore(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val p = planted(s, d)
-    (p, LangId.score(p, sharedModel(s, d)))
-  }
+  private def scoredKeeping(
+      s: org.apache.spark.sql.SparkSession, d: String, keep: Seq[String]) =
+    LangId.score(
+      graft.core.Partitioning.fanOut(planted(s, d))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      sharedModel(s, d), keep = keep)
 
   private val prepareLid: Option[(org.apache.spark.sql.SparkSession, String) => Unit] =
     Some((s, d) => { sharedModel(s, d); () })
@@ -160,14 +171,13 @@ object TextQueries10 {
     GraftQuery(
       "q217_trained_language_id",
       (s, d) => {
-        val (planted, scored) = trainScore(s, d)
-        val joined = scored
-          .join(planted.select(col("doc_id"), col("lang_true"),
-            length(col("text")).cast("long").as("n_chars")), "doc_id")
-        val flag = joined
+        val scored = scoredKeeping(s, d, Seq("lang_true", "n_chars"))
+        val flag = scored
           .agg(avg((col("predicted") === col("lang_true")).cast("double")).as("_acc"))
           .select((col("_acc") >= 0.95).cast("long").as("acc_ok"))
-        joined.select(col("doc_id"), col("lang_true"), col("n_chars"))
+        // the output rows never read `predicted`, so column pruning
+        // drops the margin kernel from this branch — a pure projection
+        scored.select(col("doc_id"), col("lang_true"), col("n_chars"))
           .crossJoin(broadcast(flag))
       },
       Some(s"""
@@ -192,13 +202,14 @@ object TextQueries10 {
       "q218_lid_corpus_funnel",
       (s, d) => {
         import graft.functions.TextFunctions.{tokenCount, textShingles, fingerprint}
-        val (planted, scored) = trainScore(s, d)
-        val docs = planted.join(scored.select(col("doc_id"), col("predicted")), "doc_id")
+        // predicted + lang_true + text ride one scoring map (no join
+        // back on doc_id — scoring is per-row; guide §2.4)
+        val docs = scoredKeeping(s, d, Seq("lang_true", "text"))
         val flag = docs
           .agg(avg((col("predicted") === col("lang_true")).cast("double")).as("_acc"))
           .select((col("_acc") >= 0.95).cast("long").as("acc_ok"))
         // q85's stages verbatim, over the planted text, lang := predicted
-        val metrics = graft.core.Partitioning.fanOut(docs)
+        val metrics = docs
           .select(col("doc_id"), col("predicted"), col("text"),
             tokenCount(col("text")).as("nt"),
             size(textShingles(col("text"), 3)).cast("long").as("nd"))
@@ -275,15 +286,14 @@ object TextQueries10 {
     GraftQuery(
       "q220_lid_same_script",
       (s, d) => {
-        val p = plantedHard(s, d)
-        val scored = LangId.score(p, sharedHardModel(s, d))
-        val joined = scored
-          .join(p.select(col("doc_id"), col("lang_true"),
-            length(col("text")).cast("long").as("n_chars")), "doc_id")
-        val flag = joined
+        val scored = LangId.score(
+          graft.core.Partitioning.fanOut(plantedHard(s, d))
+            .withColumn("n_chars", length(col("text")).cast("long")),
+          sharedHardModel(s, d), keep = Seq("lang_true", "n_chars"))
+        val flag = scored
           .agg(avg((col("predicted") === col("lang_true")).cast("double")).as("_acc"))
           .select((col("_acc") >= 0.8).cast("long").as("acc_ok"))
-        joined.select(col("doc_id"), col("lang_true"), col("n_chars"))
+        scored.select(col("doc_id"), col("lang_true"), col("n_chars"))
           .crossJoin(broadcast(flag))
       },
       Some(s"""

@@ -84,15 +84,20 @@ class LangIdSpec extends SparkTestBase {
         s"class $c lost diagonal dominance")
   }
 
-  test("in-row shuffle-free scoring ≡ the join/aggregate formulation, bit-for-bit") {
+  test("fused margin kernel ≡ decimal fold ≡ join/aggregate formulation, bit-for-bit") {
     val corpus = planted(120).localCheckpoint(true)
     val model = LangId.train(corpus.where($"doc_id" % 5 === 0), "lang_true")
-    val inRow = LangId.score(corpus, model)
+    val kernel = LangId.score(corpus, model)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val fold = LangId.scoreViaMarginFold(corpus, model)
       .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     val joined = LangId.scoreViaFeatures(corpus, model)
       .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
-    assert(inRow == joined,
-      "the in-row decimal fold must reproduce the groupBy sum exactly " +
+    assert(kernel == fold,
+      "the fused codegen kernel must reproduce the in-row decimal fold exactly " +
+        "(same dec18 terms, exact order-free adds)")
+    assert(kernel == joined,
+      "the in-row margins must reproduce the groupBy sum exactly " +
         "(decimal adds are order-free)")
     // empty/null text must still score (intercept-only margin)
     val edge = Seq((900L, ""), (901L, null.asInstanceOf[String]))
@@ -100,7 +105,36 @@ class LangIdSpec extends SparkTestBase {
     val e1 = LangId.score(edge, model).as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     val e2 = LangId.scoreViaFeatures(edge, model)
       .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
-    assert(e1.size == 2 && e1 == e2)
+    val e3 = LangId.scoreViaMarginFold(edge, model)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(e1.size == 2 && e1 == e2 && e1 == e3)
+  }
+
+  test("fused kernel matches the fold on adversarial multibyte/astral text") {
+    val corpus = planted(60).localCheckpoint(true)
+    val model = LangId.train(corpus, "lang_true", iters = 2)
+    // astral pairs, combining marks, final sigma after astral letter,
+    // mixed scripts — the CharGramsSpec adversarial family, scored
+    val edge = Seq(
+      (1L, "𝕐Σ𝕏σ mixed 𝄞𝄞𝄞"), (2L, "ΑΒΓΣ ΤΕΛΟΣ"), (3L, "añá ñ composed"),
+      (4L, "あいうえおか"), (5L, "a"), (6L, "ΣΣΣ")).toDF("doc_id", "text")
+    val k = LangId.score(edge, model).as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val f = LangId.scoreViaMarginFold(edge, model)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(k == f, "kernel and fold diverged on adversarial text")
+  }
+
+  test("score keep-columns pass-through ≡ the join it replaces") {
+    val corpus = planted(60).localCheckpoint(true)
+    val model = LangId.train(corpus, "lang_true", iters = 2)
+    val kept = LangId.score(corpus, model, keep = Seq("lang_true"))
+      .select($"doc_id", $"lang_true", $"predicted", $"p_predicted")
+      .as[(Long, String, String, Double)].collect().sortBy(_._1).toSeq
+    val joined = LangId.score(corpus, model)
+      .join(corpus.select($"doc_id", $"lang_true"), "doc_id")
+      .select($"doc_id", $"lang_true", $"predicted", $"p_predicted")
+      .as[(Long, String, String, Double)].collect().sortBy(_._1).toSeq
+    assert(kept == joined, "keep pass-through must equal the doc_id join-back")
   }
 
   test("deterministic training: bit-identical weights across partitionings") {
