@@ -59,8 +59,15 @@ object LabelProp {
       col("t"))
     var ckpt: DataFrame = null // the live checkpointed label frame, if any
     try {
-      var labels: DataFrame = adj.select(col("s").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
+      // init from the SELF-LOOP rows: the adjacency build gives every
+      // node exactly one (x, x) row, so the node universe is a narrow
+      // FILTER over the already-checkpointed adjacency — the
+      // select-distinct it replaces paid a full |V|-row shuffle for
+      // the same set. Bonus: the filtered frame keeps the hash(t)
+      // layout with node ≡ t, so round 1's label join plans its label
+      // side exchange-free too.
+      var labels: DataFrame = adj.where(col("s") === col("t"))
+        .select(col("s").as("node"), col("s").as("label"))
       for (r <- 1 to rounds) {
         val next = adj
           .join(labels.select(col("node").as("t"), col("label").as("tl")), Seq("t"))

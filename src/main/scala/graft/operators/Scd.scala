@@ -95,6 +95,15 @@ object Scd {
     // merge a single action. Only batches that would actually write
     // ambiguously are refused: exact-duplicate replays and out-of-order
     // no-ops are harmless.
+    // LAZY localCheckpoint (no eager job — the merge stays ONE action):
+    // `eff` feeds three union branches below (opened, and toClose's two
+    // consumers), and without staging the whole update-side
+    // join + double-window + assert pipeline re-executed once per
+    // branch (q115 plan audit: 32 Window operators / 16 scans; one
+    // evaluation after staging). The frame is batch-sized by the
+    // operator's premise (nightly updates vs big history), so the
+    // persist footprint is the small side. First action materializes
+    // it; callers release blocks through the result (Lineage.release).
     val eff = joined.where(col("_keep"))
       .where(assert_true(col("_nties") === 1,
         concat(lit("conflicting updates at one timestamp for key "),
@@ -106,6 +115,7 @@ object Scd {
           col("_cur_from").cast("string"), lit(" for key "),
           col(key).cast("string"),
           lit(" — would write an inverted validity interval"))).isNull)
+      .localCheckpoint(false)
 
     // versions to open: each effective change, closed by the NEXT
     // effective change's ts (null for the last — the open row)

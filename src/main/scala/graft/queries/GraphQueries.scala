@@ -31,7 +31,10 @@ object GraphQueries {
     GraftQuery(
       "q177_label_propagation",
       (s, d) => {
-        val pairs = Relational5.coOrderPairs(s, d, maxParts = 3).distinct()
+        // no .distinct() on the pairs (the q104 rule): cross-order
+        // duplicates dedup inside LabelProp's adjacency build — one
+        // shuffle, not two
+        val pairs = Relational5.coOrderPairs(s, d, maxParts = 3)
         val labels = graft.operators.LabelProp.propagate(pairs, rounds = 3)
         labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
       },
@@ -156,7 +159,12 @@ object GraphQueries {
       "q181_degree_distribution",
       (s, d) => {
         val e = Relational5.coOrderPairs(s, d).distinct()
-        val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        // explode(array(u,v)), not unionAll of two selects: a unionAll
+        // embeds the pair-expansion lineage TWICE, so the whole
+        // scan→collect_set→expand→distinct pipeline executed once per
+        // branch (plan audit: 4 lineitem scans). The explode emits the
+        // identical two-rows-per-pair multiset from ONE evaluation.
+        val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("degree"))
         deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       },

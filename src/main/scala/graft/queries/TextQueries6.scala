@@ -130,8 +130,16 @@ object TextQueries6 {
           .select(explode(combos).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("n_inter"))
-        val ordered = inter.select(col("a").as("id_a"), col("b").as("id_b"), col("n_inter"))
-          .unionAll(inter.select(col("b").as("id_a"), col("a").as("id_b"), col("n_inter")))
+        // explode both orientations from ONE evaluation of `inter`: the
+        // unionAll-of-two-selects it replaces embedded the whole
+        // shingle-explode → collect_list → combo-expand → pair-agg
+        // lineage twice (q181's double-pipeline pattern)
+        val ordered = inter
+          .select(explode(array(
+              struct(col("a").as("id_a"), col("b").as("id_b")),
+              struct(col("b").as("id_a"), col("a").as("id_b")))).as("p"),
+            col("n_inter"))
+          .select(col("p.id_a"), col("p.id_b"), col("n_inter"))
         ordered
           .join(elig.withColumnRenamed("doc_id", "id_a")
             .withColumnRenamed("n_elig", "n_a"), Seq("id_a"))

@@ -301,8 +301,14 @@ object VectorQueries2 {
       "q152_semdedup_crosscell",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // checkpointed: the assignment frame feeds FOUR joins below
+        // (both `shared` sides, both `prim` sides) — unmaterialized,
+        // the normalize + seed-scoring + probe-rank window pipeline
+        // re-ran once per consumer (plan audit: 24 embedding scans /
+        // 36 Windows in the explain; one pass after staging)
         val cells = graft.operators.SemDedup.seedCells(
-          emb, "vec_id", "embedding", nCells = 8, probes = 2)
+            emb, "vec_id", "embedding", nCells = 8, probes = 2)
+          .localCheckpoint(true)
         // checkpointed: the exact pair set feeds the report AND the
         // capture flag's numerator/denominator — without it the
         // all-pairs baseline kernel re-runs once per consumer. The
