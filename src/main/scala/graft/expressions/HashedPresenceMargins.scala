@@ -5,89 +5,87 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused [[graft.operators.LangId]]/-style scoring kernel: text → the K
-  * per-class margins of a hashed-char-n-gram presence linear model, in
-  * ONE codegen pass per row.
+/** Fused hashed-presence linear-model scorer: an array of feature
+  * strings (char n-grams for [[graft.operators.LangId]], word tokens
+  * for [[graft.operators.QualityClassifier]]) → the K per-class
+  * margins, in ONE codegen pass per row.
   *
-  * Semantics are EXACTLY the in-row decimal fold it replaces
-  * (LangId.score r15 formulation, kept as `scoreViaMarginFold` for the
+  * Semantics are EXACTLY the in-row decimal fold it replaces (the r15
+  * shuffle-free scoring formulation, kept in each operator for the
   * spec pin):
   *
-  *   buckets = concat(array_distinct(transform(
-  *       graft_char_grams(text, n), g -> pmod(hash60(g), nBuckets))),
-  *     array(nBuckets))                     -- the intercept row
+  *   buckets = concat(array_distinct(transform(feats,
+  *       f -> pmod(hash60(f), nBuckets))), array(nBuckets))
   *   m_c = cast(aggregate(buckets, 0.0 as decimal,
   *       (acc, b) -> acc + cast(W[b][c] as decimal(38,18))) as double)
   *
-  * bit-for-bit, because every piece is replicated rather than
-  * approximated:
-  *  - grams come from [[CharGrams.compute]] itself (the pinned ICU
-  *    lowercase + distinct code-point grams kernel);
-  *  - hash60 ≡ `conv(substring(md5(g),1,15),16,10)`: the first 60 bits
+  * bit-for-bit:
+  *  - hash60 ≡ `conv(substring(md5(f),1,15),16,10)`: the first 60 bits
   *    of the md5 digest as a non-negative long (15 hex digits);
+  *  - bucket DEDUP (the presence part) happens on the bucket value,
+  *    exactly as the fold's `array_distinct` over hashed values;
   *  - each weight term is rounded double→decimal(38,18) exactly as
   *    Spark's cast (`BigDecimal.valueOf` — the canonical-string
   *    conversion — then HALF_UP to scale 18), the per-class sum is an
-  *    exact decimal add (order-free, so bucket iteration order is
-  *    irrelevant), and the final double is `BigDecimal.doubleValue`,
-  *    which is what Spark's decimal→double cast runs.
+  *    exact decimal add (order-free, so iteration order is
+  *    irrelevant; the fold's (30,18)/(20,18) plumbing is numerically
+  *    identical for |margin| < 10^12), and the final double is
+  *    `BigDecimal.doubleValue` — Spark's decimal→double cast.
   *
   * Why it exists (guide §1.2 "per-task work" / §4 "prefer codegen"):
-  * the fold formulation is K separate `aggregate()` higher-order
-  * lambdas — interpreted, each re-evaluating the gram/hash/distinct
-  * subtree and allocating per element — measured ~3.0 s per corpus
-  * pass at sf0.1 (LidScoreProfile) and the dominant cost of
-  * q217/q218/q220. This kernel hashes each distinct gram once,
-  * dedupes buckets in a boolean array, and folds all K margins in one
-  * tight loop — no Catalyst lambda machinery, no intermediate arrays.
+  * the fold formulation is K interpreted `aggregate()` higher-order
+  * lambdas, each re-evaluating the hash/distinct subtree and paying
+  * lambda-variable plumbing per element — measured ~3.0 s per corpus
+  * pass at sf0.1 for LangId's K=4 (LidScoreProfile), ~0.4 s fused.
   *
-  * Null semantics: null text → null margins (callers wrap the input in
-  * `coalesce(text, '')`, matching the fold formulation).
+  * Null semantics: null array → null margins; a null ELEMENT → null
+  * margins (the fold's null bucket poisons its decimal sum the same
+  * way). Callers wrap text in `coalesce(text, '')`, so neither occurs
+  * on the query paths.
   */
-case class LangIdMargins(
-    child: Expression, n: Int, nBuckets: Int, weights: Array[Array[Double]])
+case class HashedPresenceMargins(
+    child: Expression, nBuckets: Int, weights: Array[Array[Double]])
     extends UnaryExpression {
 
-  require(n >= 1, s"gram width must be >= 1, got $n")
   require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
   require(weights.length == nBuckets + 1,
     s"weight matrix must have nBuckets+1=${nBuckets + 1} rows, got ${weights.length}")
   private val k = weights.head.length
-  require(weights.forall(_.length == k), "ragged weight matrix")
+  require(k >= 1 && weights.forall(_.length == k), "ragged weight matrix")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires string input, got $t")
+        s"$prettyName requires array<string> input, got $t")
     }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "graft_langid_margins"
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hashed_presence_margins"
 
   /** dec18-rounded weight rows, built once per (deserialized) instance —
     * the same double→decimal(38,18) rounding as Spark's cast.
     */
   @transient private lazy val decW: Array[Array[java.math.BigDecimal]] =
-    weights.map(_.map(LangIdMargins.dec18))
+    weights.map(_.map(HashedPresenceMargins.dec18))
 
-  def compute(input: UTF8String): GenericArrayData = {
-    val grams = CharGrams.compute(input, n)
+  def compute(feats: ArrayData): Any = {
+    val n = feats.numElements()
     val seen = new Array[Boolean](nBuckets)
     val acc = new Array[java.math.BigDecimal](k)
     // the intercept bucket (b = nBuckets) is always present
     var c = 0
     while (c < k) { acc(c) = decW(nBuckets)(c); c += 1 }
-    val md = LangIdMargins.md5.get()
+    val md = HashedPresenceMargins.md5.get()
     var i = 0
-    while (i < grams.numElements()) {
-      val g = grams.getUTF8String(i)
+    while (i < n) {
+      if (feats.isNullAt(i)) return null // fold parity: null poisons the sum
       md.reset()
-      val d = md.digest(g.getBytes)
+      val d = md.digest(feats.getUTF8String(i).getBytes)
       // first 60 bits of the digest = conv(substring(md5_hex,1,15),16,10)
       var v = 0L
       var j = 0
@@ -109,19 +107,23 @@ case class LangIdMargins(
   }
 
   override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[UTF8String])
+    compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("langIdMargins", this,
-      classOf[LangIdMargins].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    val ref = ctx.addReferenceObj("presenceMargins", this,
+      classOf[HashedPresenceMargins].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+       |  $ref.compute($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): LangIdMargins =
-    copy(child = newChild)
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedPresenceMargins = copy(child = newChild)
 }
 
-object LangIdMargins {
+object HashedPresenceMargins {
 
   /** Spark's double→decimal(38,18) cast, exactly (see LangId.dec18). */
   private[graft] def dec18(v: Double): java.math.BigDecimal =

@@ -328,15 +328,17 @@ object LangId {
     * the corpus, embarrassingly parallel, nothing to shuffle at any
     * scale (the pre-r15 [[features]]-path cost TWO corpus-sized
     * shuffles; see [[scoreViaFeatures]]). FUSED (r15 optimization
-    * pass): the K margins come from the [[graft.expressions.LangIdMargins]]
-    * codegen kernel — one pass per row — replacing K interpreted
-    * `aggregate()` decimal folds that re-evaluated the gram/hash
-    * subtree per class (measured 3.0 s → ~0.4 s per corpus pass at
-    * sf0.1, LidScoreProfile). The kernel replays the fold's decimal
-    * arithmetic exactly (order-free exact adds of the same
-    * dec18-rounded terms), so margins are BIT-IDENTICAL —
-    * [[scoreViaMarginFold]] keeps the fold formulation and LangIdSpec
-    * pins kernel ≡ fold ≡ features-path on adversarial fixtures.
+    * pass): the K margins come from the
+    * [[graft.expressions.HashedPresenceMargins]] codegen kernel over
+    * the [[graft.expressions.CharGrams]] featurizer — one pass per
+    * row — replacing K interpreted `aggregate()` decimal folds that
+    * re-evaluated the gram/hash subtree per class (measured 3.0 s →
+    * ~0.4 s per corpus pass at sf0.1, LidScoreProfile). The kernel
+    * replays the fold's decimal arithmetic exactly (order-free exact
+    * adds of the same dec18-rounded terms), so margins are
+    * BIT-IDENTICAL — [[scoreViaMarginFold]] keeps the fold
+    * formulation and LangIdSpec pins kernel ≡ fold ≡ features-path on
+    * adversarial fixtures.
     */
   def score(
       docs: DataFrame, model: Model,
@@ -344,10 +346,12 @@ object LangId {
       keep: Seq[String] = Nil): DataFrame = {
     val k = model.labels.size
     val mArr = org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.expressions.LangIdMargins(
-        org.apache.spark.sql.graft.ColumnBridge.expression(
-          coalesce(col(textCol), lit(""))),
-        model.gram, model.nBuckets, model.weights))
+      graft.expressions.HashedPresenceMargins(
+        graft.expressions.CharGrams(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            coalesce(col(textCol), lit(""))),
+          model.gram),
+        model.nBuckets, model.weights))
     val m = docs.select(
       col(idCol).cast("long").as("doc_id") +:
         (keep.map(col) :+ mArr.as("_m")): _*)

@@ -270,6 +270,33 @@ object QualityClassifier {
     */
   def score(
       docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text",
+      keep: Seq[String] = Nil): DataFrame = {
+    // FUSED (r15 optimization pass): one codegen pass — tokenize, hash,
+    // bucket-dedup, exact decimal fold — via the shared
+    // HashedPresenceMargins kernel (LangId's scorer at K=1), replacing
+    // the interpreted aggregate() fold kept below as
+    // [[scoreViaMarginFold]] for the spec's bit-equivalence pin.
+    // `keep` passes source columns through the per-row map so callers
+    // don't join predictions back on doc_id (the LangId.score rule).
+    val mArr = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HashedPresenceMargins(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))),
+        model.nBuckets, model.weights.map(Array(_))))
+    docs.select(col(idCol).cast("long").as("doc_id") +: keep.map(col) :+
+        element_at(mArr, 1).as("margin"): _*)
+      .select(col("doc_id") +: keep.map(col) ++: Seq(col("margin"),
+        (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p_good"),
+        (col("margin") > 0).cast("long").as("accepted")): _*)
+  }
+
+  /** The r15 in-row DECIMAL-FOLD scoring formulation — kept
+    * `private[operators]` solely so the spec can pin the fused kernel's
+    * bit-equivalence against it.
+    */
+  private[operators] def scoreViaMarginFold(
+      docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wLit = typedlit(model.weights.toSeq)
     val buckets = concat(

@@ -191,15 +191,22 @@ object TextQueries9 {
       "q215_trained_quality_classifier",
       (s, d) => {
         import graft.operators.QualityClassifier
-        val planted = q215Planted(s, d)
         val model = q215SharedModel(s, d)
-        val scored = QualityClassifier.score(planted, model)
-          .join(planted.select(col("doc_id"), col("label"),
-            graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
-            "doc_id")
+        // label/n_tokens ride THROUGH the per-row scoring map (keep
+        // columns) instead of joining predictions back on doc_id — two
+        // exchanges over two derivations of the same scan (guide §2.4);
+        // fanOut first, the sub-MB fixture scan is one partition and
+        // scoring/tokenizing is the CPU-bound per-row stage
+        val scored = QualityClassifier.score(
+          graft.core.Partitioning.fanOut(q215Planted(s, d))
+            .withColumn("n_tokens",
+              graft.functions.TextFunctions.tokenCount(col("text"))),
+          model, keep = Seq("label", "n_tokens"))
         val flag = scored
           .agg(avg((col("accepted") === col("label")).cast("double")).as("_acc"))
           .select((col("_acc") >= 0.95).cast("long").as("acc_ok"))
+        // the output rows never read `accepted`: pruning drops the
+        // margin kernel from this branch (pure projection)
         scored.select(col("doc_id"), col("label"), col("n_tokens"))
           .crossJoin(broadcast(flag))
       },

@@ -50,19 +50,22 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(w1.exists(_ != 0.0), "training produced all-zero weights")
   }
 
-  test("in-row shuffle-free scoring ≡ the join/aggregate formulation, bit-for-bit") {
+  test("fused margin kernel ≡ decimal fold ≡ join/aggregate formulation, bit-for-bit") {
     val corpus = planted(80).localCheckpoint(true)
     val model = QualityClassifier.train(corpus, "label", iters = 6)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
-    assert(rows(QualityClassifier.score(corpus, model)) ==
-      rows(QualityClassifier.scoreViaFeatures(corpus, model)),
-      "in-row decimal fold must equal the groupBy sum exactly")
-    // null/empty text scores as intercept-only on both paths
+    val kernel = rows(QualityClassifier.score(corpus, model))
+    assert(kernel == rows(QualityClassifier.scoreViaMarginFold(corpus, model)),
+      "fused codegen kernel must equal the in-row decimal fold exactly")
+    assert(kernel == rows(QualityClassifier.scoreViaFeatures(corpus, model)),
+      "in-row margins must equal the groupBy sum exactly")
+    // null/empty text scores as intercept-only on all paths
     val edge = Seq((900L, ""), (901L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
-    assert(rows(QualityClassifier.score(edge, model)) ==
-      rows(QualityClassifier.scoreViaFeatures(edge, model)))
+    val ek = rows(QualityClassifier.score(edge, model))
+    assert(ek == rows(QualityClassifier.scoreViaFeatures(edge, model)))
+    assert(ek == rows(QualityClassifier.scoreViaMarginFold(edge, model)))
   }
 
   test("driver-gated in-memory trainer ≡ distributed trainer, bit-identical weights") {
