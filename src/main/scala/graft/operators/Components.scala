@@ -91,8 +91,16 @@ object Components {
       // edge set is not a valid input to anything)
     }
 
+    // ONE explode of both orientations, not union-of-two-selects: the
+    // union embedded the caller's pair plan twice, and the producers
+    // that overflow the driver gate are exactly the quadratic exact-
+    // dedup plans a double evaluation hurts most (the persist below
+    // only helps AFTER this plan has run once)
     val edges = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("a"))
+      .select(col("a.src").as("src"), col("a.dst").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -51,10 +51,19 @@ object LabelProp {
     // single-consumer step (see object doc). checkpointByKey on the
     // neighbor end: the STATIONARY adjacency is laid out once on t and
     // only the |V|-row label frame re-keys per round.
+    // ONE explode of four orientations, not a 4-way union: the union
+    // embedded the caller's edge plan once per branch, so an
+    // un-checkpointed pairs input (q177's co-order expansion) executed
+    // up to four times inside the adjacency build — the explode
+    // evaluates it once. Same multiset of rows into the distinct,
+    // bit-identical adjacency.
     val adj = graft.core.Partitioning.checkpointByKey(
-      e0.union(e0.select(col("t").as("s"), col("s").as("t")))
-        .union(e0.select(col("s"), col("s").as("t")))
-        .union(e0.select(col("t"), col("t").as("t")))
+      e0.select(explode(array(
+          struct(col("s"), col("t")),
+          struct(col("t").as("s"), col("s").as("t")),
+          struct(col("s"), col("s").as("t")),
+          struct(col("t").as("s"), col("t").as("t")))).as("a"))
+        .select(col("a.s").as("s"), col("a.t").as("t"))
         .distinct(),
       col("t"))
     var ckpt: DataFrame = null // the live checkpointed label frame, if any

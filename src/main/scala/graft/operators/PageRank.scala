@@ -33,10 +33,22 @@ object PageRank {
 
   val Scale = 1000000000000L // 10^12: head-room under 2^63 for sums
 
-  /** Undirected edge list (u, v) → both directed arcs. */
+  /** Undirected edge list (u, v) → both directed arcs.
+    *
+    * Explode-of-both-orientations, NOT unionAll-of-two-selects: the
+    * union embeds the edge plan twice, so an un-checkpointed edge
+    * build (groupBy + pair expansion + distinct) would execute once
+    * per direction — callers had to pre-checkpoint purely to defeat
+    * that (q106's old shape). The explode evaluates its child ONCE and
+    * emits both arcs per row; same multiset of arcs, and PageRank's
+    * fixed-point arithmetic is partitioning/order-independent by
+    * design, so results are bit-identical.
+    */
   def bothDirections(edges: DataFrame): DataFrame =
-    edges.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    edges.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("a"))
+      .select(col("a.src").as("src"), col("a.dst").as("dst"))
 
   /** Broadcast the (vertex, rank)/degree tables only while |V| stays
     * driver/executor-sized: 4M vertices ≈ 64 MB of (long, long) rows

@@ -208,10 +208,13 @@ object Relational5 {
     GraftQuery(
       "q106_pagerank",
       (s, d) => {
-        // checkpoint BEFORE bothDirections: the unionAll embeds the
-        // edge lineage twice, so without the barrier the groupBy +
-        // pair-expansion + distinct would execute once per direction
-        val edges = coOrderPairs(s, d).distinct().localCheckpoint()
+        // no checkpoint before bothDirections: it is an explode of both
+        // orientations (single evaluation of the edge build), so the
+        // only materialization is the arc checkpoint inside ranks —
+        // the old unionAll shape embedded the edge lineage twice and
+        // needed a barrier here to avoid running the distinct per
+        // direction (one full |E| checkpoint write+read saved)
+        val edges = coOrderPairs(s, d).distinct()
         graft.operators.PageRank
           .ranks(graft.operators.PageRank.bothDirections(edges), iters = 3)
           .orderBy(col("rank").desc, col("vertex"))
