@@ -4,7 +4,6 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a pair list — the step that turns
   * near-duplicate PAIRS into duplicate GROUPS (one canonical survivor
@@ -94,21 +93,13 @@ object Components {
     // ONE explode of both orientations, not union-of-two-selects: the
     // union embedded the caller's pair plan twice, and the producers
     // that overflow the driver gate are exactly the quadratic exact-
-    // dedup plans a double evaluation hurts most (the persist below
-    // only helps AFTER this plan has run once)
-    val edges = e0
+    // dedup plans a double evaluation hurts most
+    val edgesPlan = e0
       .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("a"))
       .select(col("a.src").as("src"), col("a.dst").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the persisted edge set (the distributed path reads it
-    // every round), then drop the input's checkpoint blocks (see @param
-    // pairs)
-    edges.count()
-    Lineage.release(pairs)
 
     // Iterative dataflow MUST truncate lineage each round: chaining the
     // round-N plan onto round-N-1 doubles the logical tree per
@@ -149,9 +140,8 @@ object Components {
 
     // Init checkpoints live INSIDE the try below (the LabelProp
     // discipline): a failed init job must release whatever it already
-    // materialized — the |E|-sized dst-hash checkpoint and the persisted
-    // edge cache would otherwise pin block-manager storage for the life
-    // of a long-lived driver.
+    // materialized — the |E|-sized dst-hash checkpoint would otherwise
+    // pin block-manager storage for the life of a long-lived driver.
     var edgesByDst: DataFrame = null
     var labelsCp: DataFrame = null
     var iter = 0
@@ -161,15 +151,24 @@ object Components {
     // long-lived driver
     var propagatedCp: DataFrame = null
     try {
-      // The per-round neighborhood join is keyed on dst, but the persisted
-      // edge set is distinct-partitioned on (src, dst) — every round would
-      // re-shuffle the |E|-row edge table. Re-layout ONCE in dst-hash
-      // (checkpointByKey keeps the layout visible through the checkpoint;
-      // a plain repartition+localCheckpoint loses it under AQE), so each
-      // round shuffles only the |V|-row label projection.
-      edgesByDst = graft.core.Partitioning.checkpointByKey(
-        edges.select(col("src"), col("dst")), col("dst"))
-      edges.unpersist(blocking = false) // superseded by the dst-hash layout
+      // The per-round neighborhood join is keyed on dst. ONE exchange
+      // lands both the dedup and that layout (r16): repartition(dst)
+      // satisfies dropDuplicates' (src, dst)-clustered distribution
+      // ({dst} ⊆ {src, dst} — the KCore prep precedent), so the dedup
+      // aggregate runs exchange-free in the dst-hash layout the
+      // checkpoint keeps. The former shape paid distinct's (src, dst)
+      // exchange + persist + count + a SECOND full-|E| exchange inside
+      // checkpointByKey — two passes and a cache write over the raw
+      // pair plan for the same materialized table. Trade-off: the
+      // build job runs AQE-off (checkpointKeepingLayout mechanics), so
+      // a caller whose PRODUCER plan needs AQE (skew-split heavy join)
+      // should localCheckpoint the pair list before calling; the
+      // over-gate bench producer (q97) is a narrow scan projection.
+      edgesByDst = graft.core.Partitioning.checkpointKeepingLayout(
+        edgesPlan.repartition(col("dst")).dropDuplicates("src", "dst"))
+      // edge set materialized — the input pair plan is consumed now
+      // (see @param pairs)
+      Lineage.release(pairs)
 
       // Per-round checkpoints build under AQE, deliberately FORGETTING
       // the label layout: the round's build job contains the edge join,
@@ -238,7 +237,6 @@ object Components {
         "(pathological chain graph — use a log-round decomposition at this scale)")
     } catch {
       case t: Throwable =>
-        edges.unpersist(blocking = false)
         if (edgesByDst != null) Lineage.release(edgesByDst)
         if (propagatedCp != null) Lineage.release(propagatedCp)
         if (labelsCp != null) Lineage.release(labelsCp)

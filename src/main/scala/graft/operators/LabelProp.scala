@@ -57,15 +57,22 @@ object LabelProp {
     // up to four times inside the adjacency build — the explode
     // evaluates it once. Same multiset of rows into the distinct,
     // bit-identical adjacency.
-    val adj = graft.core.Partitioning.checkpointByKey(
+    // ONE exchange, not two (r16): `.distinct()` shuffled the exploded
+    // rows on hash(s, t) and checkpointByKey then re-shuffled the
+    // deduped set on hash(t). repartition(t) FIRST satisfies the
+    // dedup's clustered distribution ({t} ⊆ {s, t} — the KCore prep
+    // precedent), so dropDuplicates runs exchange-free in the hash(t)
+    // layout the checkpoint then keeps. Same adjacency set,
+    // bit-identical downstream (solo A/B in OPTIMIZATION_r16.md §A).
+    val adj = graft.core.Partitioning.checkpointKeepingLayout(
       e0.select(explode(array(
           struct(col("s"), col("t")),
           struct(col("t").as("s"), col("s").as("t")),
           struct(col("s"), col("s").as("t")),
           struct(col("t").as("s"), col("t").as("t")))).as("a"))
         .select(col("a.s").as("s"), col("a.t").as("t"))
-        .distinct(),
-      col("t"))
+        .repartition(col("t"))
+        .dropDuplicates("s", "t"))
     var ckpt: DataFrame = null // the live checkpointed label frame, if any
     try {
       // init from the SELF-LOOP rows: the adjacency build gives every

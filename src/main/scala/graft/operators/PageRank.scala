@@ -85,12 +85,28 @@ object PageRank {
     // `arcs` again, and the truncated plans would hide those blocks
     // from every later release
     Lineage.release(arcs)
-    val vertices0 = a0.select(col("src").as("vertex"))
-      .unionAll(a0.select(col("dst").as("vertex"))).distinct()
-      .localCheckpoint()
-    // |V| is needed for the teleport term anyway — the same count gates
-    // the broadcast-vs-shuffle branch for free.
-    val n = vertices0.count()
+    // Vertex universe AND out-degrees from ONE aggregation (r16): the
+    // former {union-distinct checkpoint, degree groupBy, left join,
+    // second checkpoint} was three passes over the arc table plus a
+    // |V|⋈|V| join for a table one explode+groupBy computes — each arc
+    // emits (src, 1) and (dst, 0), the per-vertex sum IS the out-degree,
+    // and a 0 sum marks a dangling vertex (deg NULL, bit-identical to
+    // the left join's miss; DerivedPropertiesSpec/PageRankSpec pin it).
+    // checkpointKeepingLayout: the groupBy lands hash(vertex), which the
+    // large-|V| branch's per-round rank-update joins reuse (the small
+    // branch ignores the layout — it broadcasts).
+    val vd = graft.core.Partitioning.checkpointKeepingLayout(
+      a0.select(explode(array(
+          struct(col("src").as("vertex"), lit(1L).as("c")),
+          struct(col("dst").as("vertex"), lit(0L).as("c")))).as("x"))
+        .select(col("x.vertex").as("vertex"), col("x.c").as("c"))
+        .groupBy(col("vertex")).agg(sum(col("c")).as("ds"))
+        .select(col("vertex"),
+          when(col("ds") > 0, col("ds")).otherwise(lit(null).cast("long")).as("deg")))
+    // |V| is needed for the teleport term anyway — the same count (one
+    // cheap job over the checkpointed |V|-row table) gates the
+    // broadcast-vs-shuffle branch for free.
+    val n = vd.count()
     require(n > 0, "PageRank over an empty arc set — no vertices to rank")
     val small = n <= broadcastMaxVertices
     // Small-|V| branch: ranks/degrees ride broadcasts, each iteration
@@ -116,43 +132,20 @@ object PageRank {
       Lineage.release(a0) // superseded by the src-hash layout
       r
     }
-    val vertices =
-      if (small) vertices0
-      else {
-        val r = graft.core.Partitioning.checkpointByKey(vertices0, col("vertex"))
-        Lineage.release(vertices0)
-        r
-      }
     def attach(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
-    // Degree FUSED into the vertex table once: the rank table carries
-    // (vertex, deg, rank) through the loop, so each iteration's
-    // per-source contribution is a PROJECTION (rank div deg) instead of
-    // a rank⋈degree join — one fewer join + broadcast build per round
-    // (measured ~0.5 s/round at sf0.1). Dangling vertices carry deg
-    // NULL and are filtered from contributions (they emit no mass —
-    // identical semantics to the inner join they replace).
-    // Large branch: vd is re-joined on `vertex` EVERY round — checkpoint
-    // it in vertex-hash layout so the per-round rank-update join sees
-    // two co-partitioned sides (rank's projection is alias-tracked from
-    // vd's layout, so the whole loop's joins plan exchange-free; only
-    // the contribution groupBy re-keys, src → dst, which is inherent).
-    val vdPlan = vertices
-      .join(attach(a.groupBy(col("src")).agg(count(lit(1)).as("deg"))),
-        vertices("vertex") === col("src"), "left")
-      .select(col("vertex"), col("deg"))
-    // checkpointKeepingLayout, not checkpointByKey: vdPlan's output is
-    // ALREADY hash(vertex) — the streamed side of the shuffle_hash left
-    // join is the vertex-hash checkpointed table, alias-tracked through
-    // the projection — so an explicit repartition here would be a pure
-    // duplicate |V| exchange (the PlanAssertionsSpec loop guard pins
-    // the layout actually surviving this checkpoint).
-    val vd =
-      if (small) vdPlan.localCheckpoint()
-      else graft.core.Partitioning.checkpointKeepingLayout(vdPlan)
-    // the vertex checkpoint is superseded by vd (nothing else reads it,
-    // and vd's truncated plan would hide its blocks from later release)
-    Lineage.release(vertices)
+    // Degree rides the vertex table through the loop ((vertex, deg,
+    // rank)), so each iteration's per-source contribution is a
+    // PROJECTION (rank div deg) instead of a rank⋈degree join — one
+    // fewer join + broadcast build per round (measured ~0.5 s/round at
+    // sf0.1). Dangling vertices carry deg NULL and are filtered from
+    // contributions (they emit no mass). Large branch: vd is re-joined
+    // on `vertex` EVERY round — its checkpointed hash(vertex) layout
+    // makes the per-round rank-update join see two co-partitioned sides
+    // (rank's projection is alias-tracked from vd's layout, so the
+    // loop's joins plan exchange-free; only the contribution groupBy
+    // re-keys, src → dst, which is inherent — the PlanAssertionsSpec
+    // loop guard pins it).
     val base = Scale * 15L / 100L / n // teleport term, truncating like every step
     var rank = vd.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iters) {

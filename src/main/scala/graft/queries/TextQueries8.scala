@@ -97,17 +97,13 @@ object TextQueries8 {
     """
   }
 
-  /** Stage the q210 input: the documents table as a 4-file drop under a
-    * fresh temp root (the arriving-files shape a real ingest consumes).
-    * Returns the root; index/reports/ckpt live beside it. The root is
-    * registered for recursive deletion at JVM exit — the published
-    * index must outlive this call (the returned DataFrame is consumed
-    * lazily by Verify/Bench), so exit-time is the earliest safe point;
-    * repeated runs are separate JVMs, so /tmp holds at most one copy
-    * per live process (advice r11).
+  /** Register a temp root for recursive deletion at JVM exit — the
+    * published index must outlive the staging call (the returned
+    * DataFrame is consumed lazily by Verify/Bench), so exit-time is the
+    * earliest safe point; repeated runs are separate JVMs, so /tmp
+    * holds at most one copy per live process (advice r11).
     */
-  private def q210Stage(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q210").toString
+  private def rmAtExit(root: String): Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -115,9 +111,27 @@ object TextQueries8 {
       }
       rm(new java.io.File(root))
     }))
-    Tables.documents(s, d).repartition(4).write.mode("overwrite").parquet(s"$root/in")
-    root
+    ()
   }
+
+  /** The 4-file drop is shared per (JVM, dataset dir) — q210 and q213
+    * stream the IDENTICAL input (only their sink's maxSegments differs),
+    * so staging it twice was a duplicate repartition+write of the
+    * documents table per run (r16; the sharedModel memo discipline from
+    * q217/q218). Each fold still runs its own full 4-trigger stream into
+    * its own index/reports/ckpt root. The memo lives only for this JVM —
+    * every bench/oracle invocation re-stages from the parquet inputs.
+    */
+  private val stagedInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q210Stage(s: org.apache.spark.sql.SparkSession, d: String): String =
+    stagedInputs.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q210").toString
+      rmAtExit(root)
+      Tables.documents(s, d).repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      root
+    })
 
   /** Stage the 4-file drop AND run the full streaming fold (the REAL
     * `SubstringIngest.substringIngestSink` — per-trigger probe, report
@@ -138,10 +152,14 @@ object TextQueries8 {
     */
   private def q210Fold(s: org.apache.spark.sql.SparkSession, d: String,
       maxSegments: Int): String = {
-    val root = q210Stage(s, d)
+    val in = q210Stage(s, d) // shared per (JVM, dataset) — see q210Stage
+    // index/reports/ckpt get their OWN root per fold: q210 and q213 run
+    // concurrently-prepared sinks whose stores must not interleave
+    val root = java.nio.file.Files.createTempDirectory("graft_q210run").toString
+    rmAtExit(root)
     val docs = Tables.documents(s, d)
     val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/in")
     val q = graft.streaming.SubstringIngest.substringIngestSink(
       stream, s"$root/index", s"$root/reports", s"$root/ckpt", k = 8,
       maxSegments = maxSegments)

@@ -675,7 +675,12 @@ object SubstringIngest extends Logging {
     // read cached rows
     batch.persist()
     try {
-      if (!batch.isEmpty) {
+      // ONE count replaces isEmpty + a later per-trigger count() (r16):
+      // the row count is needed anyway for the _ids_n sidecar, so the
+      // empty check rides it — one fewer job per trigger, and the count
+      // fully materializes the cache the remaining passes read
+      val nRows = batch.count()
+      if (nRows > 0) {
         val spark = batch.sparkSession
         Load.withLock(spark, indexDir, s"substringIngestSink batch=$batchId") {
           val st = readStore(spark, indexDir)
@@ -696,7 +701,7 @@ object SubstringIngest extends Logging {
             SubstringDedup.gramIndex(batch, k)
               .write.mode("overwrite").parquet(segStaging.toString)
             writeBloom(st.fs, new Path(segStaging, IdsBloomFile), bloom)
-            writeLongFile(st.fs, new Path(segStaging, IdsNFile), batch.count())
+            writeLongFile(st.fs, new Path(segStaging, IdsNFile), nRows)
             writeLongFile(st.fs, new Path(segStaging, IdsCapFile), bloomExpectedItems)
             if (!st.fs.rename(segStaging, segFinal))
               throw new java.io.IOException(

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * optimization target is measured, not guessed (guide §1). Phases per
   * trigger, timed by wrapping the REAL applyBatch sub-steps' public
   * surface: the report probe (cleanKeepFirstIncremental → parquet) and
-  * the segment publish (gramIndex → parquet) — the two corpus passes —
-  * plus everything else (store read, bloom, rename, compaction).
+  * the segment publish (gramIndex → parquet) — the two corpus passes.
+  * The residual per-trigger fixed cost (store read, bloom, rename,
+  * compaction) is the direct-applyBatch timing minus those two.
   *
   * Usage: sbt "Test/runMain graft.dev.IngestProfile [sfDir] [maxSegments]"
   */
@@ -53,7 +54,6 @@ object IngestProfile {
     // standalone against the same store state (the cost model, not the
     // commit protocol).
     val root2 = java.nio.file.Files.createTempDirectory("graft_prof2").toString
-    val in = spark.read.parquet(s"$root/in")
     val files = new java.io.File(s"$root/in").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
     println(s"[profile] ${files.length} input files")

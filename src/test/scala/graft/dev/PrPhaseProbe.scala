@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * edge build / checkpoint, arc checkpoint, PageRank loop, final top-k
   * — so the optimization target is measured, not guessed (guide §1).
   *
-  * Usage: sbt "Test/runMain graft.dev.PrPhaseProbe [sfDir] [rounds]"
+  * Usage: sbt "Test/runMain graft.queries.PrPhaseProbe [sfDir] [rounds]"
+  * (declared in graft.queries for coOrderPairs access; lives under dev/)
   */
 object PrPhaseProbe {
   def main(args: Array[String]): Unit = {
