@@ -117,12 +117,18 @@ object GraphQueries {
     GraftQuery(
       "q180_basket_lift",
       (s, d) => {
-        val op = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .localCheckpoint(true)
-        val n = op.select(countDistinct(col("l_orderkey")).as("n"))
-        val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-        val co = Relational5.coOrderPairs(s, d)
+        // ONE lineitem shuffle for all three aggregates (r16): the
+        // co-pair expansion's grouped part-set frame already holds the
+        // distinct (order, part) relation — its row count IS the
+        // distinct order count and explode(ps) counted per part IS the
+        // per-part order count — so the former separate
+        // lineitem.distinct() checkpoint was a second full scan +
+        // shuffle of the same relation (guide §1.2).
+        val grouped = Relational5.groupedPartSets(s, d).localCheckpoint(true)
+        val n = grouped.select(count(lit(1)).as("n"))
+        val cnt = grouped.select(explode(col("ps")).as("l_partkey"))
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        val co = Relational5.coOrderPairsFrom(grouped)
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
           .where(col("co") >= 2)
         co.join(broadcast(cnt.select(col("l_partkey").as("u"), col("c").as("cu"))), Seq("u"))

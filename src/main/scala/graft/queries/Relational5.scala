@@ -25,26 +25,42 @@ object Relational5 {
     */
   private[queries] def coOrderPairs(
       s: org.apache.spark.sql.SparkSession, d: String,
+      maxParts: Int = Int.MaxValue) =
+    coOrderPairsFrom(groupedPartSets(s, d, maxParts))
+
+  /** Per-order distinct part sets (l_orderkey → sorted ps array) — the
+    * ONE lineitem shuffle behind [[coOrderPairs]], exposed so a caller
+    * that also needs order/part counts (q180) can derive them from the
+    * same grouped frame instead of paying a second distinct over
+    * lineitem: the row count IS the distinct order count and
+    * `explode(ps)` counted per part IS the per-part order count.
+    */
+  private[queries] def groupedPartSets(
+      s: org.apache.spark.sql.SparkSession, d: String,
       maxParts: Int = Int.MaxValue) = {
-    // the interpreted lambda chain is NOT the bottleneck here: a
-    // codegen bit-packed pair kernel was measured IDENTICAL (±0.1 s) at
-    // sf0.1 — the cost is the groupBy/distinct shuffles, which any
-    // formulation pays
     val grouped = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     // maxParts bounds the per-order expansion (q177's sparse-subgraph
     // variant); unbounded callers skip the filter entirely
-    val bounded =
-      if (maxParts == Int.MaxValue) grouped
-      else grouped.where(size(col("ps")) <= maxParts)
-    bounded
+    if (maxParts == Int.MaxValue) grouped
+    else grouped.where(size(col("ps")) <= maxParts)
+  }
+
+  /** The in-array pair expansion over [[groupedPartSets]].
+    * The interpreted lambda chain is NOT the bottleneck here: a
+    * codegen bit-packed pair kernel was measured IDENTICAL (±0.1 s) at
+    * sf0.1 — the cost is the groupBy/distinct shuffles, which any
+    * formulation pays.
+    */
+  private[queries] def coOrderPairsFrom(
+      grouped: org.apache.spark.sql.DataFrame) =
+    grouped
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.as("u"), y.as("v"))))))
         .as("e"))
       .select(col("e.u"), col("e.v"))
-  }
 
   val queries: Seq[GraftQuery] = Seq(
 

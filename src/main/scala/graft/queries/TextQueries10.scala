@@ -203,8 +203,15 @@ object TextQueries10 {
       (s, d) => {
         import graft.functions.TextFunctions.{tokenCount, textShingles, fingerprint}
         // predicted + lang_true + text ride one scoring map (no join
-        // back on doc_id — scoring is per-row; guide §2.4)
+        // back on doc_id — scoring is per-row; guide §2.4).
+        // localCheckpoint (r16): three consumers read this frame — the
+        // accuracy flag, the funnel metrics, and the decontamination
+        // bench side — and two of them pay the margin kernel; the
+        // checkpoint runs the scoring pass ONCE (solo A/B in
+        // OPTIMIZATION_r16.md §A5). Lazy: the flag aggregate below is
+        // the materializing action either way.
         val docs = scoredKeeping(s, d, Seq("lang_true", "text"))
+          .localCheckpoint(false)
         val flag = docs
           .agg(avg((col("predicted") === col("lang_true")).cast("double")).as("_acc"))
           .select((col("_acc") >= 0.95).cast("long").as("acc_ok"))
