@@ -60,20 +60,34 @@ object KCore {
     * whole peel runs as one collect + linear-time bucket cascade — a
     * synchronous distributed loop pays ~4 job launches per round for a
     * graph that fits in a few tens of MB. Above it the delta-peel loop
-    * below takes over.
+    * below takes over. Counts RAW pair rows (r16, the Components-r15
+    * gate shape): the probe is a LIMIT-bounded typed collect of the
+    * raw stream — one job, no shuffle — and normalization (both
+    * directions, dedup) happens on the driver inside [[driverPeel]];
+    * the former gate normalized distributively first, paying the
+    * explode + repartition exchange + checkpoint write + count for
+    * exactly the graphs small enough not to need them. Same scale,
+    * same ~300-500 MB transient-heap budget rationale.
     */
   private val DriverMaxArcs = 4L * 1000 * 1000
 
-  /** Textbook cascade over directed arc pairs (both directions
-    * present): seed every vertex under k, then each removal decrements
-    * its live neighbors, enqueuing exactly when one crosses k.
+  /** Textbook cascade over RAW undirected pairs (self-loops/nulls
+    * pre-filtered by the caller; any orientation, duplicates fine —
+    * both directions and the dedup happen here, one HashSet pass):
+    * seed every vertex under k, then each removal decrements its live
+    * neighbors, enqueuing exactly when one crosses k.
     * O(|E| + |V|), single pass per arc.
     */
-  private def driverPeel(arcs: Array[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+  private def driverPeel(pairs: Array[(Long, Long)], k: Int): Seq[(Long, Long)] = {
     import scala.collection.mutable
+    val seen = mutable.HashSet.empty[(Long, Long)]
     val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-    arcs.foreach { case (u, v) =>
-      adj.getOrElseUpdate(u, new mutable.ArrayBuffer[Long]()) += v
+    pairs.foreach { case (a, b) =>
+      val (u, v) = if (a < b) (a, b) else (b, a)
+      if (seen.add((u, v))) {
+        adj.getOrElseUpdate(u, new mutable.ArrayBuffer[Long]()) += v
+        adj.getOrElseUpdate(v, new mutable.ArrayBuffer[Long]()) += u
+      }
     }
     val deg = mutable.HashMap.empty[Long, Int]
     adj.foreach { case (u, vs) => deg(u) = vs.length }
@@ -113,7 +127,31 @@ object KCore {
       pairs: DataFrame, aCol: String, bCol: String, k: Int,
       maxIter: Int = 50, driverMaxArcs: Long = DriverMaxArcs): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // both directions explode in ONE pass over the input (a union of
+    val cleaned = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+
+    // Small-graph fast path, gated by a LIMIT-probed collect of the RAW
+    // pair list — ONE job, no shuffle (the Components-r15 gate): the
+    // cascade dedups and direction-doubles on the driver, so for graphs
+    // under the gate the distributed explode + repartition exchange +
+    // checkpoint write + count were pure overhead (measured: prep +
+    // count + collect ~2.5 s at the sf0.1 q144 fixture vs ~1.2 s for
+    // the probe + cascade). An oversized list collects only
+    // driverMaxArcs+1 rows before falling through; the probe is then
+    // discarded (a truncated pair set is not a valid input).
+    if (driverMaxArcs >= 0) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val probeCap = driverMaxArcs + 1
+      require(probeCap <= Int.MaxValue, s"driverMaxArcs too large: $driverMaxArcs")
+      val probe = cleaned.limit(probeCap.toInt).as[(Long, Long)].collect()
+      if (probe.length <= driverMaxArcs)
+        return spark.createDataset(driverPeel(probe, k)).toDF("vertex", "core_degree")
+    }
+
+    // over the gate: pay the normalization the distributed rounds need.
+    // Both directions explode in ONE pass over the input (a union of
     // the pair pipeline with its swap would evaluate it twice), then
     // the single prep shuffle lands the u-hash layout and the
     // exchange-free dedup
@@ -121,31 +159,13 @@ object KCore {
     // checkpoint forgets the u-hash layout the prep shuffle landed, and
     // the "exchange-free" claims below silently regress to a full |E|
     // re-shuffle per round (see core.Partitioning.checkpointByKey).
-    val arcs = graft.core.Partitioning.checkpointKeepingLayout(pairs
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val arcs = graft.core.Partitioning.checkpointKeepingLayout(cleaned
       .select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("u"))
       .dropDuplicates("u", "v"))
-
-    // Small-graph fast path: the count is one cheap job over the
-    // checkpointed blocks, and under the gate the exact cascade runs in
-    // linear time on the driver instead of paying per-round job
-    // launches (measured: the distributed loop below costs ~3 s at the
-    // sf0.1 gate fixture; the collect + cascade ~1 s).
-    if (arcs.count() <= driverMaxArcs) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      // release in finally: a collect/cascade failure must not pin the
-      // |E|-sized checkpoint blocks in a long-lived driver
-      val labeled =
-        try driverPeel(arcs.as[(Long, Long)].collect(), k)
-        finally release(arcs)
-      return spark.createDataset(labeled).toDF("vertex", "core_degree")
-    }
 
     var iter = 0
     var done = false

@@ -62,4 +62,16 @@ class KCoreSpec extends SparkTestBase {
     // triangle 1-2-3: degrees exactly 2 despite duplicated inputs
     assert(run(edges, 2) == Map(1L -> 2, 2L -> 2, 3L -> 2))
   }
+
+  test("raw-row gate boundary: identical answer at the cap and one over (r16 limit-probed gate)") {
+    // 5 raw rows (with a dup and a reverse), 3 distinct undirected edges
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+    def result(cap: Long) =
+      KCore.core(edges.toDF("a", "b"), "a", "b", k = 2, driverMaxArcs = cap)
+        .as[(Long, Long)].collect().toMap
+    // cap = raw rows → driver cascade; cap = raw rows - 1 → the probe
+    // overflows and the distributed loop runs; answers must agree
+    assert(result(5L) == result(4L))
+    assert(result(5L) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
