@@ -127,27 +127,36 @@ object KCore {
       pairs: DataFrame, aCol: String, bCol: String, k: Int,
       maxIter: Int = 50, driverMaxArcs: Long = DriverMaxArcs): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // LAZY localCheckpoint: the gate probe below and (over the gate)
+    // the prep both read THIS frame — one LogicalRDD, one shuffle
+    // lineage — so the caller's producer plan evaluates its map stages
+    // once no matter which lane runs. Two separate Dataset plans
+    // (probe vs prep) would each instantiate their own exchange and
+    // the over-gate lane would pay the producer twice.
     val cleaned = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .localCheckpoint(false)
 
     // Small-graph fast path, gated by a LIMIT-probed collect of the RAW
-    // pair list — ONE job, no shuffle (the Components-r15 gate): the
-    // cascade dedups and direction-doubles on the driver, so for graphs
-    // under the gate the distributed explode + repartition exchange +
-    // checkpoint write + count were pure overhead (measured: prep +
-    // count + collect ~2.5 s at the sf0.1 q144 fixture vs ~1.2 s for
-    // the probe + cascade). An oversized list collects only
-    // driverMaxArcs+1 rows before falling through; the probe is then
-    // discarded (a truncated pair set is not a valid input).
+    // pair list (the Components-r15 gate): the cascade dedups and
+    // direction-doubles on the driver, so for graphs under the gate the
+    // distributed explode + repartition exchange + dedup + arc
+    // checkpoint + count were pure overhead (solo q144 at sf0.1:
+    // 4.7 → 3.5 s). An oversized list collects only driverMaxArcs+1
+    // rows before falling through to the distributed lane, which then
+    // reads the same checkpointed raw blocks — the probe costs one
+    // bounded driver transfer, never a producer re-run.
     if (driverMaxArcs >= 0) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val probeCap = driverMaxArcs + 1
       require(probeCap <= Int.MaxValue, s"driverMaxArcs too large: $driverMaxArcs")
       val probe = cleaned.limit(probeCap.toInt).as[(Long, Long)].collect()
-      if (probe.length <= driverMaxArcs)
+      if (probe.length <= driverMaxArcs) {
+        release(cleaned)
         return spark.createDataset(driverPeel(probe, k)).toDF("vertex", "core_degree")
+      }
     }
 
     // over the gate: pay the normalization the distributed rounds need.
@@ -159,13 +168,17 @@ object KCore {
     // checkpoint forgets the u-hash layout the prep shuffle landed, and
     // the "exchange-free" claims below silently regress to a full |E|
     // re-shuffle per round (see core.Partitioning.checkpointByKey).
-    val arcs = graft.core.Partitioning.checkpointKeepingLayout(cleaned
-      .select(explode(array(
-        struct(col("a").as("u"), col("b").as("v")),
-        struct(col("b").as("u"), col("a").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .repartition(col("u"))
-      .dropDuplicates("u", "v"))
+    // finally: the raw-pair blocks are superseded by the arc layout on
+    // success, and must not strand block-manager storage on failure
+    val arcs =
+      try graft.core.Partitioning.checkpointKeepingLayout(cleaned
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .repartition(col("u"))
+        .dropDuplicates("u", "v"))
+      finally release(cleaned)
 
     var iter = 0
     var done = false
